@@ -1,0 +1,53 @@
+"""prompture_spark — a from-scratch PySpark-native constraint-validation engine.
+
+Re-expresses the validate-and-compare core of ``jhd3197/Prompture`` (JSON-schema
+validation, type coercion with defaults, enum/nullability rules, per-suite
+pass/fail verdicts, usage-stats aggregation, dedup/quality filtering,
+checkpoint/resume — see SURVEY.md) as a distributed constraint checker over
+tables of multi-turn agent transcripts ``(conv_id, turn_idx, role, text, tool,
+ts)`` designed for 10^12-turn scale.
+
+Design rules (enforced throughout):
+  * DataFrame/SQL only; no RDDs, no driver-side row loops.
+  * Constraints compile to vectorized ``Column`` expressions; the single
+    per-row-Python escape hatch is an Arrow-batched pandas UDF for full
+    JSON-Schema fidelity (``functions.jsonschema_udf``).
+  * Big aggregations are two-stage (map-side partial) hash aggs; hot keys are
+    salted explicitly; small dimensions are broadcast.
+  * All orderings use explicit ``(conv_id, turn_idx, ts)`` keys — never
+    ``monotonically_increasing_id`` — so results are stable under any
+    parallelism.
+"""
+
+from prompture_spark.session import get_spark
+from prompture_spark.plans.spec import (
+    InSet,
+    Monotonic,
+    NonEmpty,
+    NotNull,
+    Range,
+    Referential,
+    Regex,
+    RowExpr,
+    Unique,
+    ValidationSuite,
+)
+from prompture_spark.operators.engine import ValidationEngine, ValidationResult
+
+__all__ = [
+    "get_spark",
+    "ValidationEngine",
+    "ValidationResult",
+    "ValidationSuite",
+    "NotNull",
+    "NonEmpty",
+    "InSet",
+    "Regex",
+    "Range",
+    "RowExpr",
+    "Unique",
+    "Referential",
+    "Monotonic",
+]
+
+__version__ = "0.1.0"

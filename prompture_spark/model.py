@@ -1,0 +1,78 @@
+"""Canonical schemas and constants for the transcript-validation engine.
+
+The transcript row shape is fixed by the engine contract (BASELINE.json
+``input_hint``): ``(conv_id:string, turn_idx:int32, role:string, text:string,
+tool:string, ts:timestamp)``. The valid-role set mirrors the reference's
+``_VALID_ROLES`` (prompture/persistence/serialization.py:243-250), where
+invalid-role messages are dropped with a warning — here they are routed to a
+violations table instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+VALID_ROLES = ("user", "assistant", "system", "tool")
+
+CONV_ID_PATTERN = r"^conv-[0-9]{8}$"
+
+# turn_idx legal range; conversations never exceed this many turns.
+TURN_IDX_MAX = 100_000
+
+# Text length bounds mirror the reference's length filter defaults
+# (prompture/dataset/filters.py:85-112).
+TEXT_MAX_LEN = 4_000
+
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), nullable=False),
+        T.StructField("turn_idx", T.IntegerType(), nullable=False),
+        T.StructField("role", T.StringType(), nullable=True),
+        T.StructField("text", T.StringType(), nullable=True),
+        T.StructField("tool", T.StringType(), nullable=True),
+        T.StructField("ts", T.TimestampType(), nullable=True),
+        # partition key carried with the data: bucket of the conversation id.
+        T.StructField("part_id", T.IntegerType(), nullable=False),
+    ]
+)
+
+VIOLATION_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("part_id", T.IntegerType()),
+        T.StructField("constraint_id", T.StringType()),
+        T.StructField("observed_value", T.StringType()),
+    ]
+)
+
+VERDICT_SCHEMA = T.StructType(
+    [
+        T.StructField("part_id", T.IntegerType()),
+        T.StructField("constraint_id", T.StringType()),
+        T.StructField("ok", T.BooleanType()),
+        T.StructField("violation_count", T.LongType()),
+    ]
+)
+
+MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType()),
+        T.StructField("run_config_hash", T.StringType()),
+        T.StructField("partition_id", T.IntegerType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("rows_checked", T.LongType()),
+        T.StructField("violations", T.LongType()),
+        T.StructField("elapsed_ms", T.DoubleType()),
+        T.StructField("updated_at", T.TimestampType()),
+    ]
+)
+
+# Manifest status enum mirrors the reference checkpoint statuses
+# (prompture/checkpoints/types.py:12-24).
+MANIFEST_STATUSES = ("running", "paused", "completed", "failed", "cancelled")
+
+# Tool catalog: the referential dimension for the `tool` column. In the
+# synthetic data tools are the event_type vocabulary; production would
+# register real tool names. Broadcast side of the integrity anti-join.
+TOOL_CATALOG = ("click", "view", "purchase", "signup", "error")

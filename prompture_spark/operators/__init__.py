@@ -1,0 +1,3 @@
+from prompture_spark.operators.engine import ValidationEngine, ValidationResult
+
+__all__ = ["ValidationEngine", "ValidationResult"]

@@ -1,0 +1,133 @@
+"""Distribution-drift checks: PSI and KS per partition vs a baseline snapshot.
+
+The reference's drift-shaped operation is the baseline-comparison described in
+its refusal evaluator (regression guard vs stored rates,
+prompture/refusal/evaluator.py:10-12) and consensus disagreement accounting
+(prompture/groups/consensus.py:195-229). Here it becomes: per-partition
+categorical frequency histograms (role / tool) and text-length distributions
+compared against a baseline snapshot via
+
+  * PSI  = Σ (p_i − q_i) · ln(p_i / q_i)   over categories/buckets
+  * KS   = max_i |CDF_p(i) − CDF_q(i)|     over ordered buckets
+
+Execution shape: two tiny hash aggs (histograms are |partitions| ×
+|categories| rows) + one broadcast join against the baseline — nothing here
+scales with row count except the initial map-side partial agg.
+
+Baseline snapshots are just the same histogram DataFrame persisted from a
+clean run (the ``baseline_stats`` fixture, FIXTURES.md §3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EPS = 1e-6  # zero-bucket smoothing, standard PSI practice
+
+
+def categorical_histogram(
+    df: DataFrame, dim: str, partition_col: str = "part_id"
+) -> DataFrame:
+    """Relative frequency of each non-null ``dim`` value per partition:
+    (part_id, bucket, freq)."""
+    counts = (
+        df.filter(F.col(dim).isNotNull())
+        .groupBy(F.col(partition_col).alias("part_id"), F.col(dim).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = counts.groupBy("part_id").agg(F.sum("cnt").alias("total"))
+    return counts.join(totals, "part_id").select(
+        "part_id", "bucket", (F.col("cnt") / F.col("total")).alias("freq")
+    )
+
+
+def global_histogram(df: DataFrame, dim: str) -> DataFrame:
+    """Whole-table relative frequency — the default baseline: (bucket, freq)."""
+    counts = (
+        df.filter(F.col(dim).isNotNull())
+        .groupBy(F.col(dim).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").alias("total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "bucket", (F.col("cnt") / F.col("total")).alias("base_freq")
+    )
+
+
+def psi(
+    part_hist: DataFrame,
+    baseline_hist: DataFrame,
+    threshold: float = 0.2,
+    round_to: int = 6,
+) -> DataFrame:
+    """PSI per partition vs baseline: (part_id, psi, drifted).
+
+    Full outer alignment on bucket with EPS smoothing so categories present
+    on only one side still contribute. Baseline is broadcast (it is tiny).
+    """
+    joined = part_hist.join(
+        F.broadcast(baseline_hist), on="bucket", how="full_outer"
+    ).select(
+        "part_id",
+        F.coalesce(F.col("freq"), F.lit(EPS)).alias("p"),
+        F.coalesce(F.col("base_freq"), F.lit(EPS)).alias("q"),
+    ).filter(F.col("part_id").isNotNull())
+    return (
+        joined.groupBy("part_id")
+        .agg(F.round(F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))), round_to).alias("psi"))
+        .select("part_id", "psi", (F.col("psi") > threshold).alias("drifted"))
+    )
+
+
+def ks_statistic(
+    df: DataFrame,
+    value_expr: str = "length(text)",
+    partition_col: str = "part_id",
+    n_buckets: int = 64,
+    round_to: int = 6,
+) -> DataFrame:
+    """Bucketed two-sample KS per partition vs the whole table:
+    (part_id, ks). Values are hashed into fixed-width buckets; CDFs built
+    with a running-sum window over bucket order (cheap: |parts|×|buckets|
+    rows after the first agg)."""
+    from pyspark.sql.window import Window
+
+    v = F.expr(value_expr)
+    bucket = F.least(
+        F.lit(n_buckets - 1), F.floor(v / F.lit(64)).cast("int")
+    ).alias("bucket")
+    rows = df.filter(v.isNotNull()).select(
+        F.col(partition_col).alias("part_id"), bucket
+    )
+    part_counts = rows.groupBy("part_id", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    part_totals = part_counts.groupBy("part_id").agg(F.sum("cnt").alias("total"))
+    glob_counts = rows.groupBy("bucket").agg(F.count(F.lit(1)).alias("gcnt"))
+    glob_total = rows.count()
+
+    # dense grid: every (part, bucket) cell so CDFs step correctly
+    parts = part_counts.select("part_id").distinct()
+    buckets = glob_counts.select("bucket").distinct()
+    grid = parts.crossJoin(F.broadcast(buckets))
+    cells = (
+        grid.join(part_counts, ["part_id", "bucket"], "left")
+        .join(F.broadcast(glob_counts), ["bucket"], "left")
+        .join(part_totals, ["part_id"])
+        .select(
+            "part_id",
+            "bucket",
+            (F.coalesce(F.col("cnt"), F.lit(0)) / F.col("total")).alias("p"),
+            (F.coalesce(F.col("gcnt"), F.lit(0)) / F.lit(float(glob_total))).alias("q"),
+        )
+    )
+    w = Window.partitionBy("part_id").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        cells.select(
+            "part_id",
+            F.abs(F.sum("p").over(w) - F.sum("q").over(w)).alias("diff"),
+        )
+        .groupBy("part_id")
+        .agg(F.round(F.max("diff"), round_to).alias("ks"))
+    )

@@ -1,0 +1,249 @@
+"""The validation engine: one suite, one input table, three outputs.
+
+Outputs (shapes in ``model.py``):
+  * violations — one row per failed (row, constraint):
+    ``(conv_id, turn_idx, part_id, constraint_id, observed_value)``
+  * verdicts   — per (partition, constraint) pass/fail:
+    ``(part_id, constraint_id, ok, violation_count)``
+  * (column stats & drift live in ``operators.stats`` / ``operators.drift``)
+
+This is the Spark restatement of the reference's suite runner
+(prompture/cli/runner.py:46-110): its per-(test, model, input) result rows
+``{test_id, ..., validation{ok,error}}`` become per-(partition, constraint)
+verdict rows; its per-case failure isolation (errors never abort the run)
+becomes violation routing — bad rows land in the violations table, the job
+never throws.
+
+Physical strategy per check (SURVEY.md §4):
+  * row constraints  — fused into ONE projection on the scan; verdict counts
+    are map-side partial sums keyed by the low-cardinality ``part_id`` (an
+    essentially shuffle-free two-stage agg); violation rows are a
+    filter+explode that only materializes failing rows.
+  * uniqueness       — hash agg on the composite key ``(conv_id, turn_idx)``;
+    the composite key is high-cardinality so the shuffle is even; AQE
+    coalesces the post-agg partitions.
+  * referential      — broadcast LEFT ANTI join against the (small) catalog;
+    never a shuffle of the fact side.
+  * ts-monotonicity  — ``lag`` window per conversation ordered by the total
+    key ``(turn_idx, ts)``; per-group state is bounded by conversation
+    length, so the conv_id shuffle is skew-bounded; hot conversations are
+    still single-group — mitigated upstream by the fact that a conversation
+    is at most ~10^4 turns regardless of table size.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from prompture_spark.plans.compiler import VIOLATIONS_COL, fail_flags, violation_array
+from prompture_spark.plans.spec import (
+    Monotonic,
+    Referential,
+    Unique,
+    ValidationSuite,
+)
+
+VIOLATION_COLS = ["conv_id", "turn_idx", "part_id", "constraint_id", "observed_value"]
+
+
+@dataclass
+class ValidationResult:
+    violations: DataFrame
+    verdicts: DataFrame
+
+
+class ValidationEngine:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    # ------------------------------------------------------------------ row
+
+    def row_violations(self, df: DataFrame, suite: ValidationSuite) -> DataFrame:
+        """Explode failing (row, constraint) pairs. Single scan; only failing
+        rows survive the pre-explode filter."""
+        arr = violation_array(suite.row_constraints)
+        compact = F.filter(arr, lambda x: x.isNotNull())
+        exploded = (
+            df.select(
+                "conv_id",
+                "turn_idx",
+                F.col(suite.partition_col).alias("part_id"),
+                compact.alias(VIOLATIONS_COL),
+            )
+            .filter(F.size(F.col(VIOLATIONS_COL)) > 0)
+            .select(
+                "conv_id",
+                "turn_idx",
+                "part_id",
+                F.explode(VIOLATIONS_COL).alias("v"),
+            )
+            .select(
+                "conv_id",
+                "turn_idx",
+                "part_id",
+                F.col("v.constraint_id").alias("constraint_id"),
+                F.col("v.observed_value").alias("observed_value"),
+            )
+        )
+        return exploded
+
+    def row_verdicts(self, df: DataFrame, suite: ValidationSuite) -> DataFrame:
+        """Per (part_id, constraint) fail counts WITHOUT materializing
+        violation rows: sum of 0/1 flags, partial-aggregated map-side."""
+        flags = fail_flags(suite.row_constraints)
+        agg = df.select(F.col(suite.partition_col).alias("part_id"), *flags).groupBy(
+            "part_id"
+        )
+        sums = agg.agg(
+            *[F.sum(f"fail_{c.constraint_id}").alias(c.constraint_id) for c in suite.row_constraints]
+        )
+        n = len(suite.row_constraints)
+        stack_args = ", ".join(
+            f"'{c.constraint_id}', `{c.constraint_id}`" for c in suite.row_constraints
+        )
+        return sums.select(
+            "part_id",
+            F.expr(f"stack({n}, {stack_args}) AS (constraint_id, violation_count)"),
+        ).select(
+            "part_id",
+            "constraint_id",
+            (F.col("violation_count") == 0).alias("ok"),
+            F.col("violation_count").cast("long").alias("violation_count"),
+        )
+
+    # ---------------------------------------------------------------- table
+
+    def uniqueness_violations(self, df: DataFrame, c: Unique, partition_col: str) -> DataFrame:
+        """Duplicate-key detection: hash agg on the composite key, keep
+        count > 1. One violation row per duplicated key; observed_value is
+        the multiplicity (matches the reference's first-occurrence-wins dedup
+        semantics, dataset/dedup.py:84-96 — everything after the first is the
+        violation)."""
+        keys = list(c.keys)
+        dups = (
+            df.groupBy(*[F.col(k) for k in keys], F.col(partition_col).alias("part_id"))
+            .count()
+            .filter(F.col("count") > 1)
+        )
+        return dups.select(
+            F.col("conv_id"),
+            F.col("turn_idx"),
+            F.col("part_id"),
+            F.lit(c.constraint_id).alias("constraint_id"),
+            F.col("count").cast("string").alias("observed_value"),
+        )
+
+    def referential_violations(
+        self, df: DataFrame, c: Referential, partition_col: str
+    ) -> DataFrame:
+        """LEFT ANTI join against the broadcast catalog — the north-rule
+        referential-integrity check (tool names vs registered tool catalog,
+        cf. prompture/extraction/tools.py:904-919 tool-name whitelist)."""
+        catalog = self.spark.createDataFrame(
+            [(v,) for v in c.catalog], f"{c.column}_cat string"
+        )
+        facts = df.select(
+            "conv_id", "turn_idx", F.col(partition_col).alias("part_id"), F.col(c.column)
+        )
+        if c.nullable:
+            facts = facts.filter(F.col(c.column).isNotNull())
+        missing = facts.join(
+            F.broadcast(catalog),
+            on=facts[c.column] == catalog[f"{c.column}_cat"],
+            how="left_anti",
+        )
+        return missing.select(
+            "conv_id",
+            "turn_idx",
+            "part_id",
+            F.lit(c.constraint_id).alias("constraint_id"),
+            F.col(c.column).cast("string").alias("observed_value"),
+        )
+
+    def monotonicity_violations(
+        self, df: DataFrame, c: Monotonic, partition_col: str
+    ) -> DataFrame:
+        """ts regressions within a conversation: ``ts < lag(ts)`` over the
+        total order ``sort_keys``. The window shuffles by conv_id only; state
+        per group is one previous value (streaming-friendly)."""
+        w = Window.partitionBy(c.group_by).orderBy(*[F.col(k) for k in c.sort_keys])
+        prev = F.lag(F.col(c.order_col)).over(w)
+        return (
+            df.select(
+                "conv_id",
+                "turn_idx",
+                F.col(partition_col).alias("part_id"),
+                F.col(c.order_col),
+                prev.alias("_prev"),
+            )
+            .filter(F.col("_prev").isNotNull() & (F.col(c.order_col) < F.col("_prev")))
+            .select(
+                "conv_id",
+                "turn_idx",
+                "part_id",
+                F.lit(c.constraint_id).alias("constraint_id"),
+                F.date_format(F.col(c.order_col), "yyyy-MM-dd HH:mm:ss").alias("observed_value"),
+            )
+        )
+
+    def table_violations(self, df: DataFrame, suite: ValidationSuite) -> DataFrame:
+        parts = []
+        for c in suite.table_constraints:
+            if isinstance(c, Unique):
+                parts.append(self.uniqueness_violations(df, c, suite.partition_col))
+            elif isinstance(c, Referential):
+                parts.append(self.referential_violations(df, c, suite.partition_col))
+            elif isinstance(c, Monotonic):
+                parts.append(self.monotonicity_violations(df, c, suite.partition_col))
+            else:
+                raise TypeError(f"unknown table constraint {type(c)}")
+        if not parts:
+            return self.spark.createDataFrame([], schema="conv_id string, turn_idx int, part_id int, constraint_id string, observed_value string")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # ----------------------------------------------------------------- run
+
+    def verdicts(self, df: DataFrame, suite: ValidationSuite) -> DataFrame:
+        """Full verdict table: every (partition × constraint) cell, zero-filled
+        so clean partitions still report ``ok=true, violation_count=0``."""
+        row_v = self.row_verdicts(df, suite)
+        table_counts = (
+            self.table_violations(df, suite)
+            .groupBy("part_id", "constraint_id")
+            .agg(F.count(F.lit(1)).alias("violation_count"))
+        )
+        observed = row_v.select("part_id", "constraint_id", "violation_count").unionByName(
+            table_counts
+        )
+        parts = df.select(F.col(suite.partition_col).alias("part_id")).distinct()
+        cids = self.spark.createDataFrame(
+            [(cid,) for cid in suite.constraint_ids()], "constraint_id string"
+        )
+        grid = parts.crossJoin(F.broadcast(cids))
+        return (
+            grid.join(observed, on=["part_id", "constraint_id"], how="left")
+            .select(
+                "part_id",
+                "constraint_id",
+                F.coalesce(F.col("violation_count"), F.lit(0)).cast("long").alias("violation_count"),
+            )
+            .select(
+                "part_id",
+                "constraint_id",
+                (F.col("violation_count") == 0).alias("ok"),
+                "violation_count",
+            )
+        )
+
+    def validate(self, df: DataFrame, suite: ValidationSuite) -> ValidationResult:
+        violations = self.row_violations(df, suite).unionByName(
+            self.table_violations(df, suite)
+        )
+        return ValidationResult(violations=violations, verdicts=self.verdicts(df, suite))

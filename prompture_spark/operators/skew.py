@@ -1,0 +1,62 @@
+"""Explicit skew handling: salted two-stage aggregation.
+
+The transcript table has hot conversations (FIXTURES.md: ~1% of conv_ids own
+~30% of turns; at 10^12 rows a hot key can exceed a single task's memory).
+Any ``groupBy(conv_id)`` therefore runs as:
+
+  stage 1: groupBy(conv_id, salt)  — salt = pmod(xxhash64(turn_idx), S),
+           spreading each hot key over S reducers (map-side partial agg
+           already shrinks the shuffle; the salt bounds the per-task final
+           state);
+  stage 2: groupBy(conv_id)        — combine the S partials (tiny input).
+
+Only algebraic aggregates (sum/count/min/max) decompose this way — exactly
+the ones the engine needs. AQE's skew-join handling covers residual join
+skew; this covers aggregation skew, which AQE does not re-split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_count(
+    df: DataFrame,
+    keys: list[str],
+    salt_col: str = "turn_idx",
+    buckets: int = 16,
+) -> DataFrame:
+    """``groupBy(keys).count()`` with salting; returns (keys..., cnt)."""
+    salt = F.pmod(F.xxhash64(F.col(salt_col)), F.lit(buckets)).alias("_salt")
+    partial = df.groupBy(*[F.col(k) for k in keys], salt).agg(
+        F.count(F.lit(1)).alias("_partial")
+    )
+    return partial.groupBy(*keys).agg(F.sum("_partial").cast("long").alias("cnt"))
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[Column, Column]],
+    salt_col: str = "turn_idx",
+    buckets: int = 16,
+) -> DataFrame:
+    """General salted two-stage agg.
+
+    ``aggs`` maps output name -> (stage1 aggregate over rows,
+    stage2 aggregate over stage-1 partials referencing the partial column by
+    the output name). Example::
+
+        salted_agg(df, ["conv_id"], {
+            "n":       (F.count(F.lit(1)),      F.sum("n")),
+            "max_ts":  (F.max("ts"),            F.max("max_ts")),
+        })
+    """
+    salt = F.pmod(F.xxhash64(F.col(salt_col)), F.lit(buckets)).alias("_salt")
+    partial = df.groupBy(*[F.col(k) for k in keys], salt).agg(
+        *[expr.alias(name) for name, (expr, _) in aggs.items()]
+    )
+    return partial.groupBy(*keys).agg(
+        *[final.alias(name) for name, (_, final) in aggs.items()]
+    )

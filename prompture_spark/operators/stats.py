@@ -1,0 +1,49 @@
+"""Per-partition column statistics.
+
+Spark restatement of the reference's usage/stats aggregation surface:
+``UsageTracker`` summary SUM/COUNT (prompture/infra/tracker.py:521-539), the
+SQL views with per-group SUM/COUNT/MIN/MAX (tracker.py:170-226), and the
+latency percentile block (p95 over sorted samples,
+prompture/infra/session.py:167-179).
+
+Two variants with identical shape:
+  * ``column_stats(exact=True)``  — exact ``count(DISTINCT)`` + interpolated
+    ``percentile`` → used by the DuckDB-oracle correctness gate;
+  * ``column_stats(exact=False)`` — ``approx_count_distinct`` (HLL) +
+    ``percentile_approx`` → the 10^12-row production path (exact distinct on
+    a trillion rows is a full shuffle of every distinct key; HLL is a
+    map-side sketch merge).
+
+Both are single-pass two-stage hash aggs keyed by the low-cardinality
+partition id — effectively shuffle-free (map-side partials, tiny final).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def column_stats(df: DataFrame, partition_col: str = "part_id", exact: bool = True) -> DataFrame:
+    tlen = F.length(F.col("text"))
+    distinct_convs = (
+        F.countDistinct("conv_id") if exact else F.approx_count_distinct("conv_id", rsd=0.01)
+    )
+    p95 = (
+        F.expr("percentile(length(text), 0.95)")
+        if exact
+        else F.percentile_approx(tlen, 0.95, 10000).cast("double")
+    )
+    return (
+        df.groupBy(F.col(partition_col).alias("part_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("text").isNull().cast("long")).alias("n_null_text"),
+            F.sum(F.col("role").isNull().cast("long")).alias("n_null_role"),
+            distinct_convs.cast("long").alias("n_convs"),
+            F.min(tlen).cast("long").alias("min_text_len"),
+            F.max(tlen).cast("long").alias("max_text_len"),
+            F.round(F.avg(tlen), 4).alias("avg_text_len"),
+            F.round(p95, 4).alias("p95_text_len"),
+        )
+    )

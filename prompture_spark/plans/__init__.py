@@ -1,0 +1,33 @@
+from prompture_spark.plans.spec import (
+    InSet,
+    Monotonic,
+    NonEmpty,
+    NotNull,
+    Range,
+    Referential,
+    Regex,
+    RowConstraint,
+    RowExpr,
+    TableConstraint,
+    Unique,
+    ValidationSuite,
+    default_transcript_suite,
+)
+from prompture_spark.plans.compiler import compile_row_constraints
+
+__all__ = [
+    "RowConstraint",
+    "TableConstraint",
+    "NotNull",
+    "NonEmpty",
+    "InSet",
+    "Regex",
+    "Range",
+    "RowExpr",
+    "Unique",
+    "Referential",
+    "Monotonic",
+    "ValidationSuite",
+    "default_transcript_suite",
+    "compile_row_constraints",
+]

@@ -1,0 +1,57 @@
+"""Constraint-spec → Column compilation.
+
+All row constraints of a suite compile into a single projection appended to
+the scan: one array of ``(constraint_id, observed_value)`` structs per row,
+null entries for passing constraints. Downstream consumers:
+
+* violations  = filter + explode of the non-null entries (only failing rows
+  survive the filter, so the exploded stream is tiny);
+* verdicts    = ``sum(CASE WHEN fail)`` per constraint — a two-stage hash agg
+  keyed by the (low-cardinality) partition id, i.e. map-side partials then an
+  8-group final: effectively shuffle-free.
+
+Everything stays inside whole-stage codegen; no Python touches rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from prompture_spark.plans.spec import RowConstraint
+
+VIOLATIONS_COL = "_violations"
+
+
+def violation_array(constraints: tuple[RowConstraint, ...]) -> Column:
+    """Array column of violation structs (null where the row passes)."""
+    entries = []
+    for c in constraints:
+        entries.append(
+            F.when(
+                ~F.coalesce(c.predicate(), F.lit(False)),
+                F.struct(
+                    F.lit(c.constraint_id).alias("constraint_id"),
+                    c.observed().alias("observed_value"),
+                ),
+            )
+        )
+    return F.array(*entries)
+
+
+def fail_flags(constraints: tuple[RowConstraint, ...]) -> list[Column]:
+    """One 0/1 LONG per constraint — input to the verdict aggregation."""
+    return [
+        F.when(F.coalesce(c.predicate(), F.lit(False)), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias(f"fail_{c.constraint_id}")
+        for c in constraints
+    ]
+
+
+def compile_row_constraints(
+    df: DataFrame, constraints: tuple[RowConstraint, ...]
+) -> DataFrame:
+    """Append the violation-struct array to ``df`` (single projection)."""
+    return df.withColumn(VIOLATIONS_COL, violation_array(constraints))

@@ -1,0 +1,207 @@
+"""Declarative constraint specs.
+
+The reference declares field constraints as a registry of
+``{type, description, default, nullable, enum?}`` dicts
+(prompture/extraction/fields.py:64-325) plus JSON-Schema checks
+(prompture/extraction/validator.py:10-31). Here the equivalent is a list of
+frozen dataclasses; ``plans.compiler`` turns each row-level constraint into a
+single vectorized ``pyspark.sql.Column`` predicate, and ``operators.engine``
+executes table-level constraints (uniqueness, referential integrity, ordering)
+with the appropriate distributed strategy (salted hash agg, broadcast
+anti-join, per-conversation window).
+
+Row constraints are pure per-row predicates — they fuse into ONE projection
+over ONE table scan regardless of how many there are, which is what makes the
+engine O(scan) instead of O(constraints × scan).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from prompture_spark import model
+
+
+@dataclass(frozen=True)
+class RowConstraint:
+    """Base: a per-row predicate; rows where it is False become violations."""
+
+    constraint_id: str
+    column: str
+
+    def predicate(self) -> Column:  # True == row passes
+        raise NotImplementedError
+
+    def observed(self) -> Column:
+        """Value recorded in the violation row (stringified)."""
+        return F.col(self.column).cast("string")
+
+
+@dataclass(frozen=True)
+class NotNull(RowConstraint):
+    def predicate(self) -> Column:
+        return F.col(self.column).isNotNull()
+
+
+@dataclass(frozen=True)
+class NonEmpty(RowConstraint):
+    """Non-null and non-blank — the reference's empty detection treats
+    ``None``/blank-string/[]/{} alike (prompture/extraction/core.py:198-252)."""
+
+    def predicate(self) -> Column:
+        c = F.col(self.column)
+        return c.isNotNull() & (F.length(F.trim(c)) > 0)
+
+
+@dataclass(frozen=True)
+class InSet(RowConstraint):
+    """Enum membership (fields.py:503-581). ``nullable`` mirrors the field
+    registry's nullable flag: null passes when nullable, violates otherwise."""
+
+    values: tuple[str, ...] = ()
+    nullable: bool = False
+
+    def predicate(self) -> Column:
+        c = F.col(self.column)
+        member = c.isin(*self.values)
+        return (c.isNull() & F.lit(self.nullable)) | (c.isNotNull() & member)
+
+
+@dataclass(frozen=True)
+class Regex(RowConstraint):
+    pattern: str = ".*"
+    nullable: bool = False
+
+    def predicate(self) -> Column:
+        c = F.col(self.column)
+        return (c.isNull() & F.lit(self.nullable)) | (c.isNotNull() & c.rlike(self.pattern))
+
+
+@dataclass(frozen=True)
+class Range(RowConstraint):
+    """Inclusive numeric range; null violates unless nullable."""
+
+    lo: float | int | None = None
+    hi: float | int | None = None
+    nullable: bool = False
+
+    def predicate(self) -> Column:
+        c = F.col(self.column)
+        p = F.lit(True)
+        if self.lo is not None:
+            p = p & (c >= F.lit(self.lo))
+        if self.hi is not None:
+            p = p & (c <= F.lit(self.hi))
+        return (c.isNull() & F.lit(self.nullable)) | (c.isNotNull() & p)
+
+
+@dataclass(frozen=True)
+class MaxLength(RowConstraint):
+    """Char-length bound on a string column (dataset/filters.py:85-112)."""
+
+    hi: int = 4000
+    nullable: bool = True
+
+    def predicate(self) -> Column:
+        c = F.col(self.column)
+        return (c.isNull() & F.lit(self.nullable)) | (c.isNotNull() & (F.length(c) <= self.hi))
+
+    def observed(self) -> Column:
+        return F.length(F.col(self.column)).cast("string")
+
+
+@dataclass(frozen=True)
+class RowExpr(RowConstraint):
+    """Escape hatch: arbitrary SQL predicate over the row (True == pass).
+
+    ``column`` names the column recorded as observed_value.
+    """
+
+    sql: str = "true"
+
+    def predicate(self) -> Column:
+        return F.expr(self.sql)
+
+
+# --------------------------------------------------------------------------
+# Table-level constraints: need a shuffle/join/window, executed by the engine
+# with explicit distribution strategies.
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class TableConstraint:
+    constraint_id: str
+
+
+@dataclass(frozen=True)
+class Unique(TableConstraint):
+    """Uniqueness on a key tuple — salted two-stage hash aggregation."""
+
+    keys: tuple[str, ...] = ()
+
+
+@dataclass(frozen=True)
+class Referential(TableConstraint):
+    """Column values must exist in a (small) catalog — broadcast anti-join.
+
+    Mirrors the enum/tool-whitelist membership checks
+    (prompture/extraction/tools.py:904-919) restated as referential integrity.
+    """
+
+    column: str = "tool"
+    catalog: tuple[str, ...] = ()
+    nullable: bool = True
+
+
+@dataclass(frozen=True)
+class Monotonic(TableConstraint):
+    """Non-decreasing ``order_col`` within each group when sorted by
+    ``sort_keys`` — ``lag()`` window per conversation. Mirrors the implicit
+    increasing-timestamp assumption of the reference history filters
+    (prompture/persistence/history.py:79-83)."""
+
+    group_by: str = "conv_id"
+    order_col: str = "ts"
+    sort_keys: tuple[str, ...] = ("turn_idx", "ts")
+
+
+@dataclass(frozen=True)
+class ValidationSuite:
+    """A named set of constraints evaluated in one engine run — the analogue
+    of the reference's spec suites (specs/schema_validation.json, run by
+    prompture/cli/runner.py:10-48)."""
+
+    name: str
+    row_constraints: tuple[RowConstraint, ...] = ()
+    table_constraints: tuple[TableConstraint, ...] = ()
+    partition_col: str = "part_id"
+
+    def constraint_ids(self) -> list[str]:
+        return [c.constraint_id for c in self.row_constraints] + [
+            c.constraint_id for c in self.table_constraints
+        ]
+
+
+def default_transcript_suite() -> ValidationSuite:
+    """The flagship suite: every north-rule check over the transcript table."""
+    return ValidationSuite(
+        name="transcripts_v1",
+        row_constraints=(
+            Regex("conv_id_format", "conv_id", pattern=model.CONV_ID_PATTERN),
+            InSet("role_enum", "role", values=model.VALID_ROLES, nullable=False),
+            NonEmpty("text_nonempty", "text"),
+            MaxLength("text_max_len", "text", hi=model.TEXT_MAX_LEN),
+            Range("turn_idx_range", "turn_idx", lo=0, hi=model.TURN_IDX_MAX),
+            NotNull("ts_not_null", "ts"),
+            RowExpr("tool_only_for_tool_role", "tool", sql="tool IS NULL OR role = 'tool'"),
+        ),
+        table_constraints=(
+            Unique("unique_conv_turn", keys=("conv_id", "turn_idx")),
+            Referential("tool_in_catalog", column="tool", catalog=model.TOOL_CATALOG, nullable=True),
+            Monotonic("ts_monotonic_per_conv"),
+        ),
+    )

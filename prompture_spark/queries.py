@@ -1,0 +1,268 @@
+"""Driver-facing query registry: Spark queries + matching DuckDB oracle SQL.
+
+Each entry pairs an engine call (DataFrame API, Catalyst-optimized) with an
+independent ANSI-SQL statement of the same semantics. The transcripts input
+for both sides is the SAME shared SQL derivation from the driver's ``events``
+table (see sources/transcripts.py), so a mismatch can only come from the
+engine, never the fixture.
+
+Column-name discipline: every computed column is aliased identically on both
+sides (the driver's comparator sorts columns by name before hashing).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from prompture_spark import model
+from prompture_spark.operators import drift, skew, stats
+from prompture_spark.operators.engine import ValidationEngine
+from prompture_spark.plans.spec import default_transcript_suite
+from prompture_spark.sources.transcripts import (
+    ORACLE_TRANSCRIPTS_CTE,
+    transcripts_from_events,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Oracle-side fail conditions — the independent restatement of the suite
+# (DuckDB dialect; Spark side never sees these strings).
+# ---------------------------------------------------------------------------
+
+_ROLES = "', '".join(model.VALID_ROLES)
+_CAT = "', '".join(model.TOOL_CATALOG)
+
+ROW_FAIL_SQL: dict[str, tuple[str, str]] = {
+    # constraint_id -> (fail condition, observed_value SQL)
+    "conv_id_format": (
+        f"(conv_id IS NULL OR NOT regexp_matches(conv_id, '^conv-[0-9]{{8}}$'))",
+        "CAST(conv_id AS STRING)",
+    ),
+    "role_enum": (
+        f"(role IS NULL OR role NOT IN ('{_ROLES}'))",
+        "CAST(role AS STRING)",
+    ),
+    "text_nonempty": (
+        "(text IS NULL OR length(trim(text)) = 0)",
+        "CAST(text AS STRING)",
+    ),
+    "text_max_len": (
+        f"(text IS NOT NULL AND length(text) > {model.TEXT_MAX_LEN})",
+        "CAST(length(text) AS STRING)",
+    ),
+    "turn_idx_range": (
+        f"(turn_idx IS NULL OR turn_idx < 0 OR turn_idx > {model.TURN_IDX_MAX})",
+        "CAST(turn_idx AS STRING)",
+    ),
+    "ts_not_null": ("(ts IS NULL)", "CAST(NULL AS STRING)"),
+    "tool_only_for_tool_role": (
+        "(tool IS NOT NULL AND (role IS NULL OR role <> 'tool'))",
+        "CAST(tool AS STRING)",
+    ),
+}
+
+_ROW_VIOLATIONS_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT conv_id, turn_idx, part_id, '{cid}' AS constraint_id, {obs} AS observed_value "
+    f"FROM transcripts WHERE {fail}"
+    for cid, (fail, obs) in ROW_FAIL_SQL.items()
+)
+
+_UNIQUE_ORACLE = """
+SELECT conv_id, turn_idx, part_id, 'unique_conv_turn' AS constraint_id,
+       CAST(count(*) AS STRING) AS observed_value
+FROM transcripts GROUP BY conv_id, turn_idx, part_id HAVING count(*) > 1
+"""
+
+_REF_ORACLE = f"""
+SELECT conv_id, turn_idx, part_id, 'tool_in_catalog' AS constraint_id,
+       CAST(tool AS STRING) AS observed_value
+FROM transcripts WHERE tool IS NOT NULL AND tool NOT IN ('{_CAT}')
+"""
+
+_MONO_ORACLE = """
+SELECT conv_id, turn_idx, part_id, 'ts_monotonic_per_conv' AS constraint_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS observed_value
+FROM (
+  SELECT conv_id, turn_idx, part_id, ts,
+         lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx, ts) AS _prev
+  FROM transcripts
+) WHERE _prev IS NOT NULL AND ts < _prev
+"""
+
+
+def _suite(spark: SparkSession, sf_dir: str):
+    df = transcripts_from_events(spark, sf_dir)
+    return ValidationEngine(spark), df, default_transcript_suite()
+
+
+# ---------------------------------------------------------------------------
+# Q: row-level constraint violations (flagship single-scan check)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "row_violations",
+    ORACLE_TRANSCRIPTS_CTE + "\n" + _ROW_VIOLATIONS_ORACLE,
+)
+def q_row_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng, df, suite = _suite(spark, sf_dir)
+    return eng.row_violations(df, suite)
+
+
+@register("unique_violations", ORACLE_TRANSCRIPTS_CTE + "\n" + _UNIQUE_ORACLE)
+def q_unique_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng, df, suite = _suite(spark, sf_dir)
+    return eng.uniqueness_violations(df, suite.table_constraints[0], suite.partition_col)
+
+
+@register("ref_integrity_violations", ORACLE_TRANSCRIPTS_CTE + "\n" + _REF_ORACLE)
+def q_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng, df, suite = _suite(spark, sf_dir)
+    return eng.referential_violations(df, suite.table_constraints[1], suite.partition_col)
+
+
+@register("ts_monotonicity_violations", ORACLE_TRANSCRIPTS_CTE + "\n" + _MONO_ORACLE)
+def q_monotonicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng, df, suite = _suite(spark, sf_dir)
+    return eng.monotonicity_violations(df, suite.table_constraints[2], suite.partition_col)
+
+
+# ---------------------------------------------------------------------------
+# Q: verdict table — per (partition, constraint) pass/fail, zero-filled
+# ---------------------------------------------------------------------------
+
+_ALL_CIDS = list(ROW_FAIL_SQL) + ["unique_conv_turn", "tool_in_catalog", "ts_monotonic_per_conv"]
+
+_VERDICTS_ORACLE = (
+    ORACLE_TRANSCRIPTS_CTE
+    + ",\n_fails AS (\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT part_id, '{cid}' AS constraint_id, CAST(count(*) AS BIGINT) AS violation_count "
+        f"FROM transcripts WHERE {fail} GROUP BY part_id"
+        for cid, (fail, _) in ROW_FAIL_SQL.items()
+    )
+    + "\nUNION ALL\nSELECT part_id, 'unique_conv_turn' AS constraint_id, CAST(count(*) AS BIGINT)"
+    " AS violation_count FROM (SELECT conv_id, turn_idx, part_id FROM transcripts"
+    " GROUP BY 1, 2, 3 HAVING count(*) > 1) GROUP BY part_id"
+    + f"\nUNION ALL\nSELECT part_id, 'tool_in_catalog' AS constraint_id, CAST(count(*) AS BIGINT)"
+    f" AS violation_count FROM transcripts WHERE tool IS NOT NULL AND tool NOT IN ('{_CAT}')"
+    " GROUP BY part_id"
+    + "\nUNION ALL\nSELECT part_id, 'ts_monotonic_per_conv' AS constraint_id,"
+    " CAST(count(*) AS BIGINT) AS violation_count FROM (SELECT part_id, ts,"
+    " lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx, ts) AS _prev FROM transcripts)"
+    " WHERE _prev IS NOT NULL AND ts < _prev GROUP BY part_id\n)"
+    + ",\n_grid AS (SELECT p.part_id, c.constraint_id FROM (SELECT DISTINCT part_id FROM"
+    " transcripts) p CROSS JOIN (VALUES "
+    + ", ".join(f"('{cid}')" for cid in _ALL_CIDS)
+    + ") c(constraint_id))\n"
+    "SELECT g.part_id, g.constraint_id,"
+    " coalesce(f.violation_count, 0) = 0 AS ok,"
+    " CAST(coalesce(f.violation_count, 0) AS BIGINT) AS violation_count"
+    " FROM _grid g LEFT JOIN _fails f ON g.part_id = f.part_id"
+    " AND g.constraint_id = f.constraint_id"
+)
+
+
+@register("verdicts", _VERDICTS_ORACLE)
+def q_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng, df, suite = _suite(spark, sf_dir)
+    return eng.verdicts(df, suite)
+
+
+# ---------------------------------------------------------------------------
+# Q: per-partition column stats (exact variant == oracle-checkable)
+# ---------------------------------------------------------------------------
+
+_STATS_ORACLE = (
+    ORACLE_TRANSCRIPTS_CTE
+    + """
+SELECT part_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
+       CAST(sum(CASE WHEN role IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_role,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       CAST(min(length(text)) AS BIGINT) AS min_text_len,
+       CAST(max(length(text)) AS BIGINT) AS max_text_len,
+       round(avg(length(text)), 4) AS avg_text_len,
+       round(quantile_cont(length(text), 0.95), 4) AS p95_text_len
+FROM transcripts GROUP BY part_id
+"""
+)
+
+
+@register("column_stats", _STATS_ORACLE)
+def q_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = transcripts_from_events(spark, sf_dir)
+    return stats.column_stats(df, exact=True)
+
+
+@register("column_stats_approx")  # no oracle: HLL/approx sketches are engine-specific
+def q_column_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = transcripts_from_events(spark, sf_dir)
+    return stats.column_stats(df, exact=False)
+
+
+# ---------------------------------------------------------------------------
+# Q: drift (PSI over role histogram per partition vs whole-table baseline)
+# ---------------------------------------------------------------------------
+
+_PSI_ORACLE = (
+    ORACLE_TRANSCRIPTS_CTE
+    + """
+, _c AS (SELECT part_id, role AS bucket, count(*) AS cnt FROM transcripts
+         WHERE role IS NOT NULL GROUP BY 1, 2),
+_t AS (SELECT part_id, sum(cnt) AS total FROM _c GROUP BY 1),
+_p AS (SELECT _c.part_id, bucket, CAST(cnt AS DOUBLE) / total AS freq
+       FROM _c JOIN _t ON _c.part_id = _t.part_id),
+_g AS (SELECT role AS bucket, CAST(count(*) AS DOUBLE) /
+              (SELECT count(*) FROM transcripts WHERE role IS NOT NULL) AS base_freq
+       FROM transcripts WHERE role IS NOT NULL GROUP BY 1),
+_j AS (SELECT _p.part_id, coalesce(_p.freq, 1e-6) AS p, coalesce(_g.base_freq, 1e-6) AS q
+       FROM _p FULL OUTER JOIN _g ON _p.bucket = _g.bucket WHERE _p.part_id IS NOT NULL)
+SELECT part_id, round(sum((p - q) * ln(p / q)), 6) AS psi,
+       round(sum((p - q) * ln(p / q)), 6) > 0.2 AS drifted
+FROM _j GROUP BY part_id
+"""
+)
+
+
+@register("drift_psi_role", _PSI_ORACLE)
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = transcripts_from_events(spark, sf_dir)
+    part_hist = drift.categorical_histogram(df, "role")
+    base = drift.global_histogram(df, "role")
+    return drift.psi(part_hist, base)
+
+
+# ---------------------------------------------------------------------------
+# Q: salted per-conversation turn counts (skew-safe groupBy(conv_id))
+# ---------------------------------------------------------------------------
+
+_CONV_COUNTS_ORACLE = (
+    ORACLE_TRANSCRIPTS_CTE
+    + "\nSELECT conv_id, CAST(count(*) AS BIGINT) AS cnt FROM transcripts GROUP BY conv_id"
+)
+
+
+@register("conv_turn_counts_salted", _CONV_COUNTS_ORACLE)
+def q_conv_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = transcripts_from_events(spark, sf_dir)
+    return skew.salted_count(df, ["conv_id"], salt_col="turn_idx", buckets=16)

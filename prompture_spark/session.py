@@ -1,0 +1,51 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Every knob here is a production default for the 10^12-turn target, not a
+test-only hack: AQE (runtime re-planning + skew-join splitting), Arrow for the
+one pandas-UDF path, and a shuffle-partition count that callers override per
+deployment (tests/bench pass the core count).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "prompture-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for the validation workload.
+
+    On a real cluster this is invoked from ``spark-submit --py-files`` and
+    ``master`` is left to the submit config; locally tests pass
+    ``local[N]``.
+    """
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Runtime re-planning: coalesce tiny shuffle partitions, split skewed
+        # ones. Required by the skew-handling rule (SURVEY.md §4).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow batches for the jsonschema pandas UDF — the only Python that
+        # ever touches row data.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Transcripts tables are date/bucket partitioned in production; keep
+        # partition-file sizes bounded so one task's input fits in memory.
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if shuffle_partitions is not None:
+        builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,13 @@
+from prompture_spark.sources.loader import load_table
+from prompture_spark.sources.transcripts import (
+    TRANSCRIPTS_FROM_EVENTS_SQL,
+    generate_transcripts,
+    transcripts_from_events,
+)
+
+__all__ = [
+    "load_table",
+    "TRANSCRIPTS_FROM_EVENTS_SQL",
+    "transcripts_from_events",
+    "generate_transcripts",
+]

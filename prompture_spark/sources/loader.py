@@ -1,0 +1,40 @@
+"""Table loading abstraction: Iceberg catalog table or raw parquet path.
+
+Production deployments read transcripts from an Iceberg table
+(``spark.read.table("catalog.db.transcripts")``) so that snapshot isolation,
+partition pruning, and file-level lineage (used by the resume manifest) come
+from the table format. The sandbox has no Iceberg runtime jar (no network), so
+the loader falls back to parquet paths transparently; nothing downstream cares.
+
+Deploy path (documented, not executed here)::
+
+    spark-submit --py-files prompture_spark.zip \
+      --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:1.10.0 \
+      --conf spark.sql.catalog.lake=org.apache.iceberg.spark.SparkCatalog \
+      job.py
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def load_table(spark: SparkSession, ref: str) -> DataFrame:
+    """Load ``ref`` as a DataFrame.
+
+    ``ref`` is either an Iceberg/catalog table name (``db.table``), a parquet
+    file/directory path, or ``<dir>/<name>`` where ``<dir>`` holds
+    ``<name>.parquet`` (the testdata layout).
+    """
+    if os.path.exists(ref):
+        return spark.read.parquet(ref)
+    if os.path.exists(ref + ".parquet"):
+        return spark.read.parquet(ref + ".parquet")
+    return spark.read.table(ref)
+
+
+def load_testdata(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one of the driver-provided tables from an sf directory."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

@@ -1,0 +1,211 @@
+"""Transcript input plumbing.
+
+Two deterministic sources of the canonical transcript shape
+``(conv_id, turn_idx, role, text, tool, ts, part_id)``:
+
+1. ``transcripts_from_events`` — a *dialect-neutral SQL derivation* from the
+   driver-provided ``events`` table. The exact same SQL text runs under Spark
+   SQL and under DuckDB (the correctness oracle), so both engines see
+   byte-identical input — the oracle comparison then tests only the engine,
+   never the fixture. Violations (bad roles, null text, unknown tools,
+   duplicate ``(conv_id, turn_idx)``, out-of-order timestamps, bad conv_id
+   format, negative turn_idx, refusal/PII marker texts) are injected at fixed
+   ``event_id % p == r`` sites so expected counts are exactly derivable.
+
+2. ``generate_transcripts`` — a fully distributed seeded generator built from
+   ``spark.range`` + Column expressions (no driver-side data, no Python row
+   loop), used by pytest fixtures and ``bench.py``. It scales to any row count
+   because generation is embarrassingly parallel: row ``i``'s content is a
+   pure function of ``i`` and the seed. Includes hot-conversation skew
+   (~1% of conversations own ~30% of turns, per FIXTURES.md §1) so the
+   salted-aggregation paths are actually exercised.
+
+Reference parity: the transcript data model mirrors Prompture's
+``Conversation._messages`` ordered role/content dicts
+(prompture/agents/conversation.py:122, 658-659) exploded to one row per turn;
+the injected defect classes mirror what its validator/serializer guards
+against (prompture/persistence/serialization.py:243-250,
+prompture/extraction/validator.py:10-31).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# 1. Shared SQL derivation (Spark SQL == DuckDB SQL, keep to the common dialect:
+#    CAST AS STRING/INT, ||, lpad, upper, CASE, %, ROW_NUMBER, INTERVAL n UNIT)
+# ---------------------------------------------------------------------------
+
+# Injection sites (all on the source event_id, so both engines agree):
+#   % 97 == 0   -> role = 'bot'            (invalid enum)
+#   % 89 == 3   -> role = NULL             (null role)
+#   % 83 == 0   -> text = NULL             (null text)
+#   % 37 == 5   -> refusal-marker text     (refusal detector signal)
+#   % 41 == 7   -> shorthand-number + PII  (coercion/PII signal)
+#   % 113 == 0  -> tool = 'frobnicate'     (referential violation)
+#   % 131 == 7  -> ts shifted -2 hours     (monotonicity violation)
+#   % 127 == 11 -> turn_idx negated        (range violation)
+#   % 139 == 13 -> conv_id upper-cased     (format violation)
+#   % 101 == 5  -> row duplicated at same (conv_id, turn_idx) (+1 min ts)
+TRANSCRIPTS_FROM_EVENTS_SQL = """
+WITH _turns AS (
+    SELECT
+        event_id,
+        CASE WHEN event_id % 139 = 13
+             THEN upper('conv-' || lpad(CAST(user_id AS STRING), 8, '0'))
+             ELSE 'conv-' || lpad(CAST(user_id AS STRING), 8, '0')
+        END AS conv_id,
+        CASE WHEN event_id % 127 = 11
+             THEN CAST(-(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id)) AS INT)
+             ELSE CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS INT)
+        END AS turn_idx,
+        CASE
+            WHEN event_id % 97 = 0 THEN 'bot'
+            WHEN event_id % 89 = 3 THEN NULL
+            WHEN event_id % 4 = 0 THEN 'user'
+            WHEN event_id % 4 = 1 THEN 'assistant'
+            WHEN event_id % 4 = 2 THEN 'tool'
+            ELSE 'system'
+        END AS role,
+        CASE
+            WHEN event_id % 83 = 0 THEN NULL
+            WHEN event_id % 37 = 5 THEN 'I cannot help with that request.'
+            WHEN event_id % 41 = 7 THEN 'Spent $1.2k (up 12%), mail bob@example.com or +1-555-0199'
+            ELSE event_type || ' ' || props
+        END AS text,
+        CASE
+            WHEN event_id % 113 = 0 THEN 'frobnicate'
+            WHEN event_id % 4 = 2 THEN event_type
+            ELSE NULL
+        END AS tool,
+        CASE WHEN event_id % 131 = 7 THEN ts - INTERVAL 2 HOUR ELSE ts END AS ts,
+        CAST(user_id % 8 AS INT) AS part_id
+    FROM events
+)
+SELECT conv_id, turn_idx, role, text, tool, ts, part_id FROM _turns
+UNION ALL
+SELECT conv_id, turn_idx, role, text, tool, ts + INTERVAL 1 MINUTE AS ts, part_id
+FROM _turns WHERE event_id % 101 = 5
+"""
+
+# DuckDB-side CTE wrapper: oracle queries embed this prefix and select from
+# `transcripts`.
+ORACLE_TRANSCRIPTS_CTE = f"WITH transcripts AS (\n{TRANSCRIPTS_FROM_EVENTS_SQL}\n)"
+
+
+def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive the transcripts table from ``<sf_dir>/events.parquet``.
+
+    Runs the shared SQL through Catalyst — the derivation is a projection +
+    one window over ``user_id`` + a cheap union, all whole-stage-codegen.
+    """
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events.createOrReplaceTempView("events")
+    return spark.sql(TRANSCRIPTS_FROM_EVENTS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# 2. Distributed seeded generator (tests + bench; any scale)
+# ---------------------------------------------------------------------------
+
+
+def generate_transcripts(
+    spark: SparkSession,
+    n_turns: int,
+    n_convs: int | None = None,
+    seed: int = 42,
+    n_parts: int = 8,
+    defect_rate: float = 0.01,
+    skew: bool = True,
+) -> DataFrame:
+    """Deterministic transcript generator as a pure Spark plan.
+
+    Built on ``spark.range(n_turns)`` so generation parallelizes across all
+    executors with zero driver data; every column is a hash-derived pure
+    function of the row id and ``seed`` (``xxhash64`` is deterministic and
+    partition-independent). With ``skew=True``, 30% of turns collapse onto the
+    first 1% of conversations (FIXTURES.md §1) to exercise salting/AQE paths.
+    """
+    n_convs = n_convs or max(1, n_turns // 64)
+    hot_convs = max(1, n_convs // 100)
+
+    df = spark.range(0, n_turns, 1)
+    h = F.xxhash64(F.col("id"), F.lit(seed))
+    # Deterministic "uniform" in [0, 1): use the non-negative part of the hash.
+    u = (F.pmod(h, F.lit(1_000_000)) / 1_000_000.0).alias("u")
+    df = df.withColumn("u", u).withColumn("h", h)
+
+    if skew:
+        conv_seq = F.when(
+            F.col("u") < 0.30, F.pmod(F.xxhash64(F.col("id"), F.lit(seed + 1)), F.lit(hot_convs))
+        ).otherwise(
+            hot_convs + F.pmod(F.xxhash64(F.col("id"), F.lit(seed + 2)), F.lit(n_convs - hot_convs))
+        )
+    else:
+        conv_seq = F.pmod(F.xxhash64(F.col("id"), F.lit(seed + 1)), F.lit(n_convs))
+    df = df.withColumn("conv_seq", conv_seq)
+
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("conv_seq").orderBy("id")
+    df = df.withColumn("turn_idx", (F.row_number().over(w) - 1).cast("int"))
+
+    d = F.lit(int(1.0 / max(defect_rate, 1e-9)))
+    site = F.pmod(F.xxhash64(F.col("id"), F.lit(seed + 3)), d)  # 0 => defect row
+    kind = F.pmod(F.xxhash64(F.col("id"), F.lit(seed + 4)), F.lit(7))
+    is_defect = site == 0
+
+    role_ord = F.pmod(F.col("h"), F.lit(4))
+    role = (
+        F.when(is_defect & (kind == 0), F.lit("bot"))
+        .when(is_defect & (kind == 1), F.lit(None).cast("string"))
+        .when(role_ord == 0, F.lit("user"))
+        .when(role_ord == 1, F.lit("assistant"))
+        .when(role_ord == 2, F.lit("tool"))
+        .otherwise(F.lit("system"))
+    )
+
+    words = F.array(*[F.lit(wd) for wd in (
+        "plan", "scan", "join", "agg", "shuffle", "broadcast", "skew", "salt",
+        "window", "sort", "merge", "batch", "stream", "table", "column", "row",
+    )])
+    base_text = F.concat_ws(
+        " ",
+        F.element_at(words, (F.pmod(F.xxhash64(F.col("id"), F.lit(seed + 5)), F.lit(16)) + 1).cast("int")),
+        F.element_at(words, (F.pmod(F.xxhash64(F.col("id"), F.lit(seed + 6)), F.lit(16)) + 1).cast("int")),
+        F.element_at(words, (F.pmod(F.xxhash64(F.col("id"), F.lit(seed + 7)), F.lit(16)) + 1).cast("int")),
+        F.col("id").cast("string"),
+    )
+    text = (
+        F.when(is_defect & (kind == 2), F.lit(None).cast("string"))
+        .when(is_defect & (kind == 3), F.lit("I cannot help with that request."))
+        .otherwise(base_text)
+    )
+
+    tools = F.array(*[F.lit(t) for t in ("click", "view", "purchase", "signup", "error")])
+    tool = (
+        F.when(is_defect & (kind == 4), F.lit("frobnicate"))
+        .when(role_ord == 2, F.element_at(tools, (F.pmod(F.xxhash64(F.col("id"), F.lit(seed + 8)), F.lit(5)) + 1).cast("int")))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+    # ts: base epoch + ~2.4s per global id, out-of-order defects shifted -2h.
+    base_ts = F.timestamp_seconds(F.lit(1704067200) + (F.col("id") * 12) / F.lit(5))
+    ts = F.when(is_defect & (kind == 5), base_ts - F.expr("INTERVAL 2 HOURS")).otherwise(base_ts)
+
+    turn_idx = F.when(is_defect & (kind == 6), (-F.col("turn_idx") - 1).cast("int")).otherwise(
+        F.col("turn_idx")
+    )
+
+    out = df.select(
+        F.concat(F.lit("conv-"), F.lpad(F.col("conv_seq").cast("string"), 8, "0")).alias("conv_id"),
+        turn_idx.alias("turn_idx"),
+        role.alias("role"),
+        text.alias("text"),
+        tool.alias("tool"),
+        ts.alias("ts"),
+        F.pmod(F.col("conv_seq"), F.lit(n_parts)).cast("int").alias("part_id"),
+    )
+    return out

@@ -1,0 +1,102 @@
+"""Golden tests for the validation engine on a hand-checked micro fixture.
+
+Mirrors the reference's validator contract tests: ``validate_against_schema``
+returns ``{ok, error}`` per case (prompture/extraction/validator.py:17-31,
+tests/test_runner.py) — here per (partition, constraint) verdicts plus exact
+violation rows.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from prompture_spark import ValidationEngine
+from prompture_spark.model import TRANSCRIPT_SCHEMA
+from prompture_spark.plans.spec import default_transcript_suite
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 10, minute, 0)
+
+
+@pytest.fixture(scope="module")
+def micro(spark):
+    rows = [
+        # clean conversation 0 (part 0)
+        ("conv-00000000", 0, "user", "hello there", None, _ts(0), 0),
+        ("conv-00000000", 1, "assistant", "hi!", None, _ts(1), 0),
+        ("conv-00000000", 2, "tool", "result: 42", "click", _ts(2), 0),
+        # conversation 1 (part 1): bad role, null text, unknown tool,
+        # duplicate turn, ts regression, negative turn_idx, bad conv format
+        ("conv-00000001", 0, "bot", "x", None, _ts(0), 1),          # role_enum
+        ("conv-00000001", 1, "user", None, None, _ts(1), 1),        # text_nonempty
+        ("conv-00000001", 2, "tool", "y", "frobnicate", _ts(2), 1), # tool_in_catalog
+        ("conv-00000001", 3, "user", "dup", None, _ts(3), 1),       # unique (first)
+        ("conv-00000001", 3, "user", "dup2", None, _ts(4), 1),      # unique (second)
+        ("conv-00000001", 4, "user", "late", None, _ts(1), 1),      # ts_monotonic
+        ("conv-00000001", -5, "user", "neg", None, _ts(6), 1),      # turn_idx_range
+        ("CONV-00000001", 0, "user", "fmt", None, _ts(0), 1),       # conv_id_format
+        ("conv-00000001", 5, "assistant", "t", "view", _ts(7), 1),  # tool_only_for_tool_role
+    ]
+    return rows, spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+
+
+def test_row_violations_exact(spark, micro):
+    _, df = micro
+    eng = ValidationEngine(spark)
+    suite = default_transcript_suite()
+    got = {
+        (r.conv_id, r.turn_idx, r.constraint_id)
+        for r in eng.row_violations(df, suite).collect()
+    }
+    assert got == {
+        ("conv-00000001", 0, "role_enum"),
+        ("conv-00000001", 1, "text_nonempty"),
+        ("conv-00000001", -5, "turn_idx_range"),
+        ("CONV-00000001", 0, "conv_id_format"),
+        ("conv-00000001", 5, "tool_only_for_tool_role"),
+    }
+
+
+def test_table_violations_exact(spark, micro):
+    _, df = micro
+    eng = ValidationEngine(spark)
+    suite = default_transcript_suite()
+    got = {
+        (r.conv_id, r.turn_idx, r.constraint_id, r.observed_value)
+        for r in eng.table_violations(df, suite).collect()
+    }
+    assert ("conv-00000001", 3, "unique_conv_turn", "2") in got
+    assert ("conv-00000001", 2, "tool_in_catalog", "frobnicate") in got
+    # 'view' on the assistant row is IN the catalog -> not a referential violation
+    assert not any(c == "tool_in_catalog" and o == "view" for _, _, c, o in got)
+    mono = [(c, t) for c, t, cid, _ in got if cid == "ts_monotonic_per_conv"]
+    assert ("conv-00000001", 4) in mono
+
+
+def test_verdicts_zero_filled_and_counts(spark, micro):
+    _, df = micro
+    eng = ValidationEngine(spark)
+    suite = default_transcript_suite()
+    v = eng.verdicts(df, suite).collect()
+    # full grid: 2 partitions x 10 constraints
+    assert len(v) == 2 * len(suite.constraint_ids())
+    as_map = {(r.part_id, r.constraint_id): (r.ok, r.violation_count) for r in v}
+    assert as_map[(0, "role_enum")] == (True, 0)
+    assert as_map[(1, "role_enum")] == (False, 1)
+    assert as_map[(1, "unique_conv_turn")] == (False, 1)
+    assert as_map[(0, "ts_monotonic_per_conv")] == (True, 0)
+    assert all(ok == (cnt == 0) for ok, cnt in as_map.values())
+
+
+def test_validate_never_throws_on_dirty_rows(spark, micro):
+    """Per-case failure isolation (cli/runner.py:97-108): dirty rows become
+    violation rows; the job completes."""
+    _, df = micro
+    eng = ValidationEngine(spark)
+    res = eng.validate(df, default_transcript_suite())
+    assert res.violations.count() > 0
+    assert res.verdicts.filter(~F.col("ok")).count() > 0

@@ -1,0 +1,58 @@
+"""Input plumbing tests: shared derivation determinism + generator invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from prompture_spark.model import TRANSCRIPT_SCHEMA
+from prompture_spark.sources.transcripts import (
+    generate_transcripts,
+    transcripts_from_events,
+)
+
+
+def test_derivation_schema_and_counts(spark, sf_small):
+    df = transcripts_from_events(spark, sf_small)
+    assert [f.name for f in df.schema.fields] == [f.name for f in TRANSCRIPT_SCHEMA.fields]
+    n = df.count()
+    # events rows + ~1% duplicated rows
+    base = spark.read.parquet(f"{sf_small}/events.parquet").count()
+    assert base < n < base * 1.02 + 2
+
+
+def test_derivation_is_deterministic(spark, sf_small):
+    a = transcripts_from_events(spark, sf_small)
+    b = transcripts_from_events(spark, sf_small)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_generator_deterministic_across_parallelism(spark):
+    """Per-turn text equality under stable (conv_id, turn_idx, ts) ordering —
+    the north-rule per-row invariant: content is a pure function of the seed,
+    independent of partitioning."""
+    a = generate_transcripts(spark, 5000, seed=7).repartition(3)
+    b = generate_transcripts(spark, 5000, seed=7).repartition(17)
+    cols = ["conv_id", "turn_idx", "ts", "text", "role", "tool", "part_id"]
+    assert a.select(cols).exceptAll(b.select(cols)).count() == 0
+
+
+def test_generator_injects_each_defect_class(spark):
+    df = generate_transcripts(spark, 20000, seed=42).cache()
+    agg = df.agg(
+        F.sum((F.col("role") == "bot").cast("long")).alias("bad_role"),
+        F.sum(F.col("role").isNull().cast("long")).alias("null_role"),
+        F.sum(F.col("text").isNull().cast("long")).alias("null_text"),
+        F.sum((F.col("tool") == "frobnicate").cast("long")).alias("bad_tool"),
+        F.sum((F.col("turn_idx") < 0).cast("long")).alias("neg_idx"),
+    ).collect()[0]
+    assert min(agg) > 0, agg
+    df.unpersist()
+
+
+def test_generator_skew_shape(spark):
+    """~30% of turns on ~1% of conversations (FIXTURES.md §1)."""
+    df = generate_transcripts(spark, 50000, n_convs=1000, seed=42)
+    counts = df.groupBy("conv_id").count()
+    hot = counts.orderBy(F.desc("count")).limit(10)  # 1% of 1000 convs
+    hot_turns = hot.agg(F.sum("count")).collect()[0][0]
+    assert 0.2 < hot_turns / 50000 < 0.45

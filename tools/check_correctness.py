@@ -1,0 +1,118 @@
+"""Local simulation of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB at
+sf0.01, compares row count + column names + an order-insensitive value hash
+(columns sorted by name, rows sorted, floats rounded to 9 significant-ish
+decimals, NaN/None normalized). Exit code 1 on any mismatch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_cell(v):
+    if v is None:
+        return "\0NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "\0NULL"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return f"{v:.9g}"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def frame_hash(df: pd.DataFrame) -> str:
+    cols = sorted(df.columns)
+    rows = ["\x01".join(norm_cell(v) for v in rec) for rec in df[cols].itertuples(index=False, name=None)]
+    rows.sort()
+    h = hashlib.sha256()
+    for r in rows:
+        h.update(r.encode())
+        h.update(b"\x02")
+    return h.hexdigest()
+
+
+def main() -> int:
+    import __spark_entry__ as entrymod
+    from prompture_spark import get_spark
+
+    spark = get_spark(master="local[8]", shuffle_partitions=16)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if ONLY and name not in ONLY:
+            continue
+        try:
+            sdf = fn(spark, SF_DIR).toPandas()
+        except Exception as e:
+            failures.append((name, f"SPARK ERROR: {e}"))
+            print(f"✗ {name}: spark error {e}")
+            continue
+        if name not in oracles:
+            print(f"• {name}: rows={len(sdf)} (no oracle — rows-only check)")
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as e:
+            failures.append((name, f"ORACLE ERROR: {e}"))
+            print(f"✗ {name}: oracle error {e}")
+            continue
+        problems = []
+        if len(sdf) != len(odf):
+            problems.append(f"rows {len(sdf)} != {len(odf)}")
+        if sorted(sdf.columns) != sorted(odf.columns):
+            problems.append(f"cols {sorted(sdf.columns)} != {sorted(odf.columns)}")
+        if not problems and frame_hash(sdf) != frame_hash(odf):
+            problems.append("value-hash mismatch")
+        if problems:
+            failures.append((name, "; ".join(problems)))
+            print(f"✗ {name}: {'; '.join(problems)}")
+            if "value-hash mismatch" in problems[-1]:
+                cols = sorted(sdf.columns)
+                a = sdf[cols].map(norm_cell).apply(lambda r: "\x01".join(r), axis=1)
+                b = odf[cols].map(norm_cell).apply(lambda r: "\x01".join(r), axis=1)
+                only_a = sorted(set(a) - set(b))[:3]
+                only_b = sorted(set(b) - set(a))[:3]
+                print("   spark-only:", only_a)
+                print("   oracle-only:", only_b)
+        else:
+            print(f"✓ {name}: rows={len(sdf)}")
+    spark.stop()
+    if failures:
+        print(f"\n{len(failures)} FAILURES")
+        return 1
+    print("\nall queries match")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
