@@ -1,0 +1,25 @@
+from prompture_spark.functions.coercion import (
+    as_list,
+    clean_json_text,
+    coerce,
+    cost,
+    normalize_enum,
+    normalize_text,
+    parse_boolean,
+    parse_datetime,
+    parse_shorthand_number,
+    values_equal,
+)
+
+__all__ = [
+    "parse_boolean",
+    "as_list",
+    "parse_datetime",
+    "parse_shorthand_number",
+    "coerce",
+    "clean_json_text",
+    "normalize_text",
+    "normalize_enum",
+    "values_equal",
+    "cost",
+]

@@ -1,0 +1,171 @@
+"""Vectorized coercion/normalization expressions (SURVEY.md §2.8 C1-C17).
+
+Each function returns a ``pyspark.sql.Column`` built only from JVM-side
+built-ins — whole-stage-codegen-friendly, no Python in the row path. They
+re-express the semantics of the reference's coercion core:
+
+  * ``parse_boolean``          — prompture/extraction/tools.py:101-156
+  * ``as_list``                — tools.py:159-178
+  * ``parse_datetime``         — tools.py:181-199
+  * ``parse_shorthand_number`` — tools.py:202-265 (currency prefixes at :98)
+  * ``coerce`` (try-cast chain + default) — tools.py:409-748 ``convert_value``
+    with the nullable/default rules of core.py:198-252 ``normalize_field_value``
+  * ``clean_json_text``        — tools.py:1023-1061
+  * ``normalize_text``         — dataset/dedup.py:54-65, eval/self_consistency.py:34-43
+  * ``normalize_enum``         — extraction/fields.py:528-581
+  * ``values_equal``           — groups/consensus.py:104-139 (0.01 rel tolerance)
+  * ``cost``                   — infra/tracker.py:698-727
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Reference true/false token sets (tools.py:110-136), lower-cased.
+# Multilingual: si/sí/oui/ja; n/a-family maps to False like the reference.
+_TRUE_SET = ("1", "true", "yes", "on", "si", "sí", "oui", "ja", "t", "y", "da")
+_FALSE_SET = (
+    "0", "false", "no", "off", "f", "n", "nein", "non",
+    "null", "none", "n/a", "na", "nil", "undefined", "",
+)
+
+# Currency/prefix symbols stripped by the shorthand parser (tools.py:98).
+_CURRENCY_RE = r"^[\s$€£¥₹₩+]+"
+
+
+def parse_boolean(col: Column | str, default: bool | None = None) -> Column:
+    """Multilingual string→boolean (C1). Numeric strings: nonzero → true.
+    Unrecognized → ``default`` (None = null, matching nullable semantics)."""
+    c = F.lower(F.trim(F.col(col) if isinstance(col, str) else col))
+    num = c.try_cast("double")
+    return (
+        F.when(c.isNull(), F.lit(default).cast("boolean"))
+        .when(c.isin(*_TRUE_SET), F.lit(True))
+        .when(c.isin(*_FALSE_SET), F.lit(False))
+        .when(num.isNotNull(), num != 0.0)
+        .otherwise(F.lit(default).cast("boolean"))
+    )
+
+
+def as_list(col: Column | str) -> Column:
+    """None→[], scalar string → split on ``, ; |``, trimmed, blanks dropped
+    (C2). Always returns array<string>."""
+    c = F.col(col) if isinstance(col, str) else col
+    split = F.split(c, r"[,;|]")
+    # NB: one-arg lambda on purpose — F.trim itself is binary in Spark 4 and
+    # transform() would feed it the element index as the trim charset.
+    cleaned = F.filter(F.transform(split, lambda x: F.trim(x)), lambda x: x != "")
+    return F.when(c.isNull(), F.array().cast("array<string>")).otherwise(cleaned)
+
+
+_DT_PATTERNS = (
+    "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+    "yyyy-MM-dd'T'HH:mm:ss",
+    "yyyy-MM-dd HH:mm:ss",
+    "yyyy-MM-dd",
+    "MM/dd/yyyy",
+    "dd.MM.yyyy",
+)
+
+
+def parse_datetime(col: Column | str, patterns: tuple[str, ...] = _DT_PATTERNS) -> Column:
+    """Ordered-pattern timestamp parse (C3): first pattern that parses wins,
+    like dateutil's permissive parse; unparseable → null (caller applies
+    defaults via ``coerce``)."""
+    c = F.trim(F.col(col) if isinstance(col, str) else col)
+    tries = [F.try_to_timestamp(c, F.lit(p)) for p in patterns]
+    return F.coalesce(*tries, F.try_to_timestamp(c))
+
+
+def parse_shorthand_number(col: Column | str) -> Column:
+    """Shorthand numerics (C4): ``$1,200`` / ``1_200`` / ``1.2k`` / ``3M`` /
+    ``12%`` / ``1e3`` → double. Percent divides by 100 (reference treats
+    ``12%`` as 0.12, tools.py:246-252). Unparseable → null."""
+    raw = F.trim(F.col(col) if isinstance(col, str) else col)
+    s = F.regexp_replace(raw, _CURRENCY_RE, "")
+    s = F.regexp_replace(s, r"[,_]", "")
+    s = F.lower(s)
+    is_pct = s.rlike(r"^[-+]?[0-9]*\.?[0-9]+(e[-+]?[0-9]+)?%$")
+    suffix = F.regexp_extract(s, r"([kmbt])$", 1)
+    base = F.regexp_replace(s, r"[%kmbt]$", "").try_cast("double")
+    mult = (
+        F.when(suffix == "k", F.lit(1e3))
+        .when(suffix == "m", F.lit(1e6))
+        .when(suffix == "b", F.lit(1e9))
+        .when(suffix == "t", F.lit(1e12))
+        .otherwise(F.lit(1.0))
+    )
+    return F.when(is_pct, base / 100.0).otherwise(base * mult)
+
+
+def coerce(col: Column | str, to: str, default=None, nullable: bool = True) -> Column:
+    """``convert_value`` semantics (C5/C6/C7): try-cast toward the target
+    type; on failure use the field default; non-nullable null/empty gets the
+    type default. Union types = ordered coalesce of try-casts by the caller.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    type_defaults = {
+        "int": 0, "bigint": 0, "double": 0.0, "boolean": False, "string": "",
+    }
+    if to == "boolean":
+        cast = parse_boolean(c)
+    elif to in ("double", "float"):
+        cast = F.coalesce(c.try_cast("double"), parse_shorthand_number(c))
+    elif to in ("int", "bigint", "long"):
+        cast = F.coalesce(
+            c.try_cast("bigint"),
+            F.round(parse_shorthand_number(c)).try_cast("bigint"),
+        ).cast(to if to != "long" else "bigint")
+    elif to == "timestamp":
+        cast = parse_datetime(c)
+    else:
+        cast = c.try_cast(to)
+    fallback = default if default is not None else (None if nullable else type_defaults.get(to))
+    return F.coalesce(cast, F.lit(fallback).cast(to if to != "boolean" else "boolean"))
+
+
+def clean_json_text(col: Column | str) -> Column:
+    """Strip ``<think>…</think>`` and markdown code fences; fall back to the
+    first ``{…}`` span (C8, tools.py:1023-1061)."""
+    c = F.col(col) if isinstance(col, str) else col
+    no_think = F.regexp_replace(c, r"(?s)<think>.*?</think>", "")
+    no_fence = F.regexp_replace(no_think, r"(?s)```(?:json)?\s*(.*?)\s*```", r"$1")
+    trimmed = F.trim(no_fence)
+    brace = F.regexp_extract(trimmed, r"(?s)(\{.*\})", 1)
+    return F.when(trimmed.startswith("{"), trimmed).otherwise(
+        F.when(brace != "", brace).otherwise(trimmed)
+    )
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Dedup/vote normalization (C11): casefold, strip punctuation, collapse
+    whitespace, trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.regexp_replace(F.lower(c), r"[^\w\s]", " "), r"\s+", " "))
+
+
+def normalize_enum(col: Column | str, values: tuple[str, ...], case_insensitive: bool = True) -> Column:
+    """Whitelist normalization (C16): map case-variant matches onto the
+    canonical value; no match → null (violation routing upstream)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if not case_insensitive:
+        return F.when(c.isin(*values), c)
+    out = F.when(F.lit(False), F.lit(None).cast("string"))
+    lc = F.lower(c)
+    for v in values:
+        out = out.when(lc == v.lower(), F.lit(v))
+    return out
+
+
+def values_equal(a: Column, b: Column, rel_tol: float = 0.01) -> Column:
+    """Numeric equality with relative tolerance (C10): ``|a-b| <= rel_tol *
+    max(|a|,|b|)`` with exact match for non-numerics handled by caller."""
+    return F.abs(a - b) <= F.lit(rel_tol) * F.greatest(F.abs(a), F.abs(b), F.lit(1e-12))
+
+
+def cost(prompt_tokens: Column, completion_tokens: Column, rate_in: Column, rate_out: Column) -> Column:
+    """Cost formula (C14): per-mega-token rates, rounded to 6dp."""
+    return F.round(
+        (prompt_tokens / F.lit(1e6)) * rate_in + (completion_tokens / F.lit(1e6)) * rate_out, 6
+    )

@@ -1,0 +1,84 @@
+"""Full-fidelity JSON-Schema validation — the ONE sanctioned Python row path.
+
+Everything else in the engine compiles to JVM Column expressions; JSON-Schema
+semantics (anyOf/enum/format/required recursion) cannot, so this mirrors the
+reference's ``validate_against_schema`` (prompture/extraction/validator.py:
+10-31) as an Arrow-batched pandas UDF: parse the JSON string, validate, and
+return a ``(ok, error)`` struct. Like the reference, when the ``jsonschema``
+package is unavailable it falls back to a required-keys presence check
+(validator.py:21-25).
+
+Batch shape: Series[str] -> DataFrame{ok: bool, error: str} — one Python
+invocation per Arrow batch (10k rows), not per row.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType, StructField, BooleanType, StringType
+
+try:  # optional third-party, exactly like the reference's soft dependency
+    import jsonschema  # type: ignore
+
+    _HAVE_JSONSCHEMA = True
+except Exception:  # pragma: no cover
+    jsonschema = None
+    _HAVE_JSONSCHEMA = False
+
+_RESULT_TYPE = StructType(
+    [StructField("ok", BooleanType()), StructField("error", StringType())]
+)
+
+
+def make_schema_validator(schema: dict):
+    """Return a pandas UDF validating JSON strings against ``schema``.
+
+    The schema dict is captured in the closure and shipped once per task via
+    the serialized UDF — not per row.
+    """
+    schema_json = json.dumps(schema)  # serialize once; rehydrate per executor
+    required = tuple(schema.get("required", []))
+
+    @F.pandas_udf(_RESULT_TYPE)
+    def validate(texts: pd.Series) -> pd.DataFrame:
+        sch = json.loads(schema_json)
+        validator = None
+        if _HAVE_JSONSCHEMA:
+            validator = jsonschema.Draft202012Validator(sch)
+        oks, errs = [], []
+        for t in texts:
+            if t is None:
+                oks.append(False)
+                errs.append("null text")
+                continue
+            try:
+                obj = json.loads(t)
+            except Exception as e:
+                oks.append(False)
+                errs.append(f"invalid json: {e}")
+                continue
+            if validator is not None:
+                err = next(iter(validator.iter_errors(obj)), None)
+                oks.append(err is None)
+                errs.append(None if err is None else err.message)
+            else:  # required-keys fallback (validator.py:21-25)
+                if not isinstance(obj, dict):
+                    oks.append(False)
+                    errs.append("not an object")
+                    continue
+                missing = [k for k in required if k not in obj]
+                oks.append(not missing)
+                errs.append(None if not missing else f"missing required: {missing}")
+        return pd.DataFrame({"ok": oks, "error": errs})
+
+    return validate
+
+
+def json_schema_check(col: Column | str, schema: dict) -> Column:
+    """Column of ``struct<ok boolean, error string>`` for JSON text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return make_schema_validator(schema)(c)

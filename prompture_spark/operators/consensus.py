@@ -1,0 +1,98 @@
+"""Cross-model comparison / consensus as distributed aggregations.
+
+Spark restatement of prompture/groups/consensus.py:
+  * ``majority_vote``   — most-common value per group + agreement ratio
+    (consensus.py:142-229: ``Counter.most_common`` with JSON-canonical
+    hashing; here `groupBy(group, value).count()` + `row_number()` — the
+    distributed mode. Ties break deterministically on the value itself, the
+    analogue of Counter's insertion order made order-independent).
+  * ``unanimous_vote``  — majority with zero disagreement required
+    (consensus.py:232-254): ``countDistinct(value) == 1``.
+  * ``weighted_mean``   — numeric consensus with per-voter weights
+    (consensus.py:284-367: model-tier weights opus/pro=1.5, mini/flash=0.7):
+    ``sum(v*w)/sum(w)``.
+  * ``self_consistency``— normalize text then vote
+    (eval/self_consistency.py:34-43, 126-147).
+
+All are two-stage hash aggs; the per-group vote table is tiny after the
+first agg so the window never sees big groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from prompture_spark.functions.coercion import normalize_text
+
+MODEL_TIER_WEIGHTS = {  # consensus.py:284-310
+    "opus": 1.5, "pro": 1.5, "large": 1.2,
+    "sonnet": 1.0, "default": 1.0,
+    "mini": 0.7, "flash": 0.7, "haiku": 0.7,
+}
+
+
+def majority_vote(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """(group, winner, votes, agreement): distributed mode with deterministic
+    tie-breaking (count DESC, value ASC)."""
+    votes = df.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("cnt"))
+    tot = votes.groupBy(group_col).agg(F.sum("cnt").alias("total"))
+    w = Window.partitionBy(group_col).orderBy(F.desc("cnt"), F.asc(value_col))
+    return (
+        votes.join(tot, group_col)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            group_col,
+            F.col(value_col).alias("winner"),
+            F.col("cnt").cast("long").alias("votes"),
+            F.round(F.col("cnt") / F.col("total"), 6).alias("agreement"),
+        )
+    )
+
+
+def unanimous_vote(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """(group, unanimous, winner): winner only when every vote agrees —
+    the reference RAISES on disagreement (consensus.py:232-254); here the
+    disagreement is data, not an exception."""
+    agg = df.groupBy(group_col).agg(
+        F.countDistinct(value_col).alias("n_distinct"),
+        F.min(value_col).alias("only_value"),
+    )
+    return agg.select(
+        group_col,
+        (F.col("n_distinct") == 1).alias("unanimous"),
+        F.when(F.col("n_distinct") == 1, F.col("only_value")).alias("winner"),
+    )
+
+
+def weighted_mean(
+    df: DataFrame, group_col: str, value_col: str, weight_col: str | Column
+) -> DataFrame:
+    """(group, consensus): Σ(v·w)/Σ(w) — numeric weighted consensus."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    return df.groupBy(group_col).agg(
+        F.round(
+            F.sum(F.col(value_col) * w) / F.sum(w), 6
+        ).alias("consensus")
+    )
+
+
+def model_weight(model_col: str | Column) -> Column:
+    """Weight from model-name tier markers (consensus.py:284-310)."""
+    c = F.lower(F.col(model_col) if isinstance(model_col, str) else model_col)
+    out = F.lit(MODEL_TIER_WEIGHTS["default"])
+    for marker, wt in MODEL_TIER_WEIGHTS.items():
+        if marker != "default":
+            out = F.when(c.contains(marker), F.lit(wt)).otherwise(out)
+    return out
+
+
+def self_consistency(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
+    """Normalize (lower, strip punct, collapse ws) then majority-vote
+    (A7, eval/self_consistency.py:34-43)."""
+    normed = df.withColumn("_norm", normalize_text(text_col))
+    return majority_vote(normed, group_col, "_norm").withColumnRenamed("_norm", "winner")

@@ -1,0 +1,228 @@
+"""Text analysis & quality filtering as vectorized predicates.
+
+Spark restatement of the reference's row-predicate text classifiers:
+  * quality filter cascade — ordered predicates, first-drop-wins, per-reason
+    tagging (prompture/dataset/filters.py:195-255 ``QualityFilter``): one
+    ``when().otherwise()`` cascade emitting ``violation_reason`` (null =
+    kept); drop stats are a groupBy over that column (filters.py:172-192).
+  * refusal detection — marker battery + position-weighted confidence
+    (prompture/refusal/detector.py:116-157, 251-333): ``rlike`` alternation
+    for the cheap path; confidence decays with match position via ``instr``.
+  * prompt-injection heuristics — marker sets + base64/hex-run regexes
+    (prompture/security/injection.py:264-313, 375-449).
+  * PII matchers — email/phone/SSN/IP/card regexes + pure-expression Luhn
+    checksum (prompture/security/redaction.py:63-158).
+  * language ID — stopword-hit heuristic over a small per-language set.
+  * token counting — whitespace tokens and a BPE-ish subword estimate.
+  * fingerprinting — 64-bit content hash of normalized text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from prompture_spark.functions.coercion import normalize_text
+
+# ------------------------------------------------------------------ refusal
+
+# Marker set distilled from refusal/detector.py marker categories.
+REFUSAL_MARKERS = (
+    "i cannot help", "i can't help", "i cannot assist", "i can't assist",
+    "i'm sorry", "i am sorry", "i apologize", "as an ai", "i'm unable",
+    "i am unable", "i won't", "i will not", "against my", "i must decline",
+)
+_REFUSAL_RE = "|".join(m.replace("'", "'") for m in REFUSAL_MARKERS)
+
+
+def is_refusal(col: Column | str) -> Column:
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    return c.isNotNull() & c.rlike(_REFUSAL_RE)
+
+
+def refusal_confidence(col: Column | str) -> Column:
+    """Position-weighted score (detector.py:323-333): a marker at the start
+    of the text scores ~1.0, decaying toward 0.3 deeper in. 0.0 = no marker."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    pos = F.least(
+        *[
+            F.when(F.instr(c, m) > 0, F.instr(c, m)).otherwise(F.lit(10**9))
+            for m in REFUSAL_MARKERS
+        ]
+    )
+    rel = (pos - 1) / F.greatest(F.length(c).cast("double"), F.lit(1.0))
+    return F.when(
+        c.isNull() | (pos == 10**9), F.lit(0.0)
+    ).otherwise(F.round(F.lit(1.0) - F.lit(0.7) * F.least(rel, F.lit(1.0)), 6))
+
+
+# ---------------------------------------------------------------- injection
+
+_B64_RUN = r"[A-Za-z0-9+/]{40,}={0,2}"          # injection.py:375-449
+_HEX_RUN = r"(?:[0-9a-fA-F]{2}){20,}"
+INJECTION_MARKERS = (
+    "ignore previous instructions", "ignore all previous", "disregard the above",
+    "system prompt", "you are now", "jailbreak", "do anything now",
+)
+_INJ_RE = "|".join(INJECTION_MARKERS)
+
+
+def injection_flags(col: Column | str) -> Column:
+    """struct<marker:boolean, b64:boolean, hex:boolean, any:boolean>."""
+    c = F.col(col) if isinstance(col, str) else col
+    lc = F.lower(c)
+    marker = lc.isNotNull() & lc.rlike(_INJ_RE)
+    b64 = c.isNotNull() & c.rlike(_B64_RUN)
+    hx = c.isNotNull() & c.rlike(_HEX_RUN)
+    return F.struct(
+        marker.alias("marker"), b64.alias("b64"), hx.alias("hex"),
+        (marker | b64 | hx).alias("any"),
+    )
+
+
+# ---------------------------------------------------------------------- PII
+
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "card": r"\b[0-9]{13,19}\b",
+}
+
+
+def pii_matches(col: Column | str) -> Column:
+    """map<string, array<string>> of PII kind → matches. Card numbers are
+    Luhn-verified with a pure expression (no UDF): doubled-alternate digit
+    sum % 10 == 0."""
+    c = F.col(col) if isinstance(col, str) else col
+    entries = []
+    for kind, pat in PII_PATTERNS.items():
+        matches = F.regexp_extract_all(c, F.lit(pat), 0)
+        if kind == "card":
+            matches = F.filter(matches, _luhn_ok)
+        entries.append(F.struct(F.lit(kind).alias("key"), matches.alias("value")))
+    m = F.map_from_entries(F.array(*entries))
+    return F.when(c.isNull(), F.map_from_entries(F.array().cast("array<struct<key:string,value:array<string>>>"))).otherwise(m)
+
+
+def _luhn_ok(s: Column) -> Column:
+    """Luhn checksum as expressions: reverse digits, double every 2nd,
+    subtract 9 when >9, sum % 10 == 0 (redaction.py card check)."""
+    digits = F.split(F.reverse(F.regexp_replace(s, r"[^0-9]", "")), "")
+    digits = F.filter(digits, lambda d: d != "")
+    total = F.aggregate(
+        F.zip_with(
+            digits,
+            F.sequence(F.lit(0), F.size(digits) - 1),
+            lambda d, i: F.when(
+                i % 2 == 1,
+                F.when(d.cast("int") * 2 > 9, d.cast("int") * 2 - 9).otherwise(d.cast("int") * 2),
+            ).otherwise(d.cast("int")),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (F.size(digits) >= 13) & (total % 10 == 0)
+
+
+def has_pii(col: Column | str) -> Column:
+    m = pii_matches(col)
+    return F.exists(F.map_values(m), lambda v: F.size(v) > 0)
+
+
+# ------------------------------------------------------------------ tokens
+
+_BPE_ISH = r"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]"
+
+
+def token_count_ws(col: Column | str) -> Column:
+    """Whitespace token count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.filter(F.split(F.trim(c), r"\s+"), lambda x: x != ""))
+
+
+def token_count_bpe_ish(col: Column | str) -> Column:
+    """Subword-ish token estimate: alpha runs + ≤3-digit runs + punctuation
+    (a cheap stand-in for a BPE tokenizer, fully vectorized)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(_BPE_ISH), 0))
+
+
+# ---------------------------------------------------------------- language
+
+_STOPWORDS = {
+    "en": ("the", "a", "and", "of", "to", "is", "in", "that", "it", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "los", "del", "por"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "une", "que", "pour"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "nicht"),
+}
+
+
+def lang_id(col: Column | str) -> Column:
+    """Stopword-hit language heuristic: the language whose stopword set hits
+    the most tokens; 'und' (undetermined) when nothing hits."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.lower(c), r"\s+")
+
+    def _hits(sw: tuple[str, ...]):
+        # closure, not a default-arg lambda: Spark dispatches on lambda arity
+        return F.size(F.filter(toks, lambda t: t.isin(*sw)))
+
+    scores = [(lang, _hits(sw)) for lang, sw in _STOPWORDS.items()]
+    best_score = F.greatest(*[s for _, s in scores])
+    out = F.lit("und")
+    # reversed so earlier languages win ties (deterministic preference order)
+    for lang, s in reversed(scores):
+        out = F.when((s == best_score) & (best_score > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
+# -------------------------------------------------------------- fingerprint
+
+def fingerprint64(col: Column | str) -> Column:
+    """64-bit content fingerprint of normalized text (dedup key / lineage id)."""
+    return F.xxhash64(normalize_text(col))
+
+
+# ---------------------------------------------------------- quality cascade
+
+
+def quality_reason(
+    text_col: str = "text",
+    min_len: int = 1,
+    max_len: int = 4000,
+    min_tokens: int = 1,
+    refusal: bool = True,
+) -> Column:
+    """First-drop-wins violation_reason column (null = keep), mirroring
+    QualityFilter's ordered predicates (filters.py:195-255): cheap checks
+    first — ``when`` cascades short-circuit per row."""
+    c = F.col(text_col)
+    reason = (
+        F.when(c.isNull(), F.lit("null_text"))
+        .when(F.length(F.trim(c)) < min_len, F.lit("too_short"))
+        .when(F.length(c) > max_len, F.lit("too_long"))
+        .when(token_count_ws(c) < min_tokens, F.lit("too_few_tokens"))
+    )
+    if refusal:
+        reason = reason.when(is_refusal(c), F.lit("refusal"))
+    return reason.otherwise(F.lit(None).cast("string"))
+
+
+def quality_filter(df: DataFrame, text_col: str = "text", **kw) -> DataFrame:
+    """Rows that pass the cascade (QualityFilter.filter)."""
+    return df.filter(quality_reason(text_col, **kw).isNull())
+
+
+def quality_stats(df: DataFrame, text_col: str = "text", **kw) -> DataFrame:
+    """Per-reason drop counts + drop share (filters.py:172-192):
+    (reason, n, share)."""
+    tagged = df.select(quality_reason(text_col, **kw).alias("reason"))
+    total = df.count()
+    return (
+        tagged.filter(F.col("reason").isNotNull())
+        .groupBy("reason")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("reason", "n", F.round(F.col("n") / F.lit(float(total)), 6).alias("share"))
+    )

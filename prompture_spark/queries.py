@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from prompture_spark import model
+from prompture_spark.functions import coercion
 from prompture_spark.operators import drift, skew, stats
 from prompture_spark.operators.engine import ValidationEngine
 from prompture_spark.plans.spec import default_transcript_suite
@@ -266,3 +267,537 @@ _CONV_COUNTS_ORACLE = (
 def q_conv_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = transcripts_from_events(spark, sf_dir)
     return skew.salted_count(df, ["conv_id"], salt_col="turn_idx", buckets=16)
+
+
+# ---------------------------------------------------------------------------
+# Q: coercion library — ground truth computed NUMERICALLY by the oracle
+# (the oracle never re-parses strings, so these actually test the parser).
+# ---------------------------------------------------------------------------
+
+_SHORTHAND_ORACLE = """
+WITH styled AS (
+  SELECT event_id, CAST(regexp_extract(props, '[0-9]+', 0) AS DOUBLE) AS k
+  FROM events
+)
+SELECT event_id,
+       round(CASE
+         WHEN event_id % 7 = 0 THEN k * 1000
+         WHEN event_id % 7 = 1 THEN k * 1000
+         WHEN event_id % 7 = 2 THEN k / 100
+         WHEN event_id % 7 = 3 THEN k * 100
+         WHEN event_id % 7 = 4 THEN -k
+         WHEN event_id % 7 = 5 THEN k
+         ELSE NULL
+       END, 6) AS parsed
+FROM styled
+"""
+
+
+@register("coerce_shorthand_numbers", _SHORTHAND_ORACLE)
+def q_coerce_shorthand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Render shorthand numeric strings ('$69,000', '69k', '69%', '69e2',
+    '-69', ' 69 ', garbage) from events, then parse them back with the
+    vectorized shorthand parser (C4)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    num = F.regexp_extract("props", "[0-9]+", 0)
+    m = F.col("event_id") % 7
+    styled = (
+        F.when(m == 0, F.concat(F.lit("$"), num, F.lit(",000")))
+        .when(m == 1, F.concat(num, F.lit("k")))
+        .when(m == 2, F.concat(num, F.lit("%")))
+        .when(m == 3, F.concat(num, F.lit("e2")))
+        .when(m == 4, F.concat(F.lit("-"), num))
+        .when(m == 5, F.concat(F.lit("  "), num, F.lit("  ")))
+        .otherwise(F.lit("total garbage"))
+    )
+    return ev.select(
+        "event_id", F.round(coercion.parse_shorthand_number(styled), 6).alias("parsed")
+    )
+
+
+_BOOL_TOKENS = ["yes", "No", "TRUE", "off", "si", "n/a", "2", "0", "oui", "maybe"]
+_BOOL_EXPECTED = ["true", "false", "true", "false", "true", "false", "true", "false", "true", "NULL"]
+
+_BOOLEAN_ORACLE = (
+    "SELECT event_id, CASE "
+    + " ".join(
+        f"WHEN event_id % 10 = {i} THEN "
+        + ("CAST(NULL AS BOOLEAN)" if exp == "NULL" else exp)
+        for i, exp in enumerate(_BOOL_EXPECTED)
+    )
+    + " END AS parsed FROM events"
+)
+
+
+@register("coerce_booleans", _BOOLEAN_ORACLE)
+def q_coerce_booleans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilingual boolean parse (C1) over rendered tokens; oracle maps each
+    token index straight to its expected value."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    m = F.col("event_id") % 10
+    token = F.when(F.lit(False), F.lit(None).cast("string"))
+    for i, t in enumerate(_BOOL_TOKENS):
+        token = token.when(m == i, F.lit(t))
+    return ev.select("event_id", coercion.parse_boolean(token).alias("parsed"))
+
+
+_CLEAN_JSON_ORACLE = """
+SELECT event_id, regexp_extract(props, '[0-9]+', 0) AS k
+FROM events
+"""
+
+
+@register("clean_json_extract", _CLEAN_JSON_ORACLE)
+def q_clean_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wrap the JSON payload in markdown fences / think-tags / prose noise,
+    strip it back with clean_json_text (C8), then extract the field."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    m = F.col("event_id") % 3
+    wrapped = (
+        F.when(m == 0, F.concat(F.lit("```json\n"), F.col("props"), F.lit("\n```")))
+        .when(m == 1, F.concat(F.lit("<think>hmm {not this}</think>"), F.col("props")))
+        .otherwise(F.concat(F.lit("Sure! Here it is: "), F.col("props"), F.lit(" — enjoy")))
+    )
+    cleaned = coercion.clean_json_text(wrapped)
+    return ev.select("event_id", F.get_json_object(cleaned, "$.k").alias("k"))
+
+
+# ---------------------------------------------------------------------------
+# Q: usage/stats aggregation family (A1-A3: tracker summary + SQL views)
+# ---------------------------------------------------------------------------
+
+_DAILY_ORACLE = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS total_value,
+       round(avg(value), 4) AS avg_value,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+FROM events GROUP BY 1
+"""
+
+
+@register("daily_usage_summary", _DAILY_ORACLE)
+def q_daily_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's daily_costs/model_usage views (tracker.py:170-226):
+    per-day SUM/COUNT/AVG plus MIN/MAX timestamps — a two-stage hash agg on
+    a date key that becomes partition pruning on a date-partitioned table."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+    )
+
+
+_TOPK_ORACLE = """
+SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, event_type, value
+FROM events ORDER BY ts DESC, event_id DESC LIMIT 100
+"""
+
+
+@register("recent_events_topk", _TOPK_ORACLE)
+def q_recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY ts DESC LIMIT (tracker.py:507-508) — Spark plans this as
+    TakeOrderedAndProject: per-partition top-k then a k-row merge on the
+    driver, never a full sort."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(100)
+        .select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            "event_type",
+            "value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q: consensus majority vote (A5/A7) — distributed mode with agreement ratio
+# ---------------------------------------------------------------------------
+
+_VOTE_ORACLE = """
+WITH votes AS (
+  SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY 1, 2
+),
+tot AS (SELECT user_id, sum(cnt) AS total FROM votes GROUP BY 1),
+ranked AS (
+  SELECT v.user_id, v.event_type, v.cnt, t.total,
+         row_number() OVER (PARTITION BY v.user_id ORDER BY v.cnt DESC, v.event_type ASC) AS rn
+  FROM votes v JOIN tot t ON v.user_id = t.user_id
+)
+SELECT user_id, event_type AS winner, CAST(cnt AS BIGINT) AS votes,
+       round(CAST(cnt AS DOUBLE) / total, 6) AS agreement
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("majority_vote", _VOTE_ORACLE)
+def q_majority_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from prompture_spark.operators.consensus import majority_vote
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return majority_vote(ev, group_col="user_id", value_col="event_type")
+
+
+# ---------------------------------------------------------------------------
+# Q: dedup family (W4/E1, C12, C13) over documents/embeddings
+# ---------------------------------------------------------------------------
+
+from prompture_spark.operators import dedup as dd  # noqa: E402
+from prompture_spark.operators import similarity as sim  # noqa: E402
+from prompture_spark.operators import textquality as tq  # noqa: E402
+
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', ' ', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+_EXACT_DEDUP_ORACLE = f"""
+SELECT doc_id FROM (
+  SELECT doc_id, row_number() OVER (PARTITION BY {_NORM_SQL} ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
+
+
+@register("exact_dedup_docs", _EXACT_DEDUP_ORACLE)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dd.exact_dedup(docs, "text", order_cols=["doc_id"]).select("doc_id")
+
+
+# Augmented corpus shared by both engines: every 10th doc gets a near-dup
+# twin (id + 100000, one appended word) so near-dup detectors have signal.
+_AUG_DOCS_CTE = """
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text || ' tailword' AS text
+  FROM documents WHERE doc_id % 10 = 0
+)
+"""
+
+_JACCARD_ORACLE = (
+    _AUG_DOCS_CTE
+    + """
+, sh AS (
+  SELECT DISTINCT doc_id, substr(lower(text), CAST(i AS INT), 5) AS s
+  FROM aug, range(1, 2048) r(i)
+  WHERE i <= length(text) - 4
+),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(c AS DOUBLE) / (na.n + nb.n - c), 6) AS jaccard
+FROM inter JOIN sz na ON id_a = na.doc_id JOIN sz nb ON id_b = nb.doc_id
+WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.8
+"""
+)
+
+
+def _aug_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    twins = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 100000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" tailword")).alias("text"))
+    )
+    return docs.unionByName(twins)
+
+
+@register("ngram_jaccard_pairs", _JACCARD_ORACLE)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.ngram_jaccard_pairs(_aug_docs(spark, sf_dir), "doc_id", "text")
+
+
+@register("minhash_lsh_pairs")  # approximate recall — verified in pytest instead
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_lsh_pairs(_aug_docs(spark, sf_dir), "doc_id", "text")
+
+
+@register("simhash_pairs")  # engine-specific hash — verified in pytest
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash_pairs(_aug_docs(spark, sf_dir), "doc_id", "text", max_hamming=3)
+
+
+_AUG_EMB_CTE = """
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 25 = 0
+)
+"""
+
+_EMB_DEDUP_ORACLE = (
+    _AUG_EMB_CTE
+    + """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.92
+"""
+)
+
+
+def _aug_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    twins = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    return emb.unionByName(twins)
+
+
+@register("embedding_dedup_pairs", _EMB_DEDUP_ORACLE)
+def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.embedding_dedup_pairs(_aug_emb(spark, sf_dir), "vec_id", "embedding")
+
+
+@register("embedding_dedup_pairs_lsh")  # approximate bucketing — pytest-verified
+def q_embedding_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.embedding_dedup_pairs(
+        _aug_emb(spark, sf_dir), "vec_id", "embedding", use_lsh=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q: similarity search (ANN) over embeddings
+# ---------------------------------------------------------------------------
+
+_ANN_ORACLE = """
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+  FROM embeddings c, q WHERE c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+@register("ann_cosine_topk", _ANN_ORACLE)
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    out = sim.brute_force_topk(emb, queries, "vec_id", "embedding", k=10)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+@register("ann_cosine_topk_ivf")  # approximate probing — pytest checks recall
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    out = sim.ivf_topk(emb, queries, "vec_id", "embedding", k=10)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# Q: text analysis (tokens, quality cascade, refusal, PII)
+# ---------------------------------------------------------------------------
+
+_TOKENS_ORACLE = r"""
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_ws,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe
+FROM documents
+"""
+
+
+@register("token_counts", _TOKENS_ORACLE)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        tq.token_count_ws("text").cast("long").alias("n_ws"),
+        tq.token_count_bpe_ish("text").cast("long").alias("n_bpe"),
+    )
+
+
+_QUALITY_ORACLE = (
+    ORACLE_TRANSCRIPTS_CTE
+    + r"""
+, tagged AS (
+  SELECT CASE
+    WHEN text IS NULL THEN 'null_text'
+    WHEN length(trim(text)) < 1 THEN 'too_short'
+    WHEN length(text) > 4000 THEN 'too_long'
+    WHEN len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) < 1 THEN 'too_few_tokens'
+    WHEN regexp_matches(lower(text), 'i cannot help|i can''t help|i cannot assist|i can''t assist|i''m sorry|i am sorry|i apologize|as an ai|i''m unable|i am unable|i won''t|i will not|against my|i must decline') THEN 'refusal'
+    ELSE NULL END AS reason
+  FROM transcripts
+)
+SELECT reason, CAST(count(*) AS BIGINT) AS n,
+       round(count(*) / CAST((SELECT count(*) FROM transcripts) AS DOUBLE), 6) AS share
+FROM tagged WHERE reason IS NOT NULL GROUP BY reason
+"""
+)
+
+
+@register("quality_filter_stats", _QUALITY_ORACLE)
+def q_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = transcripts_from_events(spark, sf_dir)
+    return tq.quality_stats(df, "text")
+
+
+_REFUSAL_ORACLE = (
+    ORACLE_TRANSCRIPTS_CTE
+    + """
+SELECT part_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(CASE WHEN text IS NOT NULL AND regexp_matches(lower(text),
+         'i cannot help|i can''t help|i cannot assist|i can''t assist|i''m sorry|i am sorry|i apologize|as an ai|i''m unable|i am unable|i won''t|i will not|against my|i must decline')
+         THEN 1 ELSE 0 END) AS BIGINT) AS n_refusals,
+       round(sum(CASE WHEN text IS NOT NULL AND regexp_matches(lower(text),
+         'i cannot help|i can''t help|i cannot assist|i can''t assist|i''m sorry|i am sorry|i apologize|as an ai|i''m unable|i am unable|i won''t|i will not|against my|i must decline')
+         THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS refusal_rate
+FROM transcripts GROUP BY part_id
+"""
+)
+
+
+@register("refusal_rate_per_partition", _REFUSAL_ORACLE)
+def q_refusal_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: refusal-rate report per partition (refusal/evaluator.py:29-66)."""
+    df = transcripts_from_events(spark, sf_dir)
+    flag = tq.is_refusal("text").cast("long")
+    return df.groupBy("part_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(flag).alias("n_refusals"),
+        F.round(F.sum(flag) / F.count(F.lit(1)), 6).alias("refusal_rate"),
+    )
+
+
+_PII_ORACLE = (
+    ORACLE_TRANSCRIPTS_CTE
+    + """
+SELECT conv_id, turn_idx,
+       regexp_extract(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', 0) AS email
+FROM transcripts
+WHERE text IS NOT NULL
+  AND regexp_matches(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')
+"""
+)
+
+
+@register("pii_email_rows", _PII_ORACLE)
+def q_pii_emails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = transcripts_from_events(spark, sf_dir)
+    email = F.regexp_extract("text", tq.PII_PATTERNS["email"], 0)
+    return df.filter(F.col("text").isNotNull() & (email != "")).select(
+        "conv_id", "turn_idx", email.alias("email")
+    )
+
+
+@register("lang_id_docs")  # heuristic — golden-tested in pytest
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", tq.lang_id("text").alias("lang_pred"))
+
+
+@register("doc_fingerprints")  # engine-specific hash — pytest checks stability
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", tq.fingerprint64("text").alias("fp64"))
+
+
+# ---------------------------------------------------------------------------
+# Q: general OLAP breadth over the star schema (joins + agg + top-k)
+# ---------------------------------------------------------------------------
+
+_PRICING_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2024-06-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("pricing_summary", _PRICING_ORACLE)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped scan+agg: shows filter pushdown + two-stage hash agg
+    on a tiny grouping key."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-06-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_TOP_CUSTOMERS_ORACLE = """
+SELECT c.c_custkey, c.c_name,
+       round(sum(o.o_totalprice), 4) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name
+ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+"""
+
+
+@register("top_customers", _TOP_CUSTOMERS_ORACLE)
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim join (J1 shape) + agg + top-k."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+_REGION_ORACLE = """
+SELECT r.r_name AS region, CAST(count(*) AS BIGINT) AS n_customers,
+       round(sum(c.c_acctbal), 4) AS total_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
+@register("customers_per_region", _REGION_ORACLE)
+def q_customers_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop broadcast join chain across the dimension hierarchy."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 4).alias("total_acctbal"),
+        )
+    )

@@ -1,0 +1,125 @@
+"""Dedup & similarity operator tests (thresholds per the reference:
+Jaccard 0.8 / k=5 dedup.py:133-145; cosine 0.92 dedup.py:205-224)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from prompture_spark.operators import dedup as dd
+from prompture_spark.operators import similarity as sim
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog!"),   # near-dup of 1
+        (3, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG"),    # exact after norm
+        (4, "completely different content about spark engines"),
+        (5, "short"),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_exact_dedup_first_occurrence_wins(spark, docs):
+    kept = dd.exact_dedup(docs, "text", order_cols=["doc_id"])
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    # 3 normalizes to 1's key; 2 differs (trailing ! stripped by norm -> actually same)
+    # norm strips punctuation: 1, 2, 3 all collapse; first (doc_id=1) survives
+    assert 1 in ids and 2 not in ids and 3 not in ids
+    assert {4, 5, 6} <= ids
+
+
+def test_shingles_edge_cases(spark):
+    df = spark.createDataFrame([("abcdef",), ("abc",), ("",)], "v string")
+    got = df.select(F.size(dd.shingles("v", 5)).alias("n")).collect()
+    assert [r.n for r in got] == [2, 0, 0]
+
+
+def test_ngram_jaccard_finds_near_dups(spark, docs):
+    pairs = dd.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got  # trailing '!' keeps jaccard high
+    assert not any(4 in p for p in got)
+
+
+def test_minhash_recall_and_no_false_positives(spark, docs):
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dd.ngram_jaccard_pairs(docs, "doc_id", "text").collect()
+    }
+    mh = {
+        (r.id_a, r.id_b)
+        for r in dd.minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    }
+    # verification step removes false positives; banding may only lose recall
+    assert mh <= exact
+    assert len(mh) >= len(exact) * 0.5
+
+
+def test_simhash_identical_and_different(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "omega psi chi phi upsilon tau sigma rho"),
+        ],
+        "doc_id int, text string",
+    )
+    pairs = dd.simhash_pairs(df, "doc_id", "text", max_hamming=3).collect()
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert got.get((1, 2)) == 0
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.99, 0.1, 0.0, 0.0]),   # cosine ~0.995 with 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+        (5, [2.0, 0.0, 0.0, 0.0]),    # scale-invariant dup of 1
+    ]
+    return spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+
+def test_embedding_dedup_exact(spark, vecs):
+    pairs = dd.embedding_dedup_pairs(vecs, "vec_id", "embedding", threshold=0.92)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 5) in got and (2, 5) in got
+    assert not any(3 in p or 4 in p for p in got)
+
+
+def test_embedding_dedup_lsh_subset_of_exact(spark, vecs):
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dd.embedding_dedup_pairs(vecs, "vec_id", "embedding").collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in dd.embedding_dedup_pairs(
+            vecs, "vec_id", "embedding", use_lsh=True, n_planes=4
+        ).collect()
+    }
+    assert lsh <= exact
+    assert len(lsh) >= 1  # identical-direction vectors always share all sign bits
+
+
+def test_brute_force_topk_orders_by_cosine(spark, vecs):
+    q = vecs.filter(F.col("vec_id") == 1)
+    out = sim.brute_force_topk(vecs, q, "vec_id", "embedding", k=2).collect()
+    assert [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)] == [5, 2]
+
+
+def test_ivf_recall_on_real_embeddings(spark, sf_med):
+    emb = spark.read.parquet(f"{sf_med}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = sim.brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
+    approx = sim.ivf_topk(emb, queries, "vec_id", "embedding", k=5, n_centroids=8, n_probe=4)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"

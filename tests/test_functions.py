@@ -1,0 +1,147 @@
+"""Coercion-library tests mirroring the reference's documented cases
+(tests/test_robust_conversion.py: multilingual booleans :33, shorthand/
+currency/percent :209-221, union ordering :179-194, list recovery :223)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from prompture_spark.functions import (
+    as_list,
+    clean_json_text,
+    coerce,
+    normalize_enum,
+    normalize_text,
+    parse_boolean,
+    parse_datetime,
+    parse_shorthand_number,
+    values_equal,
+)
+
+
+def run1(spark, col_expr, value):
+    df = spark.createDataFrame([(value,)], "v string")
+    return df.select(col_expr.alias("out")).collect()[0].out
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("yes", True), ("TRUE", True), ("si", True), ("sí", True), ("oui", True),
+        ("ja", True), ("1", True), ("y", True), ("on", True), ("2", True),
+        ("no", False), ("False", False), ("0", False), ("off", False),
+        ("n/a", False), ("none", False), ("null", False), ("", False),
+        ("maybe", None), (None, None),
+    ],
+)
+def test_parse_boolean(spark, raw, expected):
+    assert run1(spark, parse_boolean(F.col("v")), raw) is expected
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("$1,200", 1200.0),
+        ("1_200", 1200.0),
+        ("1.2k", 1200.0),
+        ("3M", 3_000_000.0),
+        ("2b", 2e9),
+        ("1t", 1e12),
+        ("12%", 0.12),
+        ("1e3", 1000.0),
+        ("€42.5", 42.5),
+        ("-7", -7.0),
+        ("gibberish", None),
+        (None, None),
+    ],
+)
+def test_parse_shorthand_number(spark, raw, expected):
+    got = run1(spark, parse_shorthand_number(F.col("v")), raw)
+    if expected is None:
+        assert got is None
+    else:
+        assert got == pytest.approx(expected)
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("a,b;c|d", ["a", "b", "c", "d"]),
+        (" a , b ", ["a", "b"]),
+        ("solo", ["solo"]),
+        ("", []),
+        (None, []),
+        ("a,,b", ["a", "b"]),
+    ],
+)
+def test_as_list(spark, raw, expected):
+    assert run1(spark, as_list(F.col("v")), raw) == expected
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("2024-03-05T10:20:30", dt.datetime(2024, 3, 5, 10, 20, 30)),
+        ("2024-03-05 10:20:30", dt.datetime(2024, 3, 5, 10, 20, 30)),
+        ("2024-03-05", dt.datetime(2024, 3, 5)),
+        ("03/05/2024", dt.datetime(2024, 3, 5)),
+        ("not a date", None),
+    ],
+)
+def test_parse_datetime(spark, raw, expected):
+    assert run1(spark, parse_datetime(F.col("v")), raw) == expected
+
+
+def test_clean_json_text(spark):
+    fenced = "```json\n{\"a\": 1}\n```"
+    assert run1(spark, clean_json_text(F.col("v")), fenced) == '{"a": 1}'
+    think = "<think>reasoning...</think>{\"b\": 2}"
+    assert run1(spark, clean_json_text(F.col("v")), think) == '{"b": 2}'
+    prose = "Here you go: {\"c\": 3} hope that helps"
+    assert run1(spark, clean_json_text(F.col("v")), prose) == '{"c": 3}'
+
+
+def test_normalize_text(spark):
+    assert run1(spark, normalize_text(F.col("v")), "  Hello,   WORLD!! ") == "hello world"
+
+
+def test_normalize_enum(spark):
+    e = normalize_enum(F.col("v"), ("Red", "Green", "Blue"))
+    assert run1(spark, e, "red") == "Red"
+    assert run1(spark, e, "GREEN") == "Green"
+    assert run1(spark, e, "magenta") is None
+
+
+def test_coerce_with_defaults(spark):
+    # non-nullable failure -> type default (core.py:198-252 semantics)
+    assert run1(spark, coerce(F.col("v"), "int", nullable=False), "oops") == 0
+    assert run1(spark, coerce(F.col("v"), "int", default=7), "oops") == 7
+    assert run1(spark, coerce(F.col("v"), "int"), "1.2k") == 1200
+    assert run1(spark, coerce(F.col("v"), "double"), "$5") == 5.0
+    assert run1(spark, coerce(F.col("v"), "boolean"), "oui") is True
+
+
+def test_values_equal_rel_tolerance(spark):
+    df = spark.createDataFrame([(100.0, 100.9), (100.0, 102.0)], "a double, b double")
+    got = [r.eq for r in df.select(values_equal(F.col("a"), F.col("b")).alias("eq")).collect()]
+    assert got == [True, False]
+
+
+def test_jsonschema_udf(spark):
+    from prompture_spark.functions.jsonschema_udf import json_schema_check
+
+    schema = {
+        "type": "object",
+        "required": ["name", "age"],
+        "properties": {"name": {"type": "string"}, "age": {"type": "integer"}},
+    }
+    df = spark.createDataFrame(
+        [('{"name": "a", "age": 3}',), ('{"name": "a"}',), ("not json",), (None,)],
+        "v string",
+    )
+    rows = df.select(json_schema_check("v", schema).alias("r")).collect()
+    assert [r.r.ok for r in rows] == [True, False, False, False]
+    assert rows[1].r.error  # mentions the problem
