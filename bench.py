@@ -1,0 +1,138 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` (default 32) and prints
+ONE JSON line::
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "turns": ..., "turns_per_sec": ...}
+
+The flagship measurement is the FULL constraint suite (row constraints +
+uniqueness + referential + monotonicity + verdict grid) over a generated
+transcript table of ``$SPARK_GRAFT_BENCH_TURNS`` (default 2,000,000) turns
+with hot-conversation skew — the north-star turns/sec number. The per-query
+breakdown then times each registered operator on the sf-dir tables.
+
+Set ``SPARK_GRAFT_MASTER=local[8]`` etc. to measure scaling (see
+tools/scaling_bench.py, which runs this at two parallelism levels and writes
+BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from prompture_spark import get_spark  # noqa: E402
+from prompture_spark import queries as Q  # noqa: E402
+from prompture_spark.operators.engine import ValidationEngine  # noqa: E402
+from prompture_spark.plans.spec import default_transcript_suite  # noqa: E402
+from prompture_spark.sources.transcripts import generate_transcripts  # noqa: E402
+
+BENCH_QUERIES = [
+    "verdicts",
+    "row_violations",
+    "unique_violations",
+    "ts_monotonicity_violations",
+    "ref_integrity_violations",
+    "column_stats",
+    "column_stats_approx",
+    "drift_psi_role",
+    "conv_turn_counts_salted",
+    "exact_dedup_docs",
+    "minhash_lsh_pairs",
+    "ann_cosine_topk",
+    "daily_usage_summary",
+    "majority_vote",
+    "quality_filter_stats",
+    "refusal_rate_per_partition",
+    "pricing_summary",
+    "top_customers",
+]
+
+
+def _run_flagship(spark, n_turns: int) -> tuple[float, int]:
+    """Full suite over generated (skewed) transcripts; returns (sec, turns).
+
+    The table is materialized to parquet first so the timed section measures
+    the engine on a real columnar scan (pushdown/pruning active), exactly as
+    it would read an Iceberg table — not the generator expressions."""
+    path = f"/tmp/prompture_bench/turns_{n_turns}"
+    import shutil
+
+    if not os.path.exists(path):
+        shutil.rmtree("/tmp/prompture_bench", ignore_errors=True)
+        generate_transcripts(spark, n_turns, seed=42, skew=True).repartition(
+            128
+        ).write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    eng = ValidationEngine(spark)
+    suite = default_transcript_suite()
+
+    def run_once() -> tuple[int, int]:
+        res = eng.validate(df, suite)
+        n_v = res.verdicts.count()
+        n_x = res.violations.count()
+        spark.catalog.clearCache()  # plan-matched cache would serve run 2
+        return n_v, n_x
+
+    run_once()  # warm-up: whole-stage-codegen JIT compiles on real kernels
+    t0 = time.perf_counter()
+    n_verdicts, n_viol = run_once()
+    dt = time.perf_counter() - t0
+    assert n_verdicts > 0 and n_viol >= 0
+    return dt, n_turns
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    n_turns = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "2000000"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    spark = get_spark(
+        app_name="prompture-spark-bench",
+        master=master,
+        shuffle_partitions=int(cpus) if cpus.isdigit() else 32,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/codegen once so per-query numbers measure the plan, not JIT
+    spark.range(1000).agg(F.sum("id")).collect()
+
+    flagship_sec, turns = _run_flagship(spark, n_turns)
+
+    qtimes: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = Q.QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        qtimes[name] = round(time.perf_counter() - t0, 3)
+        assert n >= 0
+
+    total = round(flagship_sec + sum(qtimes.values()), 3)
+    out = {
+        "metric": "turns/sec validated (all constraints; flagship suite on "
+        f"{turns} generated skewed turns) + headline query suite at sf{sf}",
+        "value": total,
+        "unit": "sec",
+        "queries": {"flagship_validate": round(flagship_sec, 3), **qtimes},
+        "sf": sf,
+        "master": master,
+        "turns": turns,
+        "turns_per_sec": round(turns / flagship_sec, 1),
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

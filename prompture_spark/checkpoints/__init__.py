@@ -1,0 +1,3 @@
+from prompture_spark.checkpoints.manifest import ManifestStore, ResumableRunner
+
+__all__ = ["ManifestStore", "ResumableRunner"]

@@ -1,0 +1,222 @@
+"""Checkpoint/resume via a partition-grained manifest table.
+
+Spark restatement of the reference's checkpoint system
+(prompture/checkpoints/core.py:135-295, types.py:27-108, stores.py): there, a
+``Checkpoint`` snapshot per ``run_id`` (latest wins, save overwrites) lets an
+interrupted run continue where it stopped; ``mark("completed")`` finalizes.
+Here the unit of resumability is a TABLE PARTITION: the manifest records
+``(run_id, run_config_hash, partition_id, status, metrics, updated_at)`` and
+
+  * resume    = anti-join of planned partitions against
+                ``status='completed' AND run_config_hash = <hash>`` rows —
+                completed partitions are never recomputed;
+  * lineage   = per-partition metrics (rows_checked, violations, elapsed_ms)
+                written with each completion (the reference's UsageEvent
+                ledger, infra/tracker.py:48-151, collapsed onto the same row);
+  * latest-wins = the reference's overwrite semantics (checkpoints/core.py:
+                198-220) via row_number over updated_at DESC per key.
+
+Storage is an append-only parquet directory (one file per update batch) —
+the same pattern as an Iceberg MERGE target, kept format-agnostic for the
+sandbox. Appends are atomic at file granularity, so a crash mid-update
+leaves only complete manifest rows behind.
+
+The run_config_hash covers the constraint suite + input fingerprint, so a
+changed suite invalidates old completions automatically (the reference keys
+its response cache on (prompt, model, schema, options) the same way,
+infra/cache.py make_cache_key).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from prompture_spark.plans.spec import ValidationSuite
+
+MANIFEST_DDL = (
+    "run_id string, run_config_hash string, partition_id int, status string, "
+    "rows_checked long, violations long, elapsed_ms double, updated_at timestamp"
+)
+
+
+def suite_config_hash(suite: ValidationSuite, input_ref: str) -> str:
+    """Deterministic hash of the suite definition + input reference."""
+    payload = json.dumps(
+        {
+            "suite": [repr(c) for c in suite.row_constraints + suite.table_constraints],
+            "partition_col": suite.partition_col,
+            "input": input_ref,
+        },
+        sort_keys=True,
+    )
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+class ManifestStore:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def _empty(self) -> DataFrame:
+        return self.spark.createDataFrame([], MANIFEST_DDL)
+
+    def read(self) -> DataFrame:
+        """Latest status per (run_config_hash, partition_id) — the overwrite
+        semantics of the reference's save() done as a window over appends."""
+        if not os.path.exists(self.path):
+            return self._empty()
+        raw = self.spark.read.parquet(self.path)
+        w = Window.partitionBy("run_config_hash", "partition_id").orderBy(
+            F.desc("updated_at"), F.desc("run_id")
+        )
+        return (
+            raw.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def append(self, rows: list[dict]) -> None:
+        df = self.spark.createDataFrame(
+            [
+                (
+                    r["run_id"],
+                    r["run_config_hash"],
+                    int(r["partition_id"]),
+                    r["status"],
+                    int(r.get("rows_checked", 0)),
+                    int(r.get("violations", 0)),
+                    float(r.get("elapsed_ms", 0.0)),
+                )
+                for r in rows
+            ],
+            "run_id string, run_config_hash string, partition_id int, status string, "
+            "rows_checked long, violations long, elapsed_ms double",
+        ).withColumn("updated_at", F.current_timestamp())
+        df.write.mode("append").parquet(self.path)
+
+    def completed_partitions(self, run_config_hash: str) -> DataFrame:
+        return (
+            self.read()
+            .filter(
+                (F.col("run_config_hash") == run_config_hash)
+                & (F.col("status") == "completed")
+            )
+            .select(F.col("partition_id").alias("part_id"))
+        )
+
+
+class ResumableRunner:
+    """Run a validation suite partition-batch-wise with resume.
+
+    ``run()`` plans the partition list from the data, anti-joins it against
+    completed manifest rows, executes only the remainder (grouped into
+    batches so one driver loop iteration covers many partitions), and MERGEs
+    a 'completed' row + metrics per partition. Violations append to a sink
+    directory per batch — re-running after a crash neither recomputes nor
+    double-writes completed partitions.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        manifest: ManifestStore,
+        violations_sink: str,
+    ):
+        self.spark = spark
+        self.manifest = manifest
+        self.violations_sink = violations_sink
+
+    def pending_partitions(
+        self, df: DataFrame, suite: ValidationSuite, cfg_hash: str
+    ) -> list[int]:
+        planned = df.select(
+            F.col(suite.partition_col).cast("int").alias("part_id")
+        ).distinct()
+        done = self.manifest.completed_partitions(cfg_hash)
+        return sorted(
+            r.part_id
+            for r in planned.join(done, "part_id", "left_anti").collect()
+        )
+
+    def run(
+        self,
+        df: DataFrame,
+        suite: ValidationSuite,
+        input_ref: str,
+        run_id: str | None = None,
+        batch_size: int = 4,
+        fail_after_batches: int | None = None,
+    ) -> dict:
+        """Execute (or resume) the suite. ``fail_after_batches`` simulates a
+        crash for tests. Returns summary counters."""
+        from prompture_spark.operators.engine import ValidationEngine
+
+        run_id = run_id or uuid.uuid4().hex[:12]
+        cfg = suite_config_hash(suite, input_ref)
+        eng = ValidationEngine(self.spark)
+        pending = self.pending_partitions(df, suite, cfg)
+        ran, batches = [], 0
+        for i in range(0, len(pending), batch_size):
+            batch = pending[i : i + batch_size]
+            t0 = time.perf_counter()
+            sub = df.filter(F.col(suite.partition_col).isin(batch))
+            res = eng.validate(sub, suite)
+            res.violations.write.mode("append").parquet(self.violations_sink)
+            per_part = {
+                r.part_id: (r.rows, r.viols)
+                for r in sub.groupBy(F.col(suite.partition_col).alias("part_id"))
+                .agg(F.count(F.lit(1)).alias("rows"))
+                .join(
+                    res.violations.groupBy("part_id").agg(
+                        F.count(F.lit(1)).alias("viols")
+                    ),
+                    "part_id",
+                    "left",
+                )
+                .fillna(0, ["viols"])
+                .collect()
+            }
+            res.violations.unpersist()
+            elapsed = (time.perf_counter() - t0) * 1000 / max(len(batch), 1)
+            self.manifest.append(
+                [
+                    {
+                        "run_id": run_id,
+                        "run_config_hash": cfg,
+                        "partition_id": p,
+                        "status": "completed",
+                        "rows_checked": per_part.get(p, (0, 0))[0],
+                        "violations": per_part.get(p, (0, 0))[1],
+                        "elapsed_ms": elapsed,
+                    }
+                    for p in batch
+                ]
+            )
+            ran.extend(batch)
+            batches += 1
+            if fail_after_batches is not None and batches >= fail_after_batches:
+                raise RuntimeError("simulated crash after batch")
+        return {
+            "run_id": run_id,
+            "run_config_hash": cfg,
+            "partitions_run": ran,
+            "partitions_skipped": sorted(
+                set(
+                    r.part_id
+                    for r in df.select(
+                        F.col(suite.partition_col).cast("int").alias("part_id")
+                    )
+                    .distinct()
+                    .collect()
+                )
+                - set(ran)
+            ),
+        }

@@ -143,8 +143,11 @@ class ValidationEngine:
         """LEFT ANTI join against the broadcast catalog — the north-rule
         referential-integrity check (tool names vs registered tool catalog,
         cf. prompture/extraction/tools.py:904-919 tool-name whitelist)."""
-        catalog = self.spark.createDataFrame(
-            [(v,) for v in c.catalog], f"{c.column}_cat string"
+        # literal-array catalog: avoids a Python-RDD -> JVM conversion in the
+        # plan (createDataFrame over local rows plans as a slow ExistingRDD
+        # scan); production passes a real dimension table here instead.
+        catalog = self.spark.range(1).select(
+            F.explode(F.array(*[F.lit(v) for v in c.catalog])).alias(f"{c.column}_cat")
         )
         facts = df.select(
             "conv_id", "turn_idx", F.col(partition_col).alias("part_id"), F.col(c.column)
@@ -190,9 +193,70 @@ class ValidationEngine:
             )
         )
 
+    def sequencing_violations(
+        self, df: DataFrame, uq: Unique, mono: Monotonic, partition_col: str
+    ) -> DataFrame:
+        """Fused uniqueness + monotonicity: ONE shuffle by conv_id feeds both.
+
+        Sorted by the total key ``(turn_idx, ts)`` within each conversation,
+        a duplicate ``(conv_id, turn_idx)`` shows as ``turn_idx ==
+        lag(turn_idx)`` and a time regression as ``ts < lag(ts)`` — the same
+        window serves both, halving the dominant shuffle of the whole suite.
+        Output semantics identical to the standalone operators (per-key
+        multiplicity for duplicates; per-row regressions). Valid whenever the
+        Unique key is ``(group_by, <sort head>)`` of the Monotonic spec."""
+        w = Window.partitionBy(mono.group_by).orderBy(
+            *[F.col(k) for k in mono.sort_keys]
+        )
+        base = df.select(
+            "conv_id",
+            "turn_idx",
+            F.col(partition_col).alias("part_id"),
+            F.col(mono.order_col),
+            F.lag("turn_idx").over(w).alias("_pti"),
+            F.lag(F.col(mono.order_col)).over(w).alias("_prev"),
+        )
+        mono_v = base.filter(
+            F.col("_prev").isNotNull() & (F.col(mono.order_col) < F.col("_prev"))
+        ).select(
+            "conv_id",
+            "turn_idx",
+            "part_id",
+            F.lit(mono.constraint_id).alias("constraint_id"),
+            F.date_format(F.col(mono.order_col), "yyyy-MM-dd HH:mm:ss").alias("observed_value"),
+        )
+        # k duplicates of a key flag k-1 rows; re-aggregate the (tiny) flagged
+        # stream to report one violation per key with its multiplicity.
+        dup_v = (
+            base.filter(F.col("_pti").isNotNull() & (F.col("turn_idx") == F.col("_pti")))
+            .groupBy("conv_id", "turn_idx", "part_id")
+            .agg((F.count(F.lit(1)) + 1).alias("_k"))
+            .select(
+                "conv_id",
+                "turn_idx",
+                "part_id",
+                F.lit(uq.constraint_id).alias("constraint_id"),
+                F.col("_k").cast("string").alias("observed_value"),
+            )
+        )
+        return mono_v.unionByName(dup_v)
+
     def table_violations(self, df: DataFrame, suite: ValidationSuite) -> DataFrame:
+        constraints = list(suite.table_constraints)
         parts = []
-        for c in suite.table_constraints:
+        # Fuse Unique+Monotonic into one window pass when their keys line up.
+        uqs = [c for c in constraints if isinstance(c, Unique)]
+        monos = [c for c in constraints if isinstance(c, Monotonic)]
+        if (
+            len(uqs) == 1
+            and len(monos) == 1
+            and uqs[0].keys == (monos[0].group_by, monos[0].sort_keys[0])
+        ):
+            parts.append(
+                self.sequencing_violations(df, uqs[0], monos[0], suite.partition_col)
+            )
+            constraints = [c for c in constraints if c not in (uqs[0], monos[0])]
+        for c in constraints:
             if isinstance(c, Unique):
                 parts.append(self.uniqueness_violations(df, c, suite.partition_col))
             elif isinstance(c, Referential):
@@ -210,9 +274,44 @@ class ValidationEngine:
 
     # ----------------------------------------------------------------- run
 
+    def _verdicts_from(
+        self, df: DataFrame, suite: ValidationSuite, violations: DataFrame
+    ) -> DataFrame:
+        """Zero-filled verdict grid computed from an (already materialized)
+        violations table — the cheap final step: |violations| is ~defect-rate
+        × rows, and the grid is |partitions| × |constraints|."""
+        counts = violations.groupBy("part_id", "constraint_id").agg(
+            F.count(F.lit(1)).alias("violation_count")
+        )
+        parts = df.select(F.col(suite.partition_col).alias("part_id")).distinct()
+        cids = self.spark.range(1).select(
+            F.explode(
+                F.array(*[F.lit(cid) for cid in suite.constraint_ids()])
+            ).alias("constraint_id")
+        )
+        grid = parts.crossJoin(F.broadcast(cids))
+        return (
+            grid.join(counts, on=["part_id", "constraint_id"], how="left")
+            .select(
+                "part_id",
+                "constraint_id",
+                F.coalesce(F.col("violation_count"), F.lit(0)).cast("long").alias("violation_count"),
+            )
+            .select(
+                "part_id",
+                "constraint_id",
+                (F.col("violation_count") == 0).alias("ok"),
+                "violation_count",
+            )
+        )
+
     def verdicts(self, df: DataFrame, suite: ValidationSuite) -> DataFrame:
         """Full verdict table: every (partition × constraint) cell, zero-filled
-        so clean partitions still report ``ok=true, violation_count=0``."""
+        so clean partitions still report ``ok=true, violation_count=0``.
+
+        Row-constraint counts come from the flag-sum aggregation (no violation
+        rows materialized); table-constraint counts from their violation
+        streams. Standalone use — ``validate()`` shares work instead."""
         row_v = self.row_verdicts(df, suite)
         table_counts = (
             self.table_violations(df, suite)
@@ -223,8 +322,10 @@ class ValidationEngine:
             table_counts
         )
         parts = df.select(F.col(suite.partition_col).alias("part_id")).distinct()
-        cids = self.spark.createDataFrame(
-            [(cid,) for cid in suite.constraint_ids()], "constraint_id string"
+        cids = self.spark.range(1).select(
+            F.explode(
+                F.array(*[F.lit(cid) for cid in suite.constraint_ids()])
+            ).alias("constraint_id")
         )
         grid = parts.crossJoin(F.broadcast(cids))
         return (
@@ -242,8 +343,24 @@ class ValidationEngine:
             )
         )
 
-    def validate(self, df: DataFrame, suite: ValidationSuite) -> ValidationResult:
+    def validate(
+        self, df: DataFrame, suite: ValidationSuite, persist_violations: bool = True
+    ) -> ValidationResult:
+        """One engine run: each check executes exactly ONCE.
+
+        The violations stream (row ∪ unique ∪ referential ∪ monotonic — four
+        passes over the pruned scan, each with its own distribution strategy)
+        is persisted (it is ~defect-rate × |input|, i.e. tiny relative to the
+        table; production sinks it to the violations Iceberg table instead),
+        and the verdict grid is then derived from it for free — without this,
+        every table check would execute twice (once for violations, once for
+        verdict counts)."""
         violations = self.row_violations(df, suite).unionByName(
             self.table_violations(df, suite)
         )
-        return ValidationResult(violations=violations, verdicts=self.verdicts(df, suite))
+        if persist_violations:
+            violations = violations.persist()
+        return ValidationResult(
+            violations=violations,
+            verdicts=self._verdicts_from(df, suite, violations),
+        )

@@ -1,0 +1,6 @@
+from prompture_spark.streaming.ingest import (
+    stream_row_violations,
+    stream_validate_batches,
+)
+
+__all__ = ["stream_row_violations", "stream_validate_batches"]

@@ -1,0 +1,123 @@
+"""Structured Streaming ingestion + validation for append-only transcripts.
+
+The reference has no streaming dataflow (its "streaming" is LLM token
+streaming, prompture/extraction/streaming.py — API plumbing); this module is
+the engine's own scale feature for continuously-landing transcript data
+(SURVEY.md §2.9/§7): validate turns as they arrive instead of re-scanning
+10^12 rows nightly.
+
+Two modes:
+
+* ``stream_row_violations`` — fully incremental: the fused row-constraint
+  projection is stateless, so it runs inside the stream with exactly-once
+  file-sink semantics. Late/duplicate arrivals are handled with
+  ``withWatermark('ts', ...)`` + ``dropDuplicatesWithinWatermark`` on
+  ``(conv_id, turn_idx)`` — the streaming twin of the batch uniqueness check
+  (state is bounded by the watermark horizon; an unbounded exact check is
+  impossible in an infinite stream).
+
+* ``stream_validate_batches`` — ``foreachBatch``: each micro-batch runs the
+  FULL batch engine (including windows/joins that need a bounded frame) and
+  appends violations + per-batch verdict rows. This is the recommended
+  production shape: micro-batch = ingestion transaction, and the manifest
+  (checkpoints/manifest.py) records completions per batch.
+
+Both use Spark checkpointing for exactly-once restart — the streaming
+counterpart of the manifest-based batch resume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from prompture_spark.plans.compiler import VIOLATIONS_COL, violation_array
+from prompture_spark.plans.spec import ValidationSuite
+
+
+def stream_row_violations(
+    stream_df: DataFrame,
+    suite: ValidationSuite,
+    sink_path: str,
+    checkpoint_path: str,
+    watermark: str = "10 minutes",
+    dedup: bool = True,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Stateless row-constraint validation inside the stream.
+
+    Input must be a streaming DataFrame with the transcript schema. Emits
+    violation rows to a parquet sink exactly-once (file sink + checkpoint).
+    """
+    df = stream_df.withWatermark("ts", watermark)
+    if dedup:
+        df = df.dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])
+    arr = violation_array(suite.row_constraints)
+    compact = F.filter(arr, lambda x: x.isNotNull())
+    out = (
+        df.select(
+            "conv_id",
+            "turn_idx",
+            F.col(suite.partition_col).alias("part_id"),
+            compact.alias(VIOLATIONS_COL),
+        )
+        .filter(F.size(F.col(VIOLATIONS_COL)) > 0)
+        .select(
+            "conv_id",
+            "turn_idx",
+            "part_id",
+            F.explode(F.col(VIOLATIONS_COL)).alias("v"),
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            "part_id",
+            F.col("v.constraint_id").alias("constraint_id"),
+            F.col("v.observed_value").alias("observed_value"),
+        )
+    )
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", sink_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_validate_batches(
+    stream_df: DataFrame,
+    suite: ValidationSuite,
+    violations_sink: str,
+    verdicts_sink: str,
+    checkpoint_path: str,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """foreachBatch: full engine per micro-batch (windows + joins included).
+
+    Verdict rows gain a ``batch_id`` so downstream consumers can fold them
+    (violation counts are additive across batches)."""
+    from prompture_spark.operators.engine import ValidationEngine
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        eng = ValidationEngine(batch_df.sparkSession)
+        res = eng.validate(batch_df, suite)
+        res.violations.write.mode("append").parquet(violations_sink)
+        res.verdicts.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(verdicts_sink)
+        res.violations.unpersist()
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

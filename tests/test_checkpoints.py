@@ -1,0 +1,97 @@
+"""Resume tests (FIXTURES.md §4): kill after batch k, re-run, assert only the
+remaining partitions recompute and the final violations equal a from-scratch
+run. Mirrors the reference's checkpoint contract
+(prompture/checkpoints/core.py:30-127: restore rebuilds state so work
+continues where it stopped; tests/test_checkpoints.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from prompture_spark.checkpoints.manifest import (
+    ManifestStore,
+    ResumableRunner,
+    suite_config_hash,
+)
+from prompture_spark.operators.engine import ValidationEngine
+from prompture_spark.plans.spec import default_transcript_suite
+from prompture_spark.sources.transcripts import generate_transcripts
+
+
+@pytest.fixture()
+def workspace(tmp_path):
+    return str(tmp_path / "manifest"), str(tmp_path / "violations")
+
+
+def _df(spark):
+    return generate_transcripts(spark, 20000, n_convs=400, seed=11, n_parts=8)
+
+
+def test_crash_then_resume_no_recompute(spark, workspace):
+    man_path, sink = workspace
+    df = _df(spark)
+    suite = default_transcript_suite()
+    store = ManifestStore(spark, man_path)
+    runner = ResumableRunner(spark, store, sink)
+
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        runner.run(df, suite, "test-input", run_id="r1", batch_size=3,
+                   fail_after_batches=1)
+
+    done_after_crash = store.completed_partitions(
+        suite_config_hash(suite, "test-input")
+    ).count()
+    assert done_after_crash == 3  # exactly one batch committed
+
+    summary = runner.run(df, suite, "test-input", run_id="r2", batch_size=3)
+    # resume ran ONLY the remaining 5 partitions
+    assert len(summary["partitions_run"]) == 5
+    assert len(summary["partitions_skipped"]) == 3
+
+    # final violations identical to a from-scratch run
+    eng = ValidationEngine(spark)
+    expected = eng.validate(df, suite).violations
+    got = spark.read.parquet(sink)
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+
+
+def test_rerun_when_complete_is_noop(spark, workspace):
+    man_path, sink = workspace
+    df = _df(spark)
+    suite = default_transcript_suite()
+    runner = ResumableRunner(spark, ManifestStore(spark, man_path), sink)
+    runner.run(df, suite, "in", run_id="r1", batch_size=8)
+    second = runner.run(df, suite, "in", run_id="r2", batch_size=8)
+    assert second["partitions_run"] == []
+    assert len(second["partitions_skipped"]) == 8
+
+
+def test_changed_suite_invalidates_completions(spark, workspace):
+    man_path, sink = workspace
+    df = _df(spark)
+    suite = default_transcript_suite()
+    runner = ResumableRunner(spark, ManifestStore(spark, man_path), sink)
+    runner.run(df, suite, "in", batch_size=8)
+
+    from dataclasses import replace
+
+    tightened = replace(
+        suite,
+        row_constraints=suite.row_constraints[:3],  # different config hash
+    )
+    second = runner.run(df, tightened, "in", batch_size=8)
+    assert len(second["partitions_run"]) == 8
+
+
+def test_manifest_latest_status_wins(spark, workspace):
+    man_path, _ = workspace
+    store = ManifestStore(spark, man_path)
+    store.append([{"run_id": "a", "run_config_hash": "h", "partition_id": 1,
+                   "status": "running"}])
+    store.append([{"run_id": "a", "run_config_hash": "h", "partition_id": 1,
+                   "status": "completed", "rows_checked": 10}])
+    latest = store.read().filter(F.col("partition_id") == 1).collect()
+    assert len(latest) == 1 and latest[0].status == "completed"

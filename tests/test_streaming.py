@@ -1,0 +1,75 @@
+"""Structured Streaming validation tests: file-source micro-batches through
+the row-constraint stream and the foreachBatch full engine."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from prompture_spark.model import TRANSCRIPT_SCHEMA
+from prompture_spark.plans.spec import default_transcript_suite
+from prompture_spark.sources.transcripts import generate_transcripts
+from prompture_spark.streaming.ingest import (
+    stream_row_violations,
+    stream_validate_batches,
+)
+
+
+@pytest.fixture()
+def landed(spark, tmp_path):
+    """Two 'landing' batches of transcript files."""
+    src = str(tmp_path / "landing")
+    df = generate_transcripts(spark, 8000, n_convs=100, seed=5)
+    df.filter(F.col("part_id") < 4).write.mode("append").parquet(src)
+    df.filter(F.col("part_id") >= 4).write.mode("append").parquet(src)
+    return src, df
+
+
+def test_stream_row_violations_matches_batch(spark, tmp_path, landed):
+    src, df = landed
+    sink = str(tmp_path / "viol")
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(src)
+    suite = default_transcript_suite()
+    q = stream_row_violations(stream, suite, sink, ckpt, dedup=False)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(sink)
+    from prompture_spark.operators.engine import ValidationEngine
+
+    expected = ValidationEngine(spark).row_violations(df, suite)
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
+
+
+def test_stream_restart_is_exactly_once(spark, tmp_path, landed):
+    src, _ = landed
+    sink = str(tmp_path / "viol2")
+    ckpt = str(tmp_path / "ckpt2")
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(src)
+    suite = default_transcript_suite()
+    q = stream_row_violations(stream, suite, sink, ckpt, dedup=False)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(sink).count()
+    # restart against the same checkpoint: no new input -> no duplicates
+    q2 = stream_row_violations(
+        spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(src),
+        suite, sink, ckpt, dedup=False,
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(sink).count() == n1
+
+
+def test_foreachbatch_full_engine(spark, tmp_path, landed):
+    src, df = landed
+    vsink = str(tmp_path / "v3")
+    dsink = str(tmp_path / "d3")
+    ckpt = str(tmp_path / "c3")
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(src)
+    suite = default_transcript_suite()
+    q = stream_validate_batches(stream, suite, vsink, dsink, ckpt)
+    q.awaitTermination(180)
+    verdicts = spark.read.parquet(dsink)
+    assert verdicts.filter(F.col("constraint_id") == "role_enum").count() > 0
+    viols = spark.read.parquet(vsink)
+    assert viols.count() > 0

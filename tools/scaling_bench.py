@@ -1,0 +1,182 @@
+"""Two-cluster-size scaling measurement (sandbox proxy for N vs 4N executors).
+
+Runs the SAME flagship validation job on the SAME materialized input at
+several parallelism levels in separate processes (one JVM per master) and
+reports throughput + scaling efficiency for the N→4N pairs local[2]→local[8]
+and local[8]→local[32]. Writes BENCH/BASELINE.md.
+
+Why two pairs: the host exposes 32 HYPERTHREADS over fewer physical cores —
+a pure-CPU multiprocessing burn measures only ~2.6× capacity from 8→32
+workers (hyperthread saturation), so 8→32 cannot physically reach 0.8 for
+CPU-bound work on this box. 2→8 stays within physical cores and is the
+honest N→4N proxy; 8→32 is reported alongside with the measured CPU ceiling.
+
+Usage: python tools/scaling_bench.py [n_turns] (default 20,000,000)
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import multiprocessing as mp
+import os
+import statistics
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from prompture_spark import get_spark
+from prompture_spark.operators.engine import ValidationEngine
+from prompture_spark.plans.spec import default_transcript_suite
+from prompture_spark.sources.transcripts import generate_transcripts
+
+master = sys.argv[1]
+n_turns = int(sys.argv[2])
+path = sys.argv[3]
+cores = int(master.split("[")[1].rstrip("]"))
+# 16m split size => enough scan tasks to feed every core even on a ~1 GB
+# input (at production scale files are >>128 MB and this is moot).
+spark = get_spark(app_name=f"scaling-{{master}}", master=master, shuffle_partitions=cores,
+                  extra_conf={{"spark.sql.files.maxPartitionBytes": "16m"}})
+spark.sparkContext.setLogLevel("ERROR")
+if not os.path.exists(path):
+    # 128 files: a realistic multi-file table layout — at 100 TB a table is
+    # thousands of files; a single-file scan cannot parallelize at all.
+    generate_transcripts(spark, n_turns, seed=42, skew=True).repartition(128).write.mode("overwrite").parquet(path)
+df = spark.read.parquet(path)
+eng = ValidationEngine(spark)
+suite = default_transcript_suite()
+
+def run_once():
+    res = eng.validate(df, suite)
+    res.verdicts.count(); res.violations.count()
+    # CacheManager matches by logical plan — drop the persisted violations or
+    # the next run would be served from cache.
+    spark.catalog.clearCache()
+
+# two full warm-up runs: whole-stage-codegen JIT needs real executions
+run_once(); run_once()
+times = []
+for _ in range(3):
+    t0 = time.perf_counter(); run_once(); times.append(time.perf_counter() - t0)
+times.sort()
+med = times[1]
+spark.stop()
+print(json.dumps({{"master": master, "sec": med, "all": times, "turns": n_turns,
+                   "tput": n_turns / med}}))
+"""
+
+
+def run(master: str, n_turns: int, path: str) -> dict:
+    script = CHILD.format(repo=REPO)
+    out = subprocess.run(
+        [sys.executable, "-c", script, master, str(n_turns), path],
+        capture_output=True, text=True, timeout=2400,
+    )
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(f"{master} failed: {out.stderr[-2000:]}")
+    return json.loads(lines[-1])
+
+
+def _burn(n: int) -> int:
+    s = 0
+    for i in range(n):
+        s += i * i
+    return s
+
+
+def cpu_ceiling() -> dict:
+    """Measured pure-CPU parallel speedups (multiprocessing) — the physical
+    upper bound any Spark job can reach on this host."""
+    import time
+
+    def measure(workers: int) -> float:
+        t0 = time.time()
+        with mp.Pool(workers) as p:
+            p.map(_burn, [4_000_000] * 32)
+        return time.time() - t0
+
+    t2, t8, t32 = measure(2), measure(8), measure(32)
+    return {
+        "eff_2_to_8": round((t2 / t8) / 4, 3),
+        "eff_8_to_32": round((t8 / t32) / 4, 3),
+    }
+
+
+def main() -> None:
+    n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
+    path = f"/tmp/prompture_bench/turns_{n_turns}"
+    ceil = cpu_ceiling()
+    r2 = run("local[2]", n_turns, path)
+    r8 = run("local[8]", n_turns, path)
+    r32 = run("local[32]", n_turns, path)
+    eff_2_8 = (r8["tput"] / r2["tput"]) / 4
+    eff_8_32 = (r32["tput"] / r8["tput"]) / 4
+    result = {
+        "turns": n_turns,
+        "local2_turns_per_sec": round(r2["tput"], 1),
+        "local8_turns_per_sec": round(r8["tput"], 1),
+        "local32_turns_per_sec": round(r32["tput"], 1),
+        "efficiency_2_to_8": round(eff_2_8, 3),
+        "efficiency_8_to_32": round(eff_8_32, 3),
+        "cpu_ceiling": ceil,
+    }
+    print(json.dumps(result))
+    md = f"""# BENCH/BASELINE — measured scaling (sandbox proxy for N vs 4N executors)
+
+Generated {datetime.date.today().isoformat()} by `python tools/scaling_bench.py {n_turns}`.
+
+The north rule requires throughput scaling efficiency ≥ 0.8 between N and 4N
+executors. No real cluster exists in the sandbox, so per the driver
+instruction the proxy is the same job on the same input at two parallelism
+levels (N and 4N cores).
+
+**Job:** full constraint suite — 7 row constraints fused into one scan
+projection, fused uniqueness+monotonicity window (one shuffle by conv_id),
+broadcast referential anti-join, violations persisted once, zero-filled
+verdict grid derived from them — over {n_turns:,} generated transcript turns
+(seed 42, hot-conversation skew: ~1% of conversations own ~30% of turns),
+materialized 128-file parquet input, 2 warm-up runs then median of 3.
+
+| master | wall sec (median) | turns/sec |
+|---|---|---|
+| local[2]  | {r2['sec']:.3f} | {r2['tput']:,.0f} |
+| local[8]  | {r8['sec']:.3f} | {r8['tput']:,.0f} |
+| local[32] | {r32['sec']:.3f} | {r32['tput']:,.0f} |
+
+| N → 4N pair | scaling efficiency | pure-CPU ceiling on this host | normalized (engine / ceiling) |
+|---|---|---|---|
+| local[2] → local[8]  | **{eff_2_8:.3f}** | {ceil['eff_2_to_8']:.3f} | {eff_2_8 / ceil['eff_2_to_8']:.3f} |
+| local[8] → local[32] | **{eff_8_32:.3f}** | {ceil['eff_8_to_32']:.3f} | {eff_8_32 / ceil['eff_8_to_32']:.3f} |
+
+The normalized column divides the engine's efficiency by what a zero-overhead,
+perfectly parallel CPU-bound program achieves on the same host (measured with
+a multiprocessing integer burn each run) — it isolates engine-added overhead
+from host physics (hyperthread saturation 8→32, higher turbo clocks at low
+thread counts 2→8).
+
+The host exposes 32 *hyperthreads* over fewer physical cores: a pure-CPU
+multiprocessing burn (no Spark, no I/O) achieves only {ceil['eff_8_to_32']:.2f}
+efficiency from 8→32 workers, so 0.8 is physically unreachable for that pair
+on this machine regardless of engine quality. The 2→8 pair stays within
+physical cores and is the honest N→4N proxy. On a real multi-executor
+cluster each executor adds its own memory bandwidth, shuffle disk, and
+physical cores, which is strictly more favorable than threads sharing one
+JVM/socket.
+
+Spark conf: AQE on (coalescePartitions + skewJoin), Arrow on,
+spark.sql.shuffle.partitions = core count, maxPartitionBytes=16m (small-input
+proxy for multi-file tables), UTC. Reproduce: `python tools/scaling_bench.py`.
+"""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+
+
+if __name__ == "__main__":
+    main()
