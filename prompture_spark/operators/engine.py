@@ -65,6 +65,11 @@ class ValidationEngine:
     def row_violations(self, df: DataFrame, suite: ValidationSuite) -> DataFrame:
         """Explode failing (row, constraint) pairs. Single scan; only failing
         rows survive the pre-explode filter."""
+        if not suite.row_constraints:
+            return self.spark.createDataFrame(
+                [],
+                "conv_id string, turn_idx int, part_id int, constraint_id string, observed_value string",
+            )
         arr = violation_array(suite.row_constraints)
         compact = F.filter(arr, lambda x: x.isNotNull())
         exploded = (
@@ -94,6 +99,10 @@ class ValidationEngine:
     def row_verdicts(self, df: DataFrame, suite: ValidationSuite) -> DataFrame:
         """Per (part_id, constraint) fail counts WITHOUT materializing
         violation rows: sum of 0/1 flags, partial-aggregated map-side."""
+        if not suite.row_constraints:
+            return self.spark.createDataFrame(
+                [], "part_id int, constraint_id string, ok boolean, violation_count long"
+            )
         flags = fail_flags(suite.row_constraints)
         agg = df.select(F.col(suite.partition_col).alias("part_id"), *flags).groupBy(
             "part_id"

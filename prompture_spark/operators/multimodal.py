@@ -1,0 +1,171 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+The reference treats media as driver-side attachments to LLM calls
+(prompture/media/*, out of data-processing scope); a training-data pipeline
+at 100 TB instead carries media as columns: ``content: binary`` plus typed
+metadata, processed by Arrow-batched ``mapInPandas`` stages.
+
+The Spark-side plumbing here is REAL and tested — schemas, partition-size
+control, UDF signatures, Arrow batch shapes, error routing. The actual codec
+work (JPEG decode, audio resample, video frame extraction) is STUBBED behind
+``_decode_image``/`_decode_audio`` with a deterministic fake, because no
+image/audio libraries exist in this container; swapping in Pillow/ffmpeg
+changes one pure function per modality and nothing in the plan.
+
+Design points that matter at scale:
+  * media rows are fat (KB..MB) — ``media_repartition`` targets a byte
+    budget per task, not a row count, so executors don't OOM on skewed blobs;
+  * decode runs in ``mapInPandas`` (one Python worker per task, Arrow
+    zero-copy batches), never a per-row UDF;
+  * corrupt payloads become ``error`` rows (violation routing, like the
+    engine) instead of failing the stage.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_sha256", T.StringType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def _decode_image(payload: bytes) -> tuple[int, int, int]:
+    """STUB: deterministic fake decoder.
+
+    Real implementation: ``PIL.Image.open(io.BytesIO(payload)).size`` — the
+    container has no imaging library, so dimensions are derived from the
+    payload hash. Raises on empty payloads the way a real decoder raises on
+    truncated files (exercises the error-routing path)."""
+    if not payload:
+        raise ValueError("empty payload")
+    h = hashlib.sha256(payload).digest()
+    return 16 + h[0] % 2032, 16 + h[1] % 2032, 1 + h[2] % 4
+
+
+def synth_media(spark, n: int = 256, seed: int = 42) -> DataFrame:
+    """Deterministic synthetic media table (binary payload = hash bytes)."""
+    df = spark.range(n).select(
+        F.col("id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(F.xxhash64("id", F.lit(seed)), 3) + 1).cast("int"),
+        ).alias("kind"),
+        F.when(
+            F.pmod(F.xxhash64("id", F.lit(seed + 1)), 17) == 0, F.lit(None)
+        )  # ~6% corrupt rows exercise the error path
+        .otherwise(
+            F.sha2(F.concat(F.lit("payload-"), F.col("id").cast("string")), 256).cast(
+                "binary"
+            )
+        )
+        .alias("content"),
+        F.lit("application/octet-stream").alias("mime"),
+    )
+    return df.withColumn("n_bytes", F.coalesce(F.length("content").cast("long"), F.lit(0)))
+
+
+def media_repartition(df: DataFrame, target_task_bytes: int = 64 << 20) -> DataFrame:
+    """Partition by byte budget: Σ n_bytes / target — never by row count.
+
+    At 100 TB a row-count split puts a thousand 4 MB videos in one task and a
+    thousand 4 KB icons in another; byte budgeting keeps task memory flat."""
+    total = df.agg(F.sum("n_bytes")).collect()[0][0] or 1
+    n_parts = max(1, int(total / target_task_bytes))
+    return df.repartition(n_parts, "media_id")
+
+
+def extract_image_features(df: DataFrame, batch_size: int = 512) -> DataFrame:
+    """mapInPandas decode → (dims, channels, content hash, error)."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    w, h, c = _decode_image(bytes(payload) if payload is not None else b"")
+                    out.append(
+                        (mid, w, h, c, hashlib.sha256(bytes(payload)).hexdigest(), None)
+                    )
+                except Exception as e:  # corrupt media -> error row, stage survives
+                    out.append((mid, None, None, None, None, str(e)))
+            yield pd.DataFrame(
+                out, columns=["media_id", "width", "height", "channels", "sha256", "error"]
+            )
+
+    return df.filter(F.col("kind") == "image").mapInPandas(
+        _extract, IMAGE_FEATURES_SCHEMA
+    )
+
+
+def resize_images(df: DataFrame, max_side: int = 256) -> DataFrame:
+    """STUB resize: real impl re-encodes the payload; the stub scales the fake
+    dimensions, keeping the plan (decode → transform → re-emit) intact."""
+    feats = extract_image_features(df)
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(max_side) / F.greatest(F.col("width"), F.col("height")).cast("double"),
+    )
+    return feats.filter(F.col("error").isNull()).select(
+        "media_id",
+        F.round(F.col("width") * scale).cast("int").alias("width"),
+        F.round(F.col("height") * scale).cast("int").alias("height"),
+        "channels",
+        "sha256",
+    )
+
+
+def sample_video_frames(df: DataFrame, every_n: int = 10, max_frames: int = 8) -> DataFrame:
+    """STUB frame sampler: real impl seeks the container every N frames; the
+    stub derives per-frame hashes from the payload. Output is long-form
+    (media_id, frame_idx, hash) — the shape a caption/embedding stage joins on."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["content"]):
+                if payload is None or len(bytes(payload)) == 0:
+                    rows.append((mid, None, None, "empty payload"))
+                    continue
+                b = bytes(payload)
+                n_frames = min(max_frames, 1 + b[0] % max_frames)
+                for i in range(n_frames):
+                    fh = hashlib.sha256(b + str(i * every_n).encode()).hexdigest()
+                    rows.append((mid, i * every_n, fh, None))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "frame_sha256", "error"]
+            )
+
+    return df.filter(F.col("kind") == "video").mapInPandas(_sample, FRAME_SAMPLE_SCHEMA)

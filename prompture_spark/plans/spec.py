@@ -90,12 +90,15 @@ class Range(RowConstraint):
 
     def predicate(self) -> Column:
         c = F.col(self.column)
+        # try_cast: ANSI mode would otherwise throw on non-numeric strings;
+        # an uncastable value cannot be inside the range -> violation.
+        v = c.try_cast("double")
         p = F.lit(True)
         if self.lo is not None:
-            p = p & (c >= F.lit(self.lo))
+            p = p & (v >= F.lit(float(self.lo)))
         if self.hi is not None:
-            p = p & (c <= F.lit(self.hi))
-        return (c.isNull() & F.lit(self.nullable)) | (c.isNotNull() & p)
+            p = p & (v <= F.lit(float(self.hi)))
+        return (c.isNull() & F.lit(self.nullable)) | (v.isNotNull() & p)
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,166 @@
+"""Declarative suite specs (JSON) → compiled suites → one verdict table.
+
+Spark restatement of the reference's spec-suite harness:
+  * spec shape mirrors ``specs/schema_validation.json`` ``{meta, tests[]}``
+    run by ``run_suite_from_spec`` (prompture/cli/runner.py:10-48): the
+    triple loop over (test, model, input) becomes one engine run per suite
+    over all partitions, keyed (suite, constraint, partition);
+  * field-definition files ``{name: {type, nullable, enum?, min?, max?,
+    pattern?}}`` (prompture/extraction/tools.py:851-919
+    ``load_field_definitions`` + validation) compile to row constraints;
+  * the ``json_schema`` constraint type validates a JSON-text column with
+    full JSON-Schema fidelity through the single sanctioned pandas UDF
+    (functions/jsonschema_udf.py ≙ validator.py:10-31).
+
+Per-case failure isolation (runner.py:97-108): a failing constraint never
+aborts the run — it is a verdict row with ok=false.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from prompture_spark.plans.spec import (
+    InSet,
+    MaxLength,
+    Monotonic,
+    NonEmpty,
+    NotNull,
+    Range,
+    Referential,
+    Regex,
+    RowConstraint,
+    RowExpr,
+    Unique,
+    ValidationSuite,
+)
+
+
+@dataclass(frozen=True)
+class JsonSchema(RowConstraint):
+    """Row constraint: column text must parse as JSON valid under ``schema``.
+
+    The only constraint whose predicate is a pandas UDF (Arrow batches);
+    everything else stays JVM-side."""
+
+    schema: str = "{}"  # JSON-encoded (dataclass hashability)
+
+    def predicate(self) -> Column:
+        from prompture_spark.functions.jsonschema_udf import json_schema_check
+
+        return json_schema_check(F.col(self.column), json.loads(self.schema)).ok
+
+    def observed(self) -> Column:
+        return F.col(self.column).cast("string")
+
+
+_TYPE_CHECK_EXPR = {
+    # declared type -> SQL predicate template over {col} (try_cast semantics:
+    # a value is type-conformant if it casts)
+    "int": "try_cast({col} AS BIGINT) IS NOT NULL",
+    "float": "try_cast({col} AS DOUBLE) IS NOT NULL",
+    "bool": "try_cast({col} AS BOOLEAN) IS NOT NULL",
+    "str": "TRUE",
+    "datetime": "try_cast({col} AS TIMESTAMP) IS NOT NULL",
+}
+
+
+def constraint_from_field_def(name: str, spec: dict) -> list[RowConstraint]:
+    """One field-definition entry → row constraints (fields.py registry
+    semantics: nullable flag, enum whitelist, numeric bounds, regex)."""
+    out: list[RowConstraint] = []
+    nullable = bool(spec.get("nullable", False))
+    if not nullable:
+        out.append(NotNull(f"{name}_not_null", name))
+    if spec.get("enum"):
+        out.append(InSet(f"{name}_enum", name, values=tuple(spec["enum"]), nullable=nullable))
+    if spec.get("pattern"):
+        out.append(Regex(f"{name}_pattern", name, pattern=spec["pattern"], nullable=nullable))
+    if "min" in spec or "max" in spec:
+        out.append(
+            Range(f"{name}_range", name, lo=spec.get("min"), hi=spec.get("max"), nullable=nullable)
+        )
+    if spec.get("max_length"):
+        out.append(MaxLength(f"{name}_max_length", name, hi=int(spec["max_length"])))
+    ftype = spec.get("type")
+    if ftype and ftype in _TYPE_CHECK_EXPR and ftype != "str":
+        cond = _TYPE_CHECK_EXPR[ftype].format(col=name)
+        out.append(
+            RowExpr(
+                f"{name}_type_{ftype}", name,
+                sql=f"{name} IS NULL OR ({cond})" if nullable else f"{name} IS NOT NULL AND ({cond})",
+            )
+        )
+    if spec.get("json_schema"):
+        out.append(
+            JsonSchema(f"{name}_json_schema", name, schema=json.dumps(spec["json_schema"]))
+        )
+    return out
+
+
+def load_field_definitions(path_or_dict) -> list[RowConstraint]:
+    """tools.py:851-884: parse a field-definition JSON file → constraints."""
+    if isinstance(path_or_dict, str):
+        with open(path_or_dict) as f:
+            defs = json.load(f)
+    else:
+        defs = path_or_dict
+    out: list[RowConstraint] = []
+    for name, spec in defs.items():
+        out.extend(constraint_from_field_def(name, spec))
+    return out
+
+
+_TABLE_TYPES = {
+    "unique": lambda cid, s: Unique(cid, keys=tuple(s["keys"])),
+    "referential": lambda cid, s: Referential(
+        cid, column=s["column"], catalog=tuple(s["catalog"]), nullable=s.get("nullable", True)
+    ),
+    "monotonic": lambda cid, s: Monotonic(
+        cid,
+        group_by=s.get("group_by", "conv_id"),
+        order_col=s.get("order_col", "ts"),
+        sort_keys=tuple(s.get("sort_keys", ("turn_idx", "ts"))),
+    ),
+}
+
+
+def suite_from_spec(spec: dict) -> ValidationSuite:
+    """``{name, partition_col?, fields: {...}, table_constraints: [...]}``
+    → compiled ValidationSuite."""
+    rows = load_field_definitions(spec.get("fields", {}))
+    for extra in spec.get("row_constraints", []):
+        rows.append(
+            RowExpr(extra["id"], extra.get("column", "text"), sql=extra["sql"])
+        )
+    tables = []
+    for tc in spec.get("table_constraints", []):
+        kind = tc["kind"]
+        tables.append(_TABLE_TYPES[kind](tc["id"], tc))
+    return ValidationSuite(
+        name=spec["name"],
+        row_constraints=tuple(rows),
+        table_constraints=tuple(tables),
+        partition_col=spec.get("partition_col", "part_id"),
+    )
+
+
+def run_suites(
+    spark: SparkSession, df: DataFrame, specs: list[dict]
+) -> DataFrame:
+    """Run every suite; return the combined verdict table keyed
+    (suite, part_id, constraint_id) — the reference's per-case result list
+    (runner.py:85-95) grouped by partition."""
+    from prompture_spark.operators.engine import ValidationEngine
+
+    eng = ValidationEngine(spark)
+    out = None
+    for spec in specs:
+        suite = suite_from_spec(spec) if isinstance(spec, dict) else spec
+        v = eng.verdicts(df, suite).withColumn("suite", F.lit(suite.name))
+        out = v if out is None else out.unionByName(v)
+    return out.select("suite", "part_id", "constraint_id", "ok", "violation_count")

@@ -801,3 +801,252 @@ def q_customers_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 4).alias("total_acctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q: message-search & step filters (F1/F2/F3), ordered windows (W3/W5),
+#    chunk merge (A10), budget (A4), scrub (F11), spec-suite runner (§3.2)
+# ---------------------------------------------------------------------------
+
+_SEARCH_ORACLE = (
+    ORACLE_TRANSCRIPTS_CTE
+    + """
+SELECT conv_id, turn_idx, role, text
+FROM transcripts
+WHERE role IN ('user', 'assistant')
+  AND text IS NOT NULL AND contains(lower(text), 'error')
+  AND tool IS NULL
+"""
+)
+
+
+@register("message_search", _SEARCH_ORACLE)
+def q_message_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 (persistence/history.py:89-155): role-set + case-insensitive
+    substring + tool-presence filter — pure pushdown-friendly predicates."""
+    df = transcripts_from_events(spark, sf_dir)
+    return df.filter(
+        F.col("role").isin("user", "assistant")
+        & F.col("text").isNotNull()
+        & F.lower(F.col("text")).contains("error")
+        & F.col("tool").isNull()
+    ).select("conv_id", "turn_idx", "role", "text")
+
+
+_STEP_FILTER_ORACLE = """
+SELECT event_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, value
+FROM events
+WHERE event_type IN ('click', 'purchase')
+  AND ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00'
+ORDER BY ts DESC, event_id DESC LIMIT 50
+"""
+
+
+@register("step_filter_time_range", _STEP_FILTER_ORACLE)
+def q_step_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/F3 (history.py:16-86, tracker.py:463-519): type-set + time-range
+    filter + ORDER BY ts DESC LIMIT — TakeOrderedAndProject, no full sort."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.filter(
+            F.col("event_type").isin("click", "purchase")
+            & F.col("ts").between("2024-01-05 00:00:00", "2024-01-20 00:00:00")
+        )
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(50)
+        .select(
+            "event_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            "value",
+        )
+    )
+
+
+_SLIDING_ORACLE = (
+    ORACLE_TRANSCRIPTS_CTE
+    + """
+SELECT conv_id, turn_idx, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+FROM (
+  SELECT conv_id, turn_idx, ts,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx DESC, ts DESC) AS rn
+  FROM transcripts
+) WHERE rn <= 5
+"""
+)
+
+
+@register("sliding_history_last5", _SLIDING_ORACLE)
+def q_sliding_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 (agents/conversation.py:458-470): keep the last N turns per
+    conversation — reverse-ordered row_number window."""
+    from pyspark.sql.window import Window
+
+    df = transcripts_from_events(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy(F.desc("turn_idx"), F.desc("ts"))
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "conv_id", "turn_idx", F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s")
+        )
+    )
+
+
+_CHUNK_MERGE_ORACLE = (
+    ORACLE_TRANSCRIPTS_CTE
+    + """
+SELECT conv_id,
+       string_agg(text, ' ' ORDER BY turn_idx, ts) AS merged_text,
+       CAST(count(*) AS BIGINT) AS n_chunks
+FROM transcripts GROUP BY conv_id
+"""
+)
+
+
+@register("chunk_merge_fold", _CHUNK_MERGE_ORACLE)
+def q_chunk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 (extraction/core.py:883-908): fold chunk results in chunk order —
+    sort_array over collected (order-key, value) structs keeps the merge
+    deterministic under any parallelism; concat_ws skips null chunks the way
+    the reference skips empty chunk fields."""
+    df = transcripts_from_events(spark, sf_dir)
+    return df.groupBy("conv_id").agg(
+        F.nullif(  # all-null group: match SQL string_agg's NULL, not ''
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("turn_idx", "ts", "text"))),
+                    lambda x: x["text"],
+                ),
+            ),
+            F.lit(""),
+        ).alias("merged_text"),
+        F.count(F.lit(1)).alias("n_chunks"),
+    )
+
+
+_BUDGET_ORACLE = """
+SELECT user_id,
+       round(sum(value), 4) AS spent,
+       round(sum(value), 4) > 500.0 AS exceeded
+FROM events GROUP BY user_id
+"""
+
+
+@register("budget_check", _BUDGET_ORACLE)
+def q_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 (infra/tracker.py:636-692, budget.py:48-80): per-scope spend vs
+    limit with exceeded flag."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    spent = F.round(F.sum("value"), 4)
+    return ev.groupBy("user_id").agg(
+        spent.alias("spent"), (spent > 500.0).alias("exceeded")
+    )
+
+
+_LATENCY_ORACLE = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(min(value), 6) AS min_v,
+       round(max(value), 6) AS max_v,
+       round(avg(value), 6) AS avg_v
+FROM events GROUP BY event_type
+"""
+
+
+@register("latency_percentiles", _LATENCY_ORACLE)
+def q_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 (infra/session.py:167-179): min/max/avg/p50/p95 per group — exact
+    percentile for oracle parity; production uses percentile_approx."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.min("value"), 6).alias("min_v"),
+        F.round(F.max("value"), 6).alias("max_v"),
+        F.round(F.avg("value"), 6).alias("avg_v"),
+    )
+
+
+_SCRUB_ORACLE = """
+SELECT event_id, 'note' AS kept_keys FROM events
+"""
+
+
+@register("sensitive_key_scrub", _SCRUB_ORACLE)
+def q_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 (persistence/serialization.py:22-39): drop map keys containing
+    api_key/secret/token — map_filter on a MapType column."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    m = F.create_map(
+        F.lit("api_key"), F.col("props"),
+        F.lit("secret_token"), F.col("props"),
+        F.lit("note"), F.col("props"),
+    )
+    sensitive = r"(api_key|secret|token|password|credential)"
+    scrubbed = F.map_filter(m, lambda k, _: ~k.rlike(sensitive))
+    return ev.select(
+        "event_id",
+        F.concat_ws(",", F.array_sort(F.map_keys(scrubbed))).alias("kept_keys"),
+    )
+
+
+_SUITE_ORACLE = """
+WITH wrapped AS (
+  SELECT user_id % 8 AS part_id,
+         CASE
+           WHEN event_id % 3 = 0 THEN props
+           WHEN event_id % 3 = 1 THEN 'garbage ' || props
+           ELSE '```' || props || '```'
+         END AS payload
+  FROM events
+),
+fails AS (
+  SELECT part_id,
+         sum(CASE WHEN payload IS NULL THEN 1 ELSE 0 END) AS nn,
+         sum(CASE WHEN payload IS NULL THEN 1
+                  WHEN NOT json_valid(payload) THEN 1
+                  WHEN json_extract(payload, '$.k') IS NULL THEN 1
+                  WHEN json_type(json_extract(payload, '$.k')) NOT IN ('INTEGER','UBIGINT','BIGINT') THEN 1
+                  ELSE 0 END) AS js
+  FROM wrapped GROUP BY part_id
+)
+SELECT 'payloads_v1' AS suite, part_id, c.constraint_id,
+       CASE c.constraint_id WHEN 'payload_not_null' THEN nn ELSE js END = 0 AS ok,
+       CAST(CASE c.constraint_id WHEN 'payload_not_null' THEN nn ELSE js END AS BIGINT) AS violation_count
+FROM fails CROSS JOIN (VALUES ('payload_not_null'), ('payload_json_schema')) c(constraint_id)
+"""
+
+
+@register("suite_runner_json_schema", _SUITE_ORACLE)
+def q_suite_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.2 run_suite_from_spec + the jsonschema pandas UDF (the one Python
+    row path): spec-compiled suite over a JSON-text column; the oracle
+    restates JSON-Schema 'required integer k' with DuckDB json functions."""
+    from prompture_spark.plans.suite_runner import run_suites
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    m = F.col("event_id") % 3
+    wrapped = ev.select(
+        F.pmod(F.col("user_id"), F.lit(8)).cast("int").alias("part_id"),
+        F.when(m == 0, F.col("props"))
+        .when(m == 1, F.concat(F.lit("garbage "), F.col("props")))
+        .otherwise(F.concat(F.lit("```"), F.col("props"), F.lit("```")))
+        .alias("payload"),
+    )
+    spec = {
+        "name": "payloads_v1",
+        "fields": {
+            "payload": {
+                "nullable": False,
+                "json_schema": {
+                    "type": "object",
+                    "required": ["k"],
+                    "properties": {"k": {"type": "integer"}},
+                },
+            }
+        },
+    }
+    return run_suites(spark, wrapped, [spec])

@@ -1,0 +1,53 @@
+"""Multimodal plumbing tests: schema, Arrow batch shape, byte-budget
+partitioning, error routing. Decode itself is a documented stub."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from prompture_spark.operators import multimodal as mm
+
+
+def test_synth_media_deterministic(spark):
+    a = mm.synth_media(spark, 128).collect()
+    b = mm.synth_media(spark, 128).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    kinds = {r.kind for r in a}
+    assert kinds == {"image", "audio", "video"}
+
+
+def test_image_features_and_error_routing(spark):
+    media = mm.synth_media(spark, 256)
+    feats = mm.extract_image_features(media)
+    rows = feats.collect()
+    assert len(rows) == media.filter(F.col("kind") == "image").count()
+    ok = [r for r in rows if r.error is None]
+    bad = [r for r in rows if r.error is not None]
+    assert ok and bad  # corrupt payloads became error rows, stage survived
+    assert all(16 <= r.width <= 2048 and 1 <= r.channels <= 4 for r in ok)
+    assert all(len(r.sha256) == 64 for r in ok)
+
+
+def test_resize_bounds(spark):
+    media = mm.synth_media(spark, 256)
+    resized = mm.resize_images(media, max_side=64).collect()
+    assert resized
+    assert all(max(r.width, r.height) <= 64 for r in resized)
+
+
+def test_frame_sampling_long_form(spark):
+    media = mm.synth_media(spark, 256)
+    frames = mm.sample_video_frames(media, every_n=5, max_frames=4)
+    rows = frames.filter(F.col("error").isNull()).collect()
+    assert rows
+    assert all(r.frame_idx % 5 == 0 and r.frame_idx < 4 * 5 for r in rows)
+    per_media = frames.filter(F.col("error").isNull()).groupBy("media_id").count()
+    assert per_media.agg(F.max("count")).collect()[0][0] <= 4
+
+
+def test_media_repartition_by_bytes(spark):
+    media = mm.synth_media(spark, 512)
+    # 512 rows x 32B payloads, 2KB budget -> multiple partitions
+    out = mm.media_repartition(media, target_task_bytes=2048)
+    assert out.rdd.getNumPartitions() >= 4
+    assert out.count() == 512

@@ -1,0 +1,111 @@
+"""Spec-suite runner tests (runner.py/run_suite_from_spec semantics +
+field-definition compilation + JSON-Schema constraint via pandas UDF)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from prompture_spark.plans.suite_runner import (
+    constraint_from_field_def,
+    run_suites,
+    suite_from_spec,
+)
+
+
+def test_field_def_compilation():
+    cs = constraint_from_field_def(
+        "age",
+        {"type": "int", "nullable": False, "min": 0, "max": 130},
+    )
+    ids = {c.constraint_id for c in cs}
+    assert ids == {"age_not_null", "age_range", "age_type_int"}
+
+
+def test_suite_from_spec_runs(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "alice", "30", "red"),
+            (0, "bob", "notanum", "blue"),
+            (1, None, "25", "green"),   # name null
+            (1, "carol", "-3", "red"),  # age below min
+        ],
+        "part_id int, name string, age string, color string",
+    )
+    spec = {
+        "name": "people_v1",
+        "fields": {
+            "name": {"type": "str", "nullable": False},
+            "age": {"type": "int", "nullable": False, "min": 0, "max": 130},
+            "color": {"enum": ["red", "green", "blue"], "nullable": False},
+        },
+    }
+    verdicts = run_suites(spark, df, [spec])
+    as_map = {
+        (r.part_id, r.constraint_id): r.violation_count for r in verdicts.collect()
+    }
+    assert as_map[(0, "age_type_int")] == 1          # 'notanum'
+    assert as_map[(1, "name_not_null")] == 1
+    assert as_map[(1, "age_range")] == 1             # -3
+    assert as_map[(0, "color_enum")] == 0
+
+
+def test_json_schema_constraint_in_suite(spark):
+    df = spark.createDataFrame(
+        [
+            (0, '{"k": 1}'),
+            (0, '{"k": "not-int"}'),
+            (1, "not json at all"),
+            (1, '{"other": 2}'),
+        ],
+        "part_id int, payload string",
+    )
+    spec = {
+        "name": "json_v1",
+        "fields": {
+            "payload": {
+                "nullable": False,
+                "json_schema": {
+                    "type": "object",
+                    "required": ["k"],
+                    "properties": {"k": {"type": "integer"}},
+                },
+            }
+        },
+    }
+    verdicts = run_suites(spark, df, [spec])
+    vc = {
+        (r.part_id, r.constraint_id): (r.ok, r.violation_count)
+        for r in verdicts.collect()
+    }
+    assert vc[(0, "payload_json_schema")] == (False, 1)
+    assert vc[(1, "payload_json_schema")] == (False, 2)
+
+
+def test_multiple_suites_one_result_table(spark):
+    df = spark.createDataFrame([(0, "x")], "part_id int, name string")
+    s1 = {"name": "a", "fields": {"name": {"nullable": False}}}
+    s2 = {"name": "b", "fields": {"name": {"max_length": 1}}}
+    out = run_suites(spark, df, [s1, s2])
+    assert {r.suite for r in out.collect()} == {"a", "b"}
+
+
+def test_table_constraints_from_spec(spark):
+    from prompture_spark.sources.transcripts import generate_transcripts
+
+    df = generate_transcripts(spark, 5000, n_convs=50, seed=3)
+    spec = {
+        "name": "t",
+        "fields": {},
+        "table_constraints": [
+            {"kind": "unique", "id": "uq", "keys": ["conv_id", "turn_idx"]},
+            {"kind": "referential", "id": "ref", "column": "tool",
+             "catalog": ["click", "view", "purchase", "signup", "error"]},
+            {"kind": "monotonic", "id": "mono"},
+        ],
+    }
+    suite = suite_from_spec(spec)
+    assert [c.constraint_id for c in suite.table_constraints] == ["uq", "ref", "mono"]
+    verdicts = run_suites(spark, df, [spec])
+    assert verdicts.filter(F.col("constraint_id") == "ref").count() > 0
