@@ -225,9 +225,20 @@ class ValidationEngine:
             F.lag("turn_idx").over(w).alias("_pti"),
             F.lag(F.col(mono.order_col)).over(w).alias("_prev"),
         )
-        mono_v = base.filter(
-            F.col("_prev").isNotNull() & (F.col(mono.order_col) < F.col("_prev"))
-        ).select(
+        is_mono = F.col("_prev").isNotNull() & (F.col(mono.order_col) < F.col("_prev"))
+        is_dup = F.col("_pti").isNotNull() & (F.col("turn_idx") == F.col("_pti"))
+        # Filter down to flagged rows (~defect rate) and persist: without
+        # this, Catalyst prunes the two output branches into two DIFFERENT
+        # window plans and the conv_id shuffle + sort runs twice.
+        events = base.filter(is_mono | is_dup).select(
+            "conv_id",
+            "turn_idx",
+            "part_id",
+            F.col(mono.order_col),
+            is_mono.alias("_is_mono"),
+            is_dup.alias("_is_dup"),
+        ).persist()
+        mono_v = events.filter("_is_mono").select(
             "conv_id",
             "turn_idx",
             "part_id",
@@ -237,7 +248,7 @@ class ValidationEngine:
         # k duplicates of a key flag k-1 rows; re-aggregate the (tiny) flagged
         # stream to report one violation per key with its multiplicity.
         dup_v = (
-            base.filter(F.col("_pti").isNotNull() & (F.col("turn_idx") == F.col("_pti")))
+            events.filter("_is_dup")
             .groupBy("conv_id", "turn_idx", "part_id")
             .agg((F.count(F.lit(1)) + 1).alias("_k"))
             .select(

@@ -1,0 +1,102 @@
+"""Physical-plan assertions: the plan shape IS the scale contract.
+
+These tests pin the properties that make the engine viable at 100 TB —
+pushdown reaching the scan, broadcast (not shuffle) joins for dimensions,
+top-k without a full sort, map-side partial aggregation, exchange reuse in
+the fused sequencing check — so a regression in plan quality fails CI even
+though results stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from prompture_spark.operators.engine import ValidationEngine
+from prompture_spark.operators.stats import column_stats
+from prompture_spark.plans.spec import default_transcript_suite
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def parquet_transcripts(spark, tmp_path_factory):
+    from prompture_spark.sources.transcripts import generate_transcripts
+
+    path = str(tmp_path_factory.mktemp("plans") / "t.parquet")
+    generate_transcripts(spark, 10000, n_convs=100, seed=2).write.parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_referential_check_is_broadcast_anti_join(spark, parquet_transcripts):
+    eng = ValidationEngine(spark)
+    suite = default_transcript_suite()
+    p = plan_of(eng.referential_violations(parquet_transcripts, suite.table_constraints[1], "part_id"))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "SortMergeJoin" not in p  # the fact side must never shuffle
+    assert "PushedFilters: [IsNotNull(tool)]" in p  # null filter reaches the scan
+
+
+def test_stats_prunes_columns_and_partial_aggregates(spark, parquet_transcripts):
+    p = plan_of(column_stats(parquet_transcripts, exact=False))
+    # only the needed columns are read — never turn_idx/tool/ts
+    read_schema = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    assert "turn_idx" not in read_schema and "tool" not in read_schema
+    assert "partial" in p.lower()  # map-side combine before the shuffle
+
+
+def test_topk_avoids_full_sort(spark, sf_small):
+    ev = spark.read.parquet(f"{sf_small}/events.parquet")
+    p = plan_of(ev.orderBy(F.desc("ts")).limit(100))
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p  # no global sort shuffle
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_small):
+    ev = spark.read.parquet(f"{sf_small}/events.parquet")
+    q = ev.filter(
+        F.col("event_type").isin("click", "purchase") & (F.col("value") > 10)
+    ).select("event_id", "value")
+    p = plan_of(q)
+    assert "PushedFilters:" in p and "In(event_type" in p and "GreaterThan(value" in p
+    read_schema = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    assert "props" not in read_schema and "user_id" not in read_schema
+
+
+def test_fused_sequencing_single_exchange(spark, parquet_transcripts):
+    eng = ValidationEngine(spark)
+    suite = default_transcript_suite()
+    uq = suite.table_constraints[0]
+    mono = suite.table_constraints[2]
+    p = plan_of(eng.sequencing_violations(parquet_transcripts, uq, mono, "part_id"))
+    # one conv_id shuffle total: the flagged-event stream is persisted and
+    # both output branches read it (InMemoryTableScan), or the exchange is
+    # reused — never two independent window plans
+    single_shuffle = (
+        p.count("Exchange hashpartitioning(conv_id") <= 1
+        or "ReusedExchange" in p
+        or "InMemoryTableScan" in p
+    )
+    assert single_shuffle, p[:2000]
+
+
+def test_row_constraints_stay_in_codegen(spark, parquet_transcripts):
+    eng = ValidationEngine(spark)
+    suite = default_transcript_suite()
+    p = plan_of(eng.row_violations(parquet_transcripts, suite))
+    assert "codegen id" in p  # formatted-mode marker for whole-stage codegen
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p  # no Python in row path
+
+
+def test_broadcast_dim_join_in_star_query(spark, sf_small):
+    from prompture_spark.queries import q_customers_per_region
+
+    p = plan_of(q_customers_per_region(spark, sf_small))
+    # nation and region both broadcast (plan text lists each node twice:
+    # tree summary + detail section)
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
