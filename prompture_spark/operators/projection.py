@@ -1,0 +1,76 @@
+"""Field projection & pairing operators.
+
+  * ``extract_fields`` — F10 (prompture/extraction/tools.py:756-843): pick a
+    subset of columns with alias awareness (``finfo.alias or fname``) and a
+    missing-field policy: 'skip' drops absent fields from the projection,
+    'none' fills them with typed nulls, 'error' raises at plan time (the
+    reference raises per call). Unknown-key detection (req − valid_fields,
+    tools.py:790-794) falls out as the returned ``unknown`` list.
+
+  * ``pair_tool_calls`` — J3 (prompture/persistence/history.py:183-199):
+    positional pairing of tool_call turns with the following tool_result
+    turn, restated as a ``lead()`` window over the in-conversation order —
+    never a self-join shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def extract_fields(
+    df: DataFrame,
+    fields: dict[str, dict],
+    missing: str = "skip",
+) -> tuple[DataFrame, list[str]]:
+    """``fields``: {out_name: {source?: str, type?: str}}; returns the
+    projected frame plus the list of requested-but-absent source columns."""
+    cols = []
+    unknown: list[str] = []
+    existing = set(df.columns)
+    for out_name, spec in fields.items():
+        src = spec.get("source", out_name)
+        if src in existing:
+            c = F.col(src)
+            if spec.get("type"):
+                c = c.cast(spec["type"])
+            cols.append(c.alias(out_name))
+        else:
+            unknown.append(src)
+            if missing == "error":
+                raise KeyError(f"missing field: {src}")
+            if missing == "none":
+                cols.append(F.lit(None).cast(spec.get("type", "string")).alias(out_name))
+            # 'skip': omit entirely
+    return df.select(*cols), unknown
+
+
+def pair_tool_calls(
+    df: DataFrame,
+    group_col: str = "conv_id",
+    order_cols: tuple[str, ...] = ("turn_idx", "ts"),
+) -> DataFrame:
+    """Pair each tool-role turn (the call) with the immediately following
+    turn in the same conversation (the result), J3 semantics. Output:
+    (conv_id, call_turn_idx, tool, result_turn_idx, result_role,
+    result_text); unpaired calls keep null result columns."""
+    w = Window.partitionBy(group_col).orderBy(*[F.col(c) for c in order_cols])
+    with_next = df.select(
+        group_col,
+        "turn_idx",
+        "role",
+        "tool",
+        F.lead("turn_idx").over(w).alias("result_turn_idx"),
+        F.lead("role").over(w).alias("result_role"),
+        F.lead("text").over(w).alias("result_text"),
+    )
+    return with_next.filter(F.col("role") == "tool").select(
+        group_col,
+        F.col("turn_idx").alias("call_turn_idx"),
+        "tool",
+        "result_turn_idx",
+        "result_role",
+        "result_text",
+    )

@@ -102,6 +102,34 @@ def constraint_from_field_def(name: str, spec: dict) -> list[RowConstraint]:
     return out
 
 
+def substitute_template_vars(spec, now=None):
+    """C15 (prompture/extraction/fields.py:24-56): ``{{current_year}}``,
+    ``{{current_date}}``, ``{{current_datetime}}`` substituted into string
+    values at spec-load time. ``now`` is injectable for deterministic tests
+    (and because workflow scripts must not call datetime.now implicitly)."""
+    import datetime as _dt
+
+    now = now or _dt.datetime(2026, 1, 1)
+    subs = {
+        "{{current_year}}": str(now.year),
+        "{{current_date}}": now.date().isoformat(),
+        "{{current_datetime}}": now.isoformat(sep=" "),
+    }
+
+    def _walk(v):
+        if isinstance(v, str):
+            for k, s in subs.items():
+                v = v.replace(k, s)
+            return v
+        if isinstance(v, dict):
+            return {k: _walk(x) for k, x in v.items()}
+        if isinstance(v, list):
+            return [_walk(x) for x in v]
+        return v
+
+    return _walk(spec)
+
+
 def load_field_definitions(path_or_dict) -> list[RowConstraint]:
     """tools.py:851-884: parse a field-definition JSON file → constraints."""
     if isinstance(path_or_dict, str):

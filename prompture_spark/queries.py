@@ -1050,3 +1050,83 @@ def q_suite_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     }
     return run_suites(spark, wrapped, [spec])
+
+
+# ---------------------------------------------------------------------------
+# Q: field projection (F10), tool call↔result pairing (J3), attempt
+#    accounting (A11)
+# ---------------------------------------------------------------------------
+
+_PROJ_ORACLE = """
+SELECT user_id AS uid, event_type AS kind, CAST(value AS DOUBLE) AS amount,
+       CAST(NULL AS STRING) AS note
+FROM events
+"""
+
+
+@register("field_projection", _PROJ_ORACLE)
+def q_field_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 extract_fields: alias-aware subset with 'none' missing policy."""
+    from prompture_spark.operators.projection import extract_fields
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out, unknown = extract_fields(
+        ev,
+        {
+            "uid": {"source": "user_id"},
+            "kind": {"source": "event_type"},
+            "amount": {"source": "value", "type": "double"},
+            "note": {"source": "not_a_column"},
+        },
+        missing="none",
+    )
+    assert unknown == ["not_a_column"]
+    return out
+
+
+_PAIRS_ORACLE = (
+    ORACLE_TRANSCRIPTS_CTE
+    + """
+SELECT conv_id, turn_idx AS call_turn_idx, tool,
+       result_turn_idx, result_role, result_text
+FROM (
+  SELECT conv_id, turn_idx, role, tool,
+         lead(turn_idx) OVER w AS result_turn_idx,
+         lead(role) OVER w AS result_role,
+         lead(text) OVER w AS result_text
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, ts)
+) WHERE role = 'tool'
+"""
+)
+
+
+@register("tool_call_pairs", _PAIRS_ORACLE)
+def q_tool_call_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 (history.py:183-199): positional call→result pairing as a lead()
+    window — no self-join shuffle."""
+    from prompture_spark.operators.projection import pair_tool_calls
+
+    df = transcripts_from_events(spark, sf_dir)
+    return pair_tool_calls(df)
+
+
+_ATTEMPTS_ORACLE = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS attempts,
+       CAST(sum(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) AS BIGINT) AS non_error_attempts,
+       round(sum(value), 4) AS total_cost
+FROM events GROUP BY user_id
+"""
+
+
+@register("attempt_accounting", _ATTEMPTS_ORACLE)
+def q_attempt_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 (extraction/core.py:1745-1775): totals across attempts with
+    status-filtered counting."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("attempts"),
+        F.sum(F.when(F.col("event_type") != "error", 1).otherwise(0)).cast("long").alias("non_error_attempts"),
+        F.round(F.sum("value"), 4).alias("total_cost"),
+    )

@@ -109,3 +109,52 @@ def test_table_constraints_from_spec(spark):
     assert [c.constraint_id for c in suite.table_constraints] == ["uq", "ref", "mono"]
     verdicts = run_suites(spark, df, [spec])
     assert verdicts.filter(F.col("constraint_id") == "ref").count() > 0
+
+
+def test_template_variable_substitution():
+    import datetime
+
+    from prompture_spark.plans.suite_runner import substitute_template_vars
+
+    spec = {
+        "name": "t",
+        "fields": {"year": {"enum": ["{{current_year}}"],
+                            "note": "as of {{current_date}}"}},
+    }
+    out = substitute_template_vars(spec, now=datetime.datetime(2026, 8, 16))
+    assert out["fields"]["year"]["enum"] == ["2026"]
+    assert out["fields"]["year"]["note"] == "as of 2026-08-16"
+
+
+def test_extract_fields_policies(spark):
+    from prompture_spark.operators.projection import extract_fields
+
+    df = spark.createDataFrame([(1, "a")], "x int, y string")
+    out, unknown = extract_fields(df, {"xx": {"source": "x"}, "zz": {"source": "z"}},
+                                  missing="skip")
+    assert out.columns == ["xx"] and unknown == ["z"]
+    out2, _ = extract_fields(df, {"zz": {"source": "z", "type": "int"}}, missing="none")
+    assert out2.collect()[0].zz is None
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        extract_fields(df, {"zz": {"source": "z"}}, missing="error")
+
+
+def test_pair_tool_calls(spark):
+    import datetime as dt
+
+    from prompture_spark.model import TRANSCRIPT_SCHEMA
+    from prompture_spark.operators.projection import pair_tool_calls
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        ("conv-00000001", 0, "user", "q", None, t0, 0),
+        ("conv-00000001", 1, "tool", "call", "click", t0, 0),
+        ("conv-00000001", 2, "assistant", "result here", None, t0, 0),
+        ("conv-00000001", 3, "tool", "dangling call", "view", t0, 0),
+    ]
+    df = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    got = {r.call_turn_idx: (r.result_turn_idx, r.result_text)
+           for r in pair_tool_calls(df).collect()}
+    assert got[1] == (2, "result here")
+    assert got[3] == (None, None)  # unpaired call survives with nulls
