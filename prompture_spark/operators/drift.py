@@ -80,6 +80,35 @@ def psi(
     )
 
 
+def snapshot_baseline(
+    df: DataFrame, dims: tuple[str, ...] = ("role", "tool"), path: str | None = None
+) -> DataFrame:
+    """Materialize a baseline_stats snapshot (FIXTURES.md §3) from a clean
+    run: (dim, bucket, base_freq) whole-table histograms, one tiny frame.
+    Written as parquet when ``path`` given; re-read with ``load_baseline``."""
+    parts = []
+    for dim in dims:
+        parts.append(global_histogram(df, dim).select(F.lit(dim).alias("dim"), "bucket", "base_freq"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    if path:
+        out.write.mode("overwrite").parquet(path)
+    return out
+
+
+def psi_vs_baseline(
+    df: DataFrame, baseline: DataFrame, dim: str, partition_col: str = "part_id",
+    threshold: float = 0.2,
+) -> DataFrame:
+    """PSI per partition against a STORED snapshot (not the live table) —
+    the production drift check: baseline from last week's clean run, current
+    histograms from today's partitions."""
+    part_hist = categorical_histogram(df, dim, partition_col)
+    base = baseline.filter(F.col("dim") == dim).select("bucket", "base_freq")
+    return psi(part_hist, base, threshold)
+
+
 def ks_statistic(
     df: DataFrame,
     value_expr: str = "length(text)",

@@ -702,7 +702,30 @@ def q_pii_emails(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("lang_id_docs")  # heuristic — golden-tested in pytest
+_LANG_SETS = {
+    "en": "('the','a','and','of','to','is','in','that','it','for')",
+    "es": "('el','la','de','que','y','en','un','los','del','por')",
+    "fr": "('le','la','de','et','les','des','un','une','que','pour')",
+    "de": "('der','die','das','und','ist','von','mit','den','ein','nicht')",
+}
+
+_LANG_ORACLE = (
+    "WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents),\n"
+    "scored AS (SELECT doc_id, "
+    + ", ".join(
+        f"len(list_filter(t, x -> x IN {s})) AS n_{l}" for l, s in _LANG_SETS.items()
+    )
+    + " FROM toks)\n"
+    "SELECT doc_id, CASE "
+    "WHEN greatest(n_en, n_es, n_fr, n_de) = 0 THEN 'und' "
+    "WHEN n_en = greatest(n_en, n_es, n_fr, n_de) THEN 'en' "
+    "WHEN n_es = greatest(n_en, n_es, n_fr, n_de) THEN 'es' "
+    "WHEN n_fr = greatest(n_en, n_es, n_fr, n_de) THEN 'fr' "
+    "ELSE 'de' END AS lang_pred FROM scored"
+)
+
+
+@register("lang_id_docs", _LANG_ORACLE)
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select("doc_id", tq.lang_id("text").alias("lang_pred"))
@@ -1130,3 +1153,46 @@ def q_attempt_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("event_type") != "error", 1).otherwise(0)).cast("long").alias("non_error_attempts"),
         F.round(F.sum("value"), 4).alias("total_cost"),
     )
+
+
+_KS_ORACLE = (
+    ORACLE_TRANSCRIPTS_CTE
+    + """
+, _rows AS (
+  SELECT part_id, least(63, CAST(floor(length(text) / 64) AS INT)) AS bucket
+  FROM transcripts WHERE text IS NOT NULL
+),
+_pc AS (SELECT part_id, bucket, count(*) AS cnt FROM _rows GROUP BY 1, 2),
+_pt AS (SELECT part_id, sum(cnt) AS total FROM _pc GROUP BY 1),
+_gc AS (SELECT bucket, count(*) AS gcnt FROM _rows GROUP BY 1),
+_grid AS (
+  SELECT p.part_id, b.bucket
+  FROM (SELECT DISTINCT part_id FROM _pc) p
+  CROSS JOIN (SELECT DISTINCT bucket FROM _gc) b
+),
+_cells AS (
+  SELECT g.part_id, g.bucket,
+         coalesce(pc.cnt, 0) / CAST(pt.total AS DOUBLE) AS p,
+         coalesce(gc.gcnt, 0) / CAST((SELECT count(*) FROM _rows) AS DOUBLE) AS q
+  FROM _grid g
+  LEFT JOIN _pc pc ON g.part_id = pc.part_id AND g.bucket = pc.bucket
+  JOIN _pt pt ON g.part_id = pt.part_id
+  LEFT JOIN _gc gc ON g.bucket = gc.bucket
+),
+_cdf AS (
+  SELECT part_id,
+         abs(sum(p) OVER w - sum(q) OVER w) AS diff
+  FROM _cells
+  WINDOW w AS (PARTITION BY part_id ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+)
+SELECT part_id, round(max(diff), 6) AS ks FROM _cdf GROUP BY part_id
+"""
+)
+
+
+@register("drift_ks_text_len", _KS_ORACLE)
+def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS statistic on text-length distributions per partition vs the whole
+    table (drift block, north rule): bucketed CDF sup-difference."""
+    df = transcripts_from_events(spark, sf_dir)
+    return drift.ks_statistic(df, "length(text)")

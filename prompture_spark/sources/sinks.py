@@ -1,0 +1,46 @@
+"""Result export sinks (S9, prompture/persistence/history.py:241-287).
+
+The reference exports AgentResult JSON files; here verdict/violation tables
+export as JSON-lines or parquet directories plus a driver-side run summary
+dict (the shape a CI gate or dashboard ingests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def export_json(df: DataFrame, path: str, coalesce: int | None = 1) -> None:
+    """JSON-lines export; small result tables coalesce to one file so the
+    artifact is a single report, not a directory of shards."""
+    out = df.coalesce(coalesce) if coalesce else df
+    out.write.mode("overwrite").json(path)
+
+
+def export_parquet(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").parquet(path)
+
+
+def run_summary(verdicts: DataFrame) -> dict:
+    """Driver-side summary of a verdict table: overall pass flag + totals +
+    failing cells — the export_result_json analogue."""
+    agg = verdicts.agg(
+        F.count(F.lit(1)).alias("cells"),
+        F.sum((~F.col("ok")).cast("long")).alias("failing_cells"),
+        F.sum("violation_count").alias("total_violations"),
+    ).collect()[0]
+    failing = [
+        {"part_id": r.part_id, "constraint_id": r.constraint_id,
+         "violation_count": r.violation_count}
+        for r in verdicts.filter(~F.col("ok")).orderBy(
+            F.desc("violation_count"), "part_id", "constraint_id"
+        ).collect()
+    ]
+    return {
+        "ok": agg.failing_cells == 0,
+        "cells": agg.cells,
+        "failing_cells": agg.failing_cells,
+        "total_violations": agg.total_violations,
+        "failing": failing,
+    }

@@ -1,0 +1,52 @@
+"""Drift-detection tests: PSI flags exactly the perturbed partitions
+(FIXTURES.md §3), KS responds to length shifts, snapshots round-trip."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from prompture_spark.operators import drift
+from prompture_spark.sources.transcripts import generate_transcripts
+
+
+def test_psi_flags_only_perturbed_partitions(spark, tmp_path):
+    clean = generate_transcripts(spark, 30000, n_convs=300, seed=21, skew=False)
+    base_path = str(tmp_path / "baseline")
+    drift.snapshot_baseline(clean, dims=("role",), path=base_path)
+    baseline = spark.read.parquet(base_path)
+
+    # perturb partition 3: force most of its roles to 'system'
+    perturbed = clean.withColumn(
+        "role",
+        F.when(
+            (F.col("part_id") == 3) & (F.pmod(F.xxhash64("turn_idx", "conv_id"), 10) < 8),
+            F.lit("system"),
+        ).otherwise(F.col("role")),
+    )
+    out = {r.part_id: (r.psi, r.drifted)
+           for r in drift.psi_vs_baseline(perturbed, baseline, "role").collect()}
+    assert out[3][1] is True, out
+    for p, (psi_v, flagged) in out.items():
+        if p != 3:
+            assert flagged is False, (p, psi_v)
+
+
+def test_psi_zero_on_identical_distribution(spark):
+    df = generate_transcripts(spark, 20000, n_convs=200, seed=9, skew=False)
+    hist = drift.categorical_histogram(df, "role")
+    base = drift.global_histogram(df, "role")
+    rows = drift.psi(hist, base).collect()
+    # same generator everywhere -> partitions match the global mix closely
+    assert all(r.psi < 0.05 for r in rows)
+
+
+def test_ks_statistic_partition_shift(spark):
+    df = generate_transcripts(spark, 30000, n_convs=300, seed=13, skew=False)
+    shifted = df.withColumn(
+        "text",
+        F.when(F.col("part_id") == 5, F.concat(F.col("text"), F.lit(" " + "pad" * 40)))
+        .otherwise(F.col("text")),
+    )
+    out = {r.part_id: r.ks for r in drift.ks_statistic(shifted).collect()}
+    others = [v for p, v in out.items() if p != 5]
+    assert out[5] > max(others) * 2  # the shifted partition stands out

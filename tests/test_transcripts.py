@@ -56,3 +56,31 @@ def test_generator_skew_shape(spark):
     hot = counts.orderBy(F.desc("count")).limit(10)  # 1% of 1000 convs
     hot_turns = hot.agg(F.sum("count")).collect()[0][0]
     assert 0.2 < hot_turns / 50000 < 0.45
+
+
+def test_export_sinks_and_summary(spark, tmp_path):
+    from prompture_spark.operators.engine import ValidationEngine
+    from prompture_spark.plans.spec import default_transcript_suite
+    from prompture_spark.sources import sinks
+
+    df = generate_transcripts(spark, 5000, n_convs=50, seed=4)
+    res = ValidationEngine(spark).validate(df, default_transcript_suite())
+    p = str(tmp_path / "verdicts_json")
+    sinks.export_json(res.verdicts, p)
+    back = spark.read.json(p)
+    assert back.count() == res.verdicts.count()
+    summary = sinks.run_summary(res.verdicts)
+    assert summary["ok"] is False and summary["failing_cells"] > 0
+    assert summary["failing"][0]["violation_count"] >= summary["failing"][-1]["violation_count"]
+
+
+def test_approx_stats_within_tolerance(spark):
+    from prompture_spark.operators.stats import column_stats
+
+    df = generate_transcripts(spark, 50000, n_convs=2000, seed=8)
+    exact = {r.part_id: r for r in column_stats(df, exact=True).collect()}
+    approx = {r.part_id: r for r in column_stats(df, exact=False).collect()}
+    for p, e in exact.items():
+        a = approx[p]
+        assert abs(a.n_convs - e.n_convs) <= max(3, 0.05 * e.n_convs)  # HLL rsd=1%
+        assert abs(a.p95_text_len - e.p95_text_len) <= max(2, 0.1 * e.p95_text_len)

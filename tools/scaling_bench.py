@@ -40,7 +40,10 @@ path = sys.argv[3]
 cores = int(master.split("[")[1].rstrip("]"))
 # 16m split size => enough scan tasks to feed every core even on a ~1 GB
 # input (at production scale files are >>128 MB and this is moot).
-spark = get_spark(app_name=f"scaling-{{master}}", master=master, shuffle_partitions=cores,
+# shuffle partitions FIXED across masters (sized by data, like production —
+# AQE coalesces excess): otherwise low-core runs sort pathologically large
+# partitions and the comparison measures partition sizing, not scaling.
+spark = get_spark(app_name=f"scaling-{{master}}", master=master, shuffle_partitions=64,
                   extra_conf={{"spark.sql.files.maxPartitionBytes": "16m"}})
 spark.sparkContext.setLogLevel("ERROR")
 if not os.path.exists(path):
