@@ -94,7 +94,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
-    n_turns = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "2000000"))
+    n_turns = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "20000000"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     spark = get_spark(

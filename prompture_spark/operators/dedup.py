@@ -67,6 +67,19 @@ def shingles(col: Column | str, k: int = SHINGLE_K) -> Column:
     return F.array_distinct(F.transform(idx, lambda i: F.substring(c, i, F.lit(k))))
 
 
+def shingle_hashes(col: Column | str, k: int = SHINGLE_K) -> Column:
+    """Distinct 64-bit hashes of the k-shingles (array<bigint>).
+
+    The set-similarity pipelines operate on these, not the strings: an
+    8-byte long beats a ~60-byte Java string for cache residency and shuffle
+    volume, and |A∩B|/|A∪B| over the hash sets equals the string-set Jaccard
+    up to a 2^-64 collision (xxhash64), far below the 0.8 threshold's
+    sensitivity."""
+    return F.array_distinct(
+        F.transform(shingles(col, k), lambda s: F.xxhash64(s))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -78,9 +91,12 @@ def ngram_jaccard_pairs(
 
     Inverted-index candidate join: only docs sharing a shingle are compared.
     Returns (id_a, id_b, jaccard rounded 6dp)."""
-    sh = df.select(F.col(id_col).alias("_id"), shingles(text_col, k).alias("_sh")).filter(
-        F.size("_sh") > 0
-    )
+    # persist: the shingle frame feeds three plan branches (posting lists,
+    # both verification sides) — without it the O(len·k) shingling re-runs
+    # per branch. Hashed shingles: 8-byte longs, not Java strings.
+    sh = df.select(
+        F.col(id_col).alias("_id"), shingle_hashes(text_col, k).alias("_sh")
+    ).filter(F.size("_sh") > 0).persist()
     sizes = sh.select("_id", F.size("_sh").alias("_n"))
     posts = sh.select("_id", F.explode("_sh").alias("_s"))
     a = posts.select(F.col("_id").alias("id_a"), "_s")
@@ -130,16 +146,25 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = JACCARD_THRESHOLD,
     seed: int = 42,
+    max_bucket_size: int | None = 64,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding + exact-Jaccard verification.
 
     bands × rows = n_hashes; a pair collides if ANY band's row-signature
     matches (probability ≈ 1-(1-j^r)^b). Survivors get exact Jaccard so the
-    output has no false positives; banding only bounds recall."""
+    output has no false positives; banding only bounds recall.
+
+    ``max_bucket_size``: band buckets larger than this are discarded — an
+    oversized bucket means that band is non-discriminative for the corpus
+    (boilerplate/templated text); true near-dups still meet in their other,
+    discriminative bands. Without the cap a degenerate corpus turns candidate
+    generation O(n²) — the standard web-dedup guard. None = uncapped."""
     rows_per_band = n_hashes // bands
-    sh = df.select(F.col(id_col).alias("_id"), shingles(text_col, k).alias("_sh")).filter(
-        F.size("_sh") > 0
-    )
+    # persist: feeds the signature branch AND both exact-verification sides;
+    # hashed shingles (longs) keep the cache and shuffles compact
+    sh = df.select(
+        F.col(id_col).alias("_id"), shingle_hashes(text_col, k).alias("_sh")
+    ).filter(F.size("_sh") > 0).persist()
     sig = sh.select("_id", "_sh", minhash_signature(F.col("_sh"), n_hashes, seed).alias("_sig"))
     band_entries = sig.select(
         "_id",
@@ -157,6 +182,14 @@ def minhash_lsh_pairs(
             )
         ).alias("_b"),
     ).select("_id", "_b.band", "_b.bh")
+    if max_bucket_size is not None:
+        sizes_ok = (
+            band_entries.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("_bs"))
+            .filter(F.col("_bs") <= max_bucket_size)
+            .select("band", "bh")
+        )
+        band_entries = band_entries.join(sizes_ok, ["band", "bh"], "left_semi")
     left = band_entries.select(F.col("_id").alias("id_a"), "band", "bh")
     right = band_entries.select(F.col("_id").alias("id_b"), "band", "bh")
     cands = (
