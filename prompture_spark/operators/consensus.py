@@ -70,25 +70,36 @@ def unanimous_vote(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
 
 
 def weighted_mean(
-    df: DataFrame, group_col: str, value_col: str, weight_col: str | Column
+    df: DataFrame, group_col: str, value_col: str, weight_col: str | Column,
+    round_to: int = 3,
 ) -> DataFrame:
-    """(group, consensus): Σ(v·w)/Σ(w) — numeric weighted consensus."""
+    """(group, consensus): Σ(v·w)/Σ(w) — numeric weighted consensus.
+
+    ``round_to`` defaults coarse: double summation order differs between
+    engines, so cross-engine comparisons need headroom below the rounding
+    boundary (the reference itself compares with 0.01 relative tolerance,
+    consensus.py:104-127)."""
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     return df.groupBy(group_col).agg(
         F.round(
-            F.sum(F.col(value_col) * w) / F.sum(w), 6
+            F.sum(F.col(value_col) * w) / F.sum(w), round_to
         ).alias("consensus")
     )
 
 
 def model_weight(model_col: str | Column) -> Column:
-    """Weight from model-name tier markers (consensus.py:284-310)."""
+    """Weight from model-name tier markers (consensus.py:284-310).
+
+    Markers match on token boundaries — a bare substring test would score
+    'gemini-pro' as a MINI-tier model. First marker in table order wins."""
     c = F.lower(F.col(model_col) if isinstance(model_col, str) else model_col)
-    out = F.lit(MODEL_TIER_WEIGHTS["default"])
+    out = None
     for marker, wt in MODEL_TIER_WEIGHTS.items():
-        if marker != "default":
-            out = F.when(c.contains(marker), F.lit(wt)).otherwise(out)
-    return out
+        if marker == "default":
+            continue
+        cond = c.rlike(f"(^|[^a-z]){marker}([^a-z]|$)")
+        out = F.when(cond, F.lit(wt)) if out is None else out.when(cond, F.lit(wt))
+    return out.otherwise(F.lit(MODEL_TIER_WEIGHTS["default"]))
 
 
 def self_consistency(df: DataFrame, group_col: str, text_col: str) -> DataFrame:

@@ -1196,3 +1196,75 @@ def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     table (drift block, north rule): bucketed CDF sup-difference."""
     df = transcripts_from_events(spark, sf_dir)
     return drift.ks_statistic(df, "length(text)")
+
+
+# ---------------------------------------------------------------------------
+# Q: weighted / unanimous consensus (A6), multimodal plumbing
+# ---------------------------------------------------------------------------
+
+_WEIGHTED_ORACLE = """
+WITH w AS (
+  SELECT user_id, value,
+         CASE event_type
+           WHEN 'click' THEN 0.7 WHEN 'view' THEN 1.5 WHEN 'purchase' THEN 1.5
+           WHEN 'signup' THEN 1.2 ELSE 0.7 END AS wt
+  FROM events
+)
+SELECT user_id, round(sum(value * wt) / sum(wt), 3) AS consensus
+FROM w GROUP BY user_id
+"""
+
+
+@register("weighted_consensus", _WEIGHTED_ORACLE)
+def q_weighted_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 (groups/consensus.py:284-367): model-tier-weighted numeric
+    consensus. Tier markers derived from synthetic model names; the oracle
+    hardcodes the weight table independently."""
+    from prompture_spark.operators.consensus import model_weight, weighted_mean
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    names = {
+        "click": "gpt-mini", "view": "claude-opus", "purchase": "gemini-pro",
+        "signup": "llama-large", "error": "x-flash",
+    }
+    model = F.when(F.lit(False), F.lit(None).cast("string"))
+    for et, nm in names.items():
+        model = model.when(F.col("event_type") == et, F.lit(nm))
+    weighted = ev.withColumn("w", model_weight(model))
+    return weighted_mean(weighted, "user_id", "value", "w")
+
+
+_UNANIMOUS_ORACLE = """
+SELECT user_id,
+       count(DISTINCT event_type) = 1 AS unanimous,
+       CASE WHEN count(DISTINCT event_type) = 1 THEN min(event_type) END AS winner
+FROM events GROUP BY user_id
+"""
+
+
+@register("unanimous_consensus", _UNANIMOUS_ORACLE)
+def q_unanimous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 unanimous mode (consensus.py:232-254): disagreement is data here,
+    not an exception."""
+    from prompture_spark.operators.consensus import unanimous_vote
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return unanimous_vote(ev, "user_id", "event_type")
+
+
+@register("multimodal_image_features")  # stubbed decode — rows-only + pytest
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: synthetic binary media -> mapInPandas feature
+    extraction with error routing (decode stubbed; see operators/multimodal)."""
+    from prompture_spark.operators import multimodal as mm
+
+    media = mm.synth_media(spark, 512)
+    return mm.extract_image_features(mm.media_repartition(media))
+
+
+@register("multimodal_frame_samples")  # stubbed decode — rows-only + pytest
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from prompture_spark.operators import multimodal as mm
+
+    media = mm.synth_media(spark, 512)
+    return mm.sample_video_frames(media)

@@ -114,8 +114,8 @@ def test_weighted_mean_and_model_weights(spark):
     out = cons.weighted_mean(
         df.withColumn("w", cons.model_weight("model")), "g", "v", "w"
     ).collect()[0]
-    # (10*0.7 + 20*1.5) / (0.7+1.5) = 37/2.2
-    assert abs(out.consensus - 37 / 2.2) < 1e-6
+    # (10*0.7 + 20*1.5) / (0.7+1.5) = 37/2.2, rounded to 3dp by default
+    assert abs(out.consensus - 37 / 2.2) < 1e-3
 
 
 def test_self_consistency_normalizes_before_vote(spark):

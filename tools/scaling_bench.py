@@ -173,7 +173,7 @@ physical cores, which is strictly more favorable than threads sharing one
 JVM/socket.
 
 Spark conf: AQE on (coalescePartitions + skewJoin), Arrow on,
-spark.sql.shuffle.partitions = core count, maxPartitionBytes=16m (small-input
+spark.sql.shuffle.partitions = 64 (fixed across masters, sized by data as in production; AQE coalesces), maxPartitionBytes=16m (small-input
 proxy for multi-file tables), UTC. Reproduce: `python tools/scaling_bench.py`.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
