@@ -50,6 +50,23 @@ from prompture_spark.plans.spec import (
 VIOLATION_COLS = ["conv_id", "turn_idx", "part_id", "constraint_id", "observed_value"]
 
 
+from dataclasses import dataclass as _dataclass
+
+from prompture_spark.plans.spec import RowConstraint as _RowConstraint
+
+
+@_dataclass(frozen=True)
+class _FusedReferential(_RowConstraint):
+    """Referential check riding the row pass after a broadcast LEFT join:
+    the joined catalog column is null exactly for catalog misses."""
+
+    cat_col: str = ""
+
+    def predicate(self):
+        c = F.col(self.column)
+        return c.isNull() | F.col(self.cat_col).isNotNull()
+
+
 @dataclass
 class ValidationResult:
     violations: DataFrame
@@ -65,18 +82,23 @@ class ValidationEngine:
     def row_violations(self, df: DataFrame, suite: ValidationSuite) -> DataFrame:
         """Explode failing (row, constraint) pairs. Single scan; only failing
         rows survive the pre-explode filter."""
-        if not suite.row_constraints:
+        return self._row_violations_for(df, suite.row_constraints, suite.partition_col)
+
+    def _row_violations_for(
+        self, df: DataFrame, constraints: tuple, partition_col: str
+    ) -> DataFrame:
+        if not constraints:
             return self.spark.createDataFrame(
                 [],
                 "conv_id string, turn_idx int, part_id int, constraint_id string, observed_value string",
             )
-        arr = violation_array(suite.row_constraints)
+        arr = violation_array(constraints)
         compact = F.filter(arr, lambda x: x.isNotNull())
         exploded = (
             df.select(
                 "conv_id",
                 "turn_idx",
-                F.col(suite.partition_col).alias("part_id"),
+                F.col(partition_col).alias("part_id"),
                 compact.alias(VIOLATIONS_COL),
             )
             .filter(F.size(F.col(VIOLATIONS_COL)) > 0)
@@ -375,9 +397,37 @@ class ValidationEngine:
         and the verdict grid is then derived from it for free — without this,
         every table check would execute twice (once for violations, once for
         verdict counts)."""
-        violations = self.row_violations(df, suite).unionByName(
-            self.table_violations(df, suite)
+        from prompture_spark.plans.spec import Referential, RowConstraint
+
+        # Fuse referential checks into the row pass: a broadcast LEFT join
+        # marks catalog misses as a per-row flag, so the fact table is NOT
+        # scanned a second time for the anti-join (at 100 TB each scan is the
+        # dominant cost). The standalone referential_violations keeps the
+        # LEFT ANTI form for direct use.
+        work = df
+        row_cs = list(suite.row_constraints)
+        deferred = []
+        for c in suite.table_constraints:
+            if isinstance(c, Referential):
+                cat_col = f"_cat_{c.column}"
+                catalog = self.spark.range(1).select(
+                    F.explode(F.array(*[F.lit(v) for v in c.catalog])).alias(cat_col)
+                )
+                work = work.join(
+                    F.broadcast(catalog), work[c.column] == F.col(cat_col), "left"
+                )
+                row_cs.append(_FusedReferential(c.constraint_id, c.column, cat_col=cat_col))
+            else:
+                deferred.append(c)
+        pruned = ValidationSuite(
+            name=suite.name,
+            row_constraints=(),
+            table_constraints=tuple(deferred),
+            partition_col=suite.partition_col,
         )
+        violations = self._row_violations_for(
+            work, tuple(row_cs), suite.partition_col
+        ).unionByName(self.table_violations(df, pruned))
         if persist_violations:
             violations = violations.persist()
         return ValidationResult(
