@@ -176,7 +176,12 @@ class Monotonic(TableConstraint):
 class ValidationSuite:
     """A named set of constraints evaluated in one engine run — the analogue
     of the reference's spec suites (specs/schema_validation.json, run by
-    prompture/cli/runner.py:10-48)."""
+    prompture/cli/runner.py:10-48).
+
+    Invariant: ``partition_col`` must be functionally dependent on the
+    conversation id (a bucket/hash of conv_id, as in any real partitioning
+    scheme) — table-level checks attribute per-key violations to the key's
+    single partition."""
 
     name: str
     row_constraints: tuple[RowConstraint, ...] = ()

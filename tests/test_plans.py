@@ -100,3 +100,15 @@ def test_broadcast_dim_join_in_star_query(spark, sf_small):
     # tree summary + detail section)
     assert p.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in p
+
+
+def test_jsonschema_udf_is_arrow_batched(spark):
+    """The one sanctioned Python row path must plan as ArrowEvalPython
+    (vectorized batches), never row-at-a-time BatchEvalPython."""
+    from prompture_spark.functions.jsonschema_udf import json_schema_check
+
+    df = spark.createDataFrame([('{"k": 1}',)], "v string")
+    out = df.select(json_schema_check("v", {"required": ["k"]}).alias("r"))
+    p = plan_of(out)
+    assert "ArrowEvalPython" in p
+    assert "BatchEvalPython" not in p

@@ -1,0 +1,69 @@
+"""Skew-handling tests: salted aggregation correctness on hot keys, and the
+full suite completing on a heavily skewed table (FIXTURES.md: ~1% of convs
+own ~30% of turns)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from prompture_spark.operators import skew
+from prompture_spark.operators.engine import ValidationEngine
+from prompture_spark.plans.spec import default_transcript_suite
+from prompture_spark.sources.transcripts import generate_transcripts
+
+
+def test_salted_count_equals_plain_on_skewed_keys(spark):
+    df = generate_transcripts(spark, 40000, n_convs=500, seed=17, skew=True)
+    plain = {r.conv_id: r["count"] for r in df.groupBy("conv_id").count().collect()}
+    salted = {r.conv_id: r.cnt for r in skew.salted_count(df, ["conv_id"]).collect()}
+    assert salted == plain
+
+
+def test_salted_agg_general(spark):
+    df = generate_transcripts(spark, 20000, n_convs=100, seed=23, skew=True)
+    got = {
+        r.conv_id: (r.n, r.max_idx)
+        for r in skew.salted_agg(
+            df,
+            ["conv_id"],
+            {
+                "n": (F.count(F.lit(1)), F.sum("n")),
+                "max_idx": (F.max("turn_idx"), F.max("max_idx")),
+            },
+        ).collect()
+    }
+    exp = {
+        r.conv_id: (r.n, r.max_idx)
+        for r in df.groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("turn_idx").alias("max_idx"))
+        .collect()
+    }
+    assert got == exp
+
+
+def test_full_suite_on_hot_conversations(spark):
+    """One conversation owning ~30% of all turns must not break or corrupt
+    the sequencing window / uniqueness counting."""
+    base = generate_transcripts(spark, 30000, n_convs=300, seed=29, skew=False)
+    # collapse 30% of rows onto one conversation id (turn_idx values collide
+    # -> large duplicate multiplicities, the worst case for the dup counter).
+    # part_id moves with conv_id: the engine's partition key is functionally
+    # dependent on the conversation (as in any real bucketing scheme).
+    is_hot = F.pmod(F.xxhash64("turn_idx", "ts"), 10) < 3
+    hot = base.withColumn(
+        "conv_id", F.when(is_hot, F.lit("conv-00000000")).otherwise(F.col("conv_id"))
+    ).withColumn("part_id", F.when(is_hot, F.lit(0)).otherwise(F.col("part_id")))
+    res = ValidationEngine(spark).validate(hot, default_transcript_suite())
+    verd = {(r.part_id, r.constraint_id): r.violation_count for r in res.verdicts.collect()}
+    dup_total = sum(v for (p, c), v in verd.items() if c == "unique_conv_turn")
+    assert dup_total > 0
+    # multiplicities recorded per duplicated key must sum back to the hot rows
+    dups = res.violations.filter(F.col("constraint_id") == "unique_conv_turn")
+    multiplicity_sum = dups.agg(
+        F.sum(F.col("observed_value").cast("long"))
+    ).collect()[0][0]
+    n_dup_rows = (
+        hot.groupBy("conv_id", "turn_idx").count().filter(F.col("count") > 1)
+        .agg(F.sum("count")).collect()[0][0]
+    )
+    assert multiplicity_sum == n_dup_rows
