@@ -87,7 +87,15 @@ def _run_flagship(spark, n_turns: int) -> tuple[float, int]:
     n_verdicts, n_viol = run_once()
     dt = time.perf_counter() - t0
     assert n_verdicts > 0 and n_viol >= 0
-    return dt, n_turns
+
+    # full job incl. per-partition stats + drift (one extra agg pass)
+    t0 = time.perf_counter()
+    res = eng.validate_full(df, suite)
+    res.verdicts.count(); res.violations.count()
+    res.stats.count(); res.drift.count()
+    spark.catalog.clearCache()
+    full_dt = time.perf_counter() - t0
+    return dt, full_dt, n_turns
 
 
 def main() -> None:
@@ -107,7 +115,7 @@ def main() -> None:
     # warm the JVM/codegen once so per-query numbers measure the plan, not JIT
     spark.range(1000).agg(F.sum("id")).collect()
 
-    flagship_sec, turns = _run_flagship(spark, n_turns)
+    flagship_sec, flagship_full_sec, turns = _run_flagship(spark, n_turns)
 
     qtimes: dict[str, float] = {}
     for name in BENCH_QUERIES:
@@ -124,7 +132,9 @@ def main() -> None:
         f"{turns} generated skewed turns) + headline query suite at sf{sf}",
         "value": total,
         "unit": "sec",
-        "queries": {"flagship_validate": round(flagship_sec, 3), **qtimes},
+        "queries": {"flagship_validate": round(flagship_sec, 3),
+                    "flagship_full_with_stats_drift": round(flagship_full_sec, 3),
+                    **qtimes},
         "sf": sf,
         "master": master,
         "turns": turns,

@@ -71,6 +71,8 @@ class _FusedReferential(_RowConstraint):
 class ValidationResult:
     violations: DataFrame
     verdicts: DataFrame
+    stats: DataFrame | None = None
+    drift: DataFrame | None = None
 
 
 class ValidationEngine:
@@ -433,4 +435,38 @@ class ValidationEngine:
         return ValidationResult(
             violations=violations,
             verdicts=self._verdicts_from(df, suite, violations),
+        )
+
+    def validate_full(
+        self,
+        df: DataFrame,
+        suite: ValidationSuite,
+        baseline: DataFrame | None = None,
+        exact_stats: bool = False,
+        drift_dim: str = "role",
+    ) -> ValidationResult:
+        """The complete north-star job: constraint verdicts + violation rows
+        + per-partition column stats + distribution drift, in one run.
+
+        Stats add ONE extra aggregation pass over the table (approx sketches
+        by default — HLL distinct + percentile_approx); drift reuses the
+        stats-pass economics (tiny histograms). ``baseline`` is a stored
+        snapshot from ``drift.snapshot_baseline``; None compares partitions
+        against the live whole-table distribution."""
+        from prompture_spark.operators import drift as drift_ops
+        from prompture_spark.operators import stats as stats_ops
+
+        res = self.validate(df, suite)
+        stats_df = stats_ops.column_stats(df, suite.partition_col, exact=exact_stats)
+        part_hist = drift_ops.categorical_histogram(df, drift_dim, suite.partition_col)
+        if baseline is not None:
+            base = baseline.filter(F.col("dim") == drift_dim).select("bucket", "base_freq")
+        else:
+            base = drift_ops.global_histogram(df, drift_dim)
+        drift_df = drift_ops.psi(part_hist, base)
+        return ValidationResult(
+            violations=res.violations,
+            verdicts=res.verdicts,
+            stats=stats_df,
+            drift=drift_df,
         )

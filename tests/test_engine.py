@@ -100,3 +100,15 @@ def test_validate_never_throws_on_dirty_rows(spark, micro):
     res = eng.validate(df, default_transcript_suite())
     assert res.violations.count() > 0
     assert res.verdicts.filter(~F.col("ok")).count() > 0
+
+
+def test_validate_full_all_outputs(spark, micro):
+    _, df = micro
+    eng = ValidationEngine(spark)
+    res = eng.validate_full(df, default_transcript_suite())
+    assert res.stats is not None and res.drift is not None
+    stats = {r.part_id: r for r in res.stats.collect()}
+    assert stats[0].n_rows == 3 and stats[1].n_rows == 9
+    drift = {r.part_id: r.psi for r in res.drift.collect()}
+    assert set(drift) == {0, 1}
+    assert res.verdicts.count() == 2 * len(default_transcript_suite().constraint_ids())
