@@ -1268,3 +1268,37 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = mm.synth_media(spark, 512)
     return mm.sample_video_frames(media)
+
+
+_COST_ORACLE = """
+SELECT event_id,
+       round((value / 1e6) * (CASE event_type WHEN 'click' THEN 0.25 WHEN 'view' THEN 3.0
+                                  WHEN 'purchase' THEN 15.0 WHEN 'signup' THEN 1.25
+                                  ELSE 0.5 END)
+           + ((value * 2) / 1e6) * (CASE event_type WHEN 'click' THEN 1.25 WHEN 'view' THEN 15.0
+                                  WHEN 'purchase' THEN 75.0 WHEN 'signup' THEN 5.0
+                                  ELSE 1.5 END), 6) AS cost
+FROM events
+"""
+
+
+@register("cost_formula", _COST_ORACLE)
+def q_cost_formula(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C14 (infra/tracker.py:698-727): per-mega-token cost with per-provider
+    rates from a broadcast map; token counts derived from the value column."""
+    from prompture_spark.functions.coercion import cost
+
+    rates = {  # provider -> (rate_in, rate_out) per 1M tokens
+        "click": (0.25, 1.25), "view": (3.0, 15.0), "purchase": (15.0, 75.0),
+        "signup": (1.25, 5.0), "error": (0.5, 1.5),
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rin = F.when(F.lit(False), F.lit(None).cast("double"))
+    rout = F.when(F.lit(False), F.lit(None).cast("double"))
+    for et, (a, b) in rates.items():
+        rin = rin.when(F.col("event_type") == et, F.lit(a))
+        rout = rout.when(F.col("event_type") == et, F.lit(b))
+    return ev.select(
+        "event_id",
+        cost(F.col("value"), F.col("value") * 2, rin, rout).alias("cost"),
+    )

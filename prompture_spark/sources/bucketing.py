@@ -1,0 +1,34 @@
+"""Bucketed table layout: shuffle-free co-located joins & aggregations.
+
+At 10^12 turns the transcripts table is joined/aggregated on ``conv_id``
+constantly (uniqueness, monotonicity windows, per-conversation rollups,
+call/result pairing). Writing the table BUCKETED BY conv_id means every such
+operation reads pre-partitioned data — Spark plans the join/agg with NO
+Exchange on the bucketed side. This module wraps the save/load pattern
+(``DataFrameWriter.bucketBy`` requires a catalog table) and is the parquet
+stand-in for Iceberg's bucket partition transform
+(``bucket(N, conv_id)``), which is the production layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str] | None = None,
+    n_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Save as a bucketed (and optionally sort-ordered) managed table."""
+    bucket_cols = bucket_cols or ["conv_id"]
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    return spark.read.table(table)

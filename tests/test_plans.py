@@ -112,3 +112,29 @@ def test_jsonschema_udf_is_arrow_batched(spark):
     p = plan_of(out)
     assert "ArrowEvalPython" in p
     assert "BatchEvalPython" not in p
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path_factory):
+    """Two tables bucketed on conv_id join WITHOUT any shuffle — the layout
+    that makes repeated conv_id operations O(scan) at 10^12 rows."""
+    from prompture_spark.sources.bucketing import read_bucketed, write_bucketed
+    from prompture_spark.sources.transcripts import generate_transcripts
+
+    df = generate_transcripts(spark, 5000, n_convs=50, seed=6)
+    counts = df.groupBy("conv_id").count()
+    write_bucketed(df, "t_bucketed", ["conv_id"], n_buckets=8)
+    write_bucketed(counts, "c_bucketed", ["conv_id"], n_buckets=8)
+    a = read_bucketed(spark, "t_bucketed")
+    b = read_bucketed(spark, "c_bucketed")
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = a.join(b, "conv_id")
+        p = plan_of(joined)
+        # a sort-merge join with NO shuffle on either side: bucket layout
+        # satisfies the join's distribution requirement directly
+        assert "SortMergeJoin" in p, p[:1500]
+        assert "Exchange hashpartitioning" not in p, p[:1500]
+        assert joined.count() == df.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)

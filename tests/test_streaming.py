@@ -73,3 +73,33 @@ def test_foreachbatch_full_engine(spark, tmp_path, landed):
     assert verdicts.filter(F.col("constraint_id") == "role_enum").count() > 0
     viols = spark.read.parquet(vsink)
     assert viols.count() > 0
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Late duplicate turns inside the watermark horizon are dropped before
+    validation — the streaming twin of the batch uniqueness check."""
+    import datetime as dt
+
+    from prompture_spark.model import TRANSCRIPT_SCHEMA
+
+    src = str(tmp_path / "dup_landing")
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        ("conv-00000001", 0, "user", "a", None, t0, 0),
+        ("conv-00000001", 0, "user", "a-dup", None, t0, 0),   # duplicate key
+        ("conv-00000001", 1, "bot", "bad role", None, t0, 0), # violation row
+        ("conv-00000001", 1, "bot", "bad role dup", None, t0, 0),
+    ]
+    spark.createDataFrame(rows, TRANSCRIPT_SCHEMA).write.parquet(src)
+    sink = str(tmp_path / "v")
+    ckpt = str(tmp_path / "c")
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(src)
+    q = stream_row_violations(
+        stream, default_transcript_suite(), sink, ckpt, dedup=True
+    )
+    q.awaitTermination(120)
+    viols = spark.read.parquet(sink).collect()
+    # the duplicate of turn 1 was dropped pre-validation: exactly ONE
+    # role_enum violation survives, not two
+    role_viols = [r for r in viols if r.constraint_id == "role_enum"]
+    assert len(role_viols) == 1
