@@ -12,6 +12,8 @@ stand-in for Iceberg's bucket partition transform
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -23,7 +25,16 @@ def write_bucketed(
     sort_cols: list[str] | None = None,
 ) -> None:
     """Save as a bucketed (and optionally sort-ordered) managed table."""
+    import shutil
+
+    spark = df.sparkSession
     bucket_cols = bucket_cols or ["conv_id"]
+    # a stale managed-table location (e.g. from a killed session) blocks
+    # CREATE even in overwrite mode — clear both catalog entry and directory
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(warehouse.replace("file:", ""), table.split(".")[-1])
+    shutil.rmtree(loc, ignore_errors=True)
     w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
