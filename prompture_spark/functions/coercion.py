@@ -125,6 +125,32 @@ def coerce(col: Column | str, to: str, default=None, nullable: bool = True) -> C
     return F.coalesce(cast, F.lit(fallback).cast(to if to != "boolean" else "boolean"))
 
 
+def coerce_list(col: Column | str, item_type: str, drop_failures: bool = True) -> Column:
+    """List coercion with per-item recovery (C5 list path, tools.py:520-546):
+    split the raw string into items, coerce each; failed items are dropped
+    (``drop_failures=True``, the reference's item-recovery behavior) or
+    null-filled."""
+    items = as_list(col)
+    if item_type in ("double", "float"):
+        coerced = F.transform(
+            items, lambda x: F.coalesce(x.try_cast("double"), parse_shorthand_number(x))
+        )
+    elif item_type in ("int", "bigint", "long"):
+        coerced = F.transform(
+            items,
+            lambda x: F.coalesce(
+                x.try_cast("bigint"), F.round(parse_shorthand_number(x)).try_cast("bigint")
+            ),
+        )
+    elif item_type == "boolean":
+        coerced = F.transform(items, lambda x: parse_boolean(x))
+    else:
+        coerced = F.transform(items, lambda x: x.try_cast(item_type))
+    if drop_failures:
+        coerced = F.filter(coerced, lambda x: x.isNotNull())
+    return coerced
+
+
 def clean_json_text(col: Column | str) -> Column:
     """Strip ``<think>…</think>`` and markdown code fences; fall back to the
     first ``{…}`` span (C8, tools.py:1023-1061)."""

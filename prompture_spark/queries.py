@@ -1302,3 +1302,28 @@ def q_cost_formula(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         cost(F.col("value"), F.col("value") * 2, rin, rout).alias("cost"),
     )
+
+
+_REFUSAL_CATEGORY_ORACLE = (
+    ORACLE_TRANSCRIPTS_CTE
+    + """
+SELECT 'hard_refusal' AS category, CAST(count(*) AS BIGINT) AS n
+FROM transcripts
+WHERE text IS NOT NULL AND regexp_matches(lower(text),
+  'i cannot help|i can''t help|i cannot assist|i can''t assist|i must decline')
+"""
+)
+
+
+@register("refusal_category_counts", _REFUSAL_CATEGORY_ORACLE)
+def q_refusal_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 per-category refusal counts (refusal/evaluator.py:95-120)."""
+    from prompture_spark.operators.textquality import refusal_category
+
+    df = transcripts_from_events(spark, sf_dir)
+    return (
+        df.select(refusal_category("text").alias("category"))
+        .filter(F.col("category").isNotNull())
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -145,3 +145,15 @@ def test_jsonschema_udf(spark):
     rows = df.select(json_schema_check("v", schema).alias("r")).collect()
     assert [r.r.ok for r in rows] == [True, False, False, False]
     assert rows[1].r.error  # mentions the problem
+
+
+def test_coerce_list_item_recovery(spark):
+    from prompture_spark.functions.coercion import coerce_list
+
+    # failed items dropped, shorthand recovered (tools.py:520-546 semantics)
+    got = run1(spark, coerce_list(F.col("v"), "int"), "1, 2k, oops, 4")
+    assert got == [1, 2000, 4]
+    got2 = run1(spark, coerce_list(F.col("v"), "int", drop_failures=False), "1, x")
+    assert got2 == [1, None]
+    got3 = run1(spark, coerce_list(F.col("v"), "boolean"), "yes; no | si")
+    assert got3 == [True, False, True]

@@ -123,3 +123,17 @@ def test_self_consistency_normalizes_before_vote(spark):
     df = spark.createDataFrame(rows, "g string, t string")
     out = cons.self_consistency(df, "g", "t").collect()[0]
     assert out.winner == "paris" and out.votes == 3
+
+
+def test_refusal_categories(spark):
+    cases = {
+        "I cannot help with that": "hard_refusal",
+        "I'm sorry but no": "apology",
+        "As an AI I do not": "identity",
+        "I'm unable to see images": "capability",
+        "I won't do that": "unwillingness",
+        "that goes against my guidelines": "policy",
+        "sure, here you go": None,
+    }
+    for text, expected in cases.items():
+        assert one(spark, tq.refusal_category("v"), text) == expected, text
