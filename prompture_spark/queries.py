@@ -1327,3 +1327,37 @@ def q_refusal_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("category")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+_CUBE_ORACLE = """
+SELECT coalesce(strftime(ts, '%Y-%m-%d'), 'ALL') AS day,
+       coalesce(event_type, 'ALL') AS event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 4) AS total_value
+FROM events
+GROUP BY GROUPING SETS ((strftime(ts, '%Y-%m-%d'), event_type),
+                        (strftime(ts, '%Y-%m-%d')), (event_type), ())
+"""
+
+
+@register("usage_grouping_sets", _CUBE_ORACLE)
+def q_usage_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2's five separate SQL views (daily/model/provider/... costs,
+    tracker.py:170-226) collapsed into ONE grouping-sets pass — the
+    multi-granularity rollup SURVEY §2.4 flags; Spark computes all
+    granularities off a single scan + expand."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    cube = ev.select(day, "event_type", "value").groupingSets(
+        [["day", "event_type"], ["day"], ["event_type"], []],
+        "day", "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    return cube.select(
+        F.coalesce(F.col("day"), F.lit("ALL")).alias("day"),
+        F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+        "n",
+        "total_value",
+    )
