@@ -34,10 +34,17 @@ _FALSE_SET = (
 _CURRENCY_RE = r"^[\s$€£¥₹₩+]+"
 
 
+def _strip_ws(c: Column) -> Column:
+    """Full whitespace strip — Spark's ``trim`` removes ONLY the space
+    character (0x20), unlike Python ``str.strip``; the reference parsers
+    strip tabs/newlines too (found by a hypothesis property test)."""
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
 def parse_boolean(col: Column | str, default: bool | None = None) -> Column:
     """Multilingual string→boolean (C1). Numeric strings: nonzero → true.
     Unrecognized → ``default`` (None = null, matching nullable semantics)."""
-    c = F.lower(F.trim(F.col(col) if isinstance(col, str) else col))
+    c = F.lower(_strip_ws(F.col(col) if isinstance(col, str) else col))
     num = c.try_cast("double")
     return (
         F.when(c.isNull(), F.lit(default).cast("boolean"))
@@ -73,7 +80,7 @@ def parse_datetime(col: Column | str, patterns: tuple[str, ...] = _DT_PATTERNS) 
     """Ordered-pattern timestamp parse (C3): first pattern that parses wins,
     like dateutil's permissive parse; unparseable → null (caller applies
     defaults via ``coerce``)."""
-    c = F.trim(F.col(col) if isinstance(col, str) else col)
+    c = _strip_ws(F.col(col) if isinstance(col, str) else col)
     tries = [F.try_to_timestamp(c, F.lit(p)) for p in patterns]
     return F.coalesce(*tries, F.try_to_timestamp(c))
 
@@ -82,7 +89,7 @@ def parse_shorthand_number(col: Column | str) -> Column:
     """Shorthand numerics (C4): ``$1,200`` / ``1_200`` / ``1.2k`` / ``3M`` /
     ``12%`` / ``1e3`` → double. Percent divides by 100 (reference treats
     ``12%`` as 0.12, tools.py:246-252). Unparseable → null."""
-    raw = F.trim(F.col(col) if isinstance(col, str) else col)
+    raw = _strip_ws(F.col(col) if isinstance(col, str) else col)
     s = F.regexp_replace(raw, _CURRENCY_RE, "")
     s = F.regexp_replace(s, r"[,_]", "")
     s = F.lower(s)

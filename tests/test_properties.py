@@ -1,0 +1,80 @@
+"""Property-based tests (hypothesis): the coercion layer is TOTAL — any
+string input produces a value or null, never an exception — and parsers
+honor their algebraic contracts. Batched: each property materializes one
+DataFrame per run, not one Spark job per example."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from prompture_spark.functions.coercion import (
+    as_list,
+    coerce,
+    parse_boolean,
+    parse_shorthand_number,
+)
+
+_text = st.text(min_size=0, max_size=40)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_text, min_size=1, max_size=200))
+def test_coercers_total_on_arbitrary_strings(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    out = df.select(
+        parse_boolean("v").alias("b"),
+        parse_shorthand_number("v").alias("n"),
+        as_list("v").alias("l"),
+        coerce(F.col("v"), "int", nullable=False).alias("i"),
+        coerce(F.col("v"), "timestamp").alias("t"),
+    ).collect()
+    assert len(out) == len(values)  # no row threw
+    for r in out:
+        assert r.i is not None  # non-nullable int always has a value
+        assert r.l is not None  # as_list never returns null
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=0.001, max_value=999.0, allow_nan=False),
+            st.sampled_from(["k", "m", "b", "t", ""]),
+        ),
+        min_size=1,
+        max_size=100,
+    )
+)
+def test_shorthand_suffix_algebra(spark, cases):
+    mult = {"k": 1e3, "m": 1e6, "b": 1e9, "t": 1e12, "": 1.0}
+    rows = [(f"{x:.3f}{s}", x * mult[s]) for x, s in cases]
+    df = spark.createDataFrame(rows, "raw string, expected double")
+    got = df.select(
+        parse_shorthand_number("raw").alias("p"), "expected", "raw"
+    ).collect()
+    for r in got:
+        assert r.p == pytest.approx(r.expected, rel=1e-3), r.raw
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.sampled_from(["yes", "no", "true", "false", "on", "off", "si", "oui"]).flatmap(
+            lambda t: st.sampled_from(
+                [t, t.upper(), t.title(), f"  {t} ", f"\t{t.upper()}  "]
+            )
+        ),
+        min_size=1,
+        max_size=100,
+    )
+)
+def test_boolean_casing_whitespace_invariance(spark, tokens):
+    truth = {"yes": True, "true": True, "on": True, "si": True, "oui": True,
+             "no": False, "false": False, "off": False}
+    rows = [(t, truth[t.strip().lower()]) for t in tokens]
+    df = spark.createDataFrame(rows, "raw string, expected boolean")
+    got = df.select(parse_boolean("raw").alias("p"), "expected", "raw").collect()
+    for r in got:
+        assert r.p is r.expected, r.raw
