@@ -202,3 +202,27 @@ def cost(prompt_tokens: Column, completion_tokens: Column, rate_in: Column, rate
     return F.round(
         (prompt_tokens / F.lit(1e6)) * rate_in + (completion_tokens / F.lit(1e6)) * rate_out, 6
     )
+
+
+def coerce_union(col: Column | str, types: list[str], default=None) -> Column:
+    """Union-type coercion (C5, tools.py:495-518): try each member type in
+    declaration order, first success wins; all-fail → default. Returns a
+    string-typed value (the reference returns the member's native type; a
+    single Column must pick one SQL type, so members stringify —
+    distinguishable and lossless for verdict/violation routing)."""
+    c = F.col(col) if isinstance(col, str) else col
+    tries = []
+    for t in types:
+        if t == "boolean":
+            tries.append(parse_boolean(c).cast("string"))
+        elif t in ("int", "bigint"):
+            tries.append(c.try_cast("bigint").cast("string"))
+        elif t in ("double", "float"):
+            tries.append(
+                F.coalesce(c.try_cast("double"), parse_shorthand_number(c)).cast("string")
+            )
+        elif t == "timestamp":
+            tries.append(parse_datetime(c).cast("string"))
+        else:
+            tries.append(c.try_cast(t).cast("string"))
+    return F.coalesce(*tries, F.lit(default).cast("string"))

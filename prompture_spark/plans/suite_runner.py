@@ -28,7 +28,6 @@ from prompture_spark.plans.spec import (
     InSet,
     MaxLength,
     Monotonic,
-    NonEmpty,
     NotNull,
     Range,
     Referential,

@@ -157,3 +157,14 @@ def test_coerce_list_item_recovery(spark):
     assert got2 == [1, None]
     got3 = run1(spark, coerce_list(F.col("v"), "boolean"), "yes; no | si")
     assert got3 == [True, False, True]
+
+
+def test_coerce_union_ordered(spark):
+    """Union member order decides (test_robust_conversion.py:179-194): an
+    int|bool union parses '1' as int when int is first, bool when bool is."""
+    from prompture_spark.functions.coercion import coerce_union
+
+    assert run1(spark, coerce_union(F.col("v"), ["bigint", "boolean"]), "1") == "1"
+    assert run1(spark, coerce_union(F.col("v"), ["boolean", "bigint"]), "1") == "true"
+    assert run1(spark, coerce_union(F.col("v"), ["bigint", "boolean"]), "yes") == "true"
+    assert run1(spark, coerce_union(F.col("v"), ["bigint"], default="0"), "junk") == "0"
