@@ -358,3 +358,59 @@ def embedding_dedup_pairs(
     return sim.filter(F.col("_c") >= threshold).select(
         "id_a", "id_b", F.round("_c", 6).alias("cosine")
     )
+
+
+# --------------------------------------------------- cluster + keep policy
+
+
+def near_dup_drop_list(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Turn near-dup PAIRS into an actionable drop list: connected components
+    by iterative min-label propagation, keep the smallest id per component
+    (first-occurrence-wins at cluster granularity — the reference's dedup
+    keeps the earliest seen, dataset/dedup.py:84-96).
+
+    Output: (doc_id, keep_id) for every id that should be DROPPED (its
+    component's keeper differs). Label propagation converges in
+    O(component diameter) rounds — near-dup clusters are shallow (twins,
+    boilerplate families), so a handful of joins; each round's label frame is
+    persisted and the loop exits early on fixpoint. This is the documented
+    iterative/non-single-pass operator: the oracle restates it with a
+    recursive CTE."""
+    edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    edges = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().persist()
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .persist()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["b"] == labels["id"])
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.filter(F.col("id") != F.col("label")).select(
+        F.col("id").alias("doc_id"), F.col("label").alias("keep_id")
+    )
+    return out

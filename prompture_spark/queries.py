@@ -1361,3 +1361,46 @@ def q_usage_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "total_value",
     )
+
+
+_DROP_LIST_ORACLE = (
+    _AUG_DOCS_CTE
+    + """
+, sh AS (
+  SELECT DISTINCT doc_id, substr(lower(text), CAST(i AS INT), 5) AS s
+  FROM aug, range(1, 2048) r(i)
+  WHERE i <= length(text) - 4
+),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sz na ON id_a = na.doc_id JOIN sz nb ON id_b = nb.doc_id
+  WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.8
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  WITH RECURSIVE r(id, seen) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT e.a, r.seen FROM r JOIN edges e ON e.b = r.id
+  )
+  SELECT id, min(seen) AS keep_id FROM r GROUP BY id
+)
+SELECT id AS doc_id, keep_id FROM reach WHERE id <> keep_id
+"""
+)
+
+
+@register("near_dup_drop_list", _DROP_LIST_ORACLE)
+def q_near_dup_drop_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup ACTION stage: near-dup pairs -> connected components -> keep the
+    smallest id per component; oracle restates the components with a
+    recursive CTE."""
+    pairs = dd.ngram_jaccard_pairs(_aug_docs(spark, sf_dir), "doc_id", "text")
+    return dd.near_dup_drop_list(pairs)

@@ -123,3 +123,13 @@ def test_ivf_recall_on_real_embeddings(spark, sf_med):
     a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_near_dup_drop_list_components(spark):
+    """Chained pairs form one component; the smallest id is kept."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (4, 10)], "id_a int, id_b int"
+    )
+    out = {r.doc_id: r.keep_id for r in dd.near_dup_drop_list(pairs).collect()}
+    # component {1,2,3}: keep 1; {7,9}: keep 7; {4,10}: keep 4
+    assert out == {2: 1, 3: 1, 9: 7, 10: 4}
