@@ -1,0 +1,58 @@
+"""Gap-based sessionization — segmenting event/turn streams into sessions.
+
+The reference tracks per-session usage via explicit session objects
+(prompture/infra/session.py); at table scale sessions must be RECOVERED from
+timestamps: a new session starts when the gap to the previous event of the
+same actor exceeds the timeout. Classic cumulative-window formulation:
+
+    new_session = (ts - lag(ts) > gap)            -- boundary flag
+    session_seq = sum(new_session) over (actor order by ts)  -- running count
+
+One shuffle by actor; both windows share it (same partitioning/ordering).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def sessionize(
+    df: DataFrame,
+    actor_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    order_tiebreak: str | None = "event_id",
+) -> DataFrame:
+    """Append ``session_seq`` (0-based per actor) to every row."""
+    order = [F.col(ts_col)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
+    w = Window.partitionBy(actor_col).orderBy(*order)
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    # NTZ timestamps cannot cast straight to long; go through timestamp
+    # (session TZ is pinned to UTC so the instant is unambiguous)
+    gap_s = F.col(ts_col).cast("timestamp").cast("long") - prev_ts.cast("timestamp").cast("long")
+    boundary = F.when(
+        prev_ts.isNull() | (gap_s > gap_minutes * 60), F.lit(1)
+    ).otherwise(F.lit(0))
+    running = Window.partitionBy(actor_col).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn("session_seq", (F.sum(boundary).over(running) - 1).cast("int"))
+
+
+def session_stats(
+    df: DataFrame,
+    actor_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Per-session rollup: (actor, session_seq, n_events, start/end, dur_s)."""
+    s = sessionize(df, actor_col, ts_col, gap_minutes)
+    return s.groupBy(actor_col, "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min(ts_col), "yyyy-MM-dd HH:mm:ss").alias("start_ts"),
+        F.date_format(F.max(ts_col), "yyyy-MM-dd HH:mm:ss").alias("end_ts"),
+        (F.max(F.col(ts_col)).cast("timestamp").cast("long")
+         - F.min(F.col(ts_col)).cast("timestamp").cast("long")).alias("dur_s"),
+    )

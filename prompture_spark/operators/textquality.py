@@ -249,3 +249,18 @@ def quality_stats(df: DataFrame, text_col: str = "text", **kw) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select("reason", "n", F.round(F.col("n") / F.lit(float(total)), 6).alias("share"))
     )
+
+
+def quality_score(col: Column | str, target_len: int = 400) -> Column:
+    """Composite quality in [0,1]: 0.4·length-saturation + 0.3·stopword ratio
+    + 0.3·(1 − punctuation density). The continuous counterpart of the
+    drop cascade, used for ranking/keep-best dedup policies."""
+    c = F.col(col) if isinstance(col, str) else col
+    length_part = F.least(F.length(c) / F.lit(float(target_len)), F.lit(1.0))
+    toks = F.filter(F.split(F.trim(c), r"\s+"), lambda x: x != "")
+    en_sw = _STOPWORDS["en"]
+    sw_hits = F.size(F.filter(F.split(F.lower(c), r"\s+"), lambda t: t.isin(*en_sw)))
+    sw_part = sw_hits / F.greatest(F.size(toks), F.lit(1)).cast("double")
+    punct = F.size(F.regexp_extract_all(c, F.lit(r"[^A-Za-z0-9\s]"), 0))
+    punct_part = F.lit(1.0) - punct / F.greatest(F.length(c), F.lit(1)).cast("double")
+    return F.round(0.4 * length_part + 0.3 * sw_part + 0.3 * punct_part, 6)

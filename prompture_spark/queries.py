@@ -1404,3 +1404,64 @@ def q_near_dup_drop_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive CTE."""
     pairs = dd.ngram_jaccard_pairs(_aug_docs(spark, sf_dir), "doc_id", "text")
     return dd.near_dup_drop_list(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Q: sessionization + composite quality score
+# ---------------------------------------------------------------------------
+
+_SESSIONS_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800 THEN 1 ELSE 0 END AS b
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         CAST(sum(b) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) - 1 AS INT) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       CAST(count(*) AS BIGINT) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_ts,
+       CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS dur_s
+FROM sess GROUP BY user_id, session_seq
+"""
+
+
+@register("sessionization", _SESSIONS_ORACLE)
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session recovery (30-min timeout) + per-session rollup —
+    the table-scale restatement of the reference's UsageSession tracking."""
+    from prompture_spark.operators.sessions import session_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_stats(ev, "user_id", "ts", gap_minutes=30)
+
+
+_QUALITY_SCORE_ORACLE = r"""
+SELECT doc_id,
+       round(
+         0.4 * least(length(text) / 400.0, 1.0)
+       + 0.3 * (len(list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x IN ('the','a','and','of','to','is','in','that','it','for')))
+                / CAST(greatest(len(list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '')), 1) AS DOUBLE))
+       + 0.3 * (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+                / CAST(greatest(length(text), 1) AS DOUBLE)), 6) AS quality
+FROM documents
+"""
+
+
+@register("doc_quality_scores", _QUALITY_SCORE_ORACLE)
+def q_doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document quality score (length/stopword/punctuation ratios)
+    — the scoring counterpart of the drop cascade."""
+    from prompture_spark.operators.textquality import quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", quality_score("text").alias("quality"))

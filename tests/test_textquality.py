@@ -137,3 +137,27 @@ def test_refusal_categories(spark):
     }
     for text, expected in cases.items():
         assert one(spark, tq.refusal_category("v"), text) == expected, text
+
+
+def test_sessionize_boundaries(spark):
+    import datetime as dt
+
+    from prompture_spark.operators.sessions import sessionize
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, 0, base),
+        (1, 1, base + dt.timedelta(minutes=10)),     # same session
+        (1, 2, base + dt.timedelta(minutes=50)),     # 40-min gap -> new
+        (2, 3, base),                                 # other actor
+    ]
+    df = spark.createDataFrame(rows, "user_id int, event_id int, ts timestamp")
+    got = {r.event_id: r.session_seq for r in sessionize(df, gap_minutes=30).collect()}
+    assert got == {0: 0, 1: 0, 2: 1, 3: 0}
+
+
+def test_quality_score_ranges(spark):
+    assert 0.0 <= one(spark, tq.quality_score("v"), "!!!") <= 1.0
+    rich = one(spark, tq.quality_score("v"), "the cat sat on the mat and it is a fine day for all of us " * 8)
+    poor = one(spark, tq.quality_score("v"), "@#$% ^&*")
+    assert rich > poor
