@@ -1,0 +1,62 @@
+"""As-of (point-in-time) join — an operator Spark's DataFrame API lacks.
+
+For each left row, attach the most recent right row with ``right.ts <=
+left.ts`` within the same key. The naive formulation (per-row correlated
+subquery / range theta-join) is O(n·m) and unusable at scale; the
+Spark-native formulation is the UNION + LAST-VALUE WINDOW trick:
+
+  1. tag both streams and union them;
+  2. one shuffle by key, sorted by (ts, side) — right rows sort BEFORE left
+     rows at equal ts so ties match (ASOF <= semantics);
+  3. ``last(right_payload, ignorenulls=True)`` over the unbounded-preceding
+     frame carries the latest right row forward;
+  4. keep only left rows.
+
+Cost: ONE shuffle of |left| + |right| rows — the same complexity class as a
+plain equi-join, regardless of timestamp density. (Same strategy DuckDB and
+kdb execute natively; the oracle uses DuckDB's built-in ASOF JOIN.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str = "ts",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Left as-of join: every left row + latest right row at or before its
+    timestamp (null struct when none exists). Right columns come back
+    prefixed."""
+    r_payload = F.struct(*[F.col(c) for c in right.columns]).alias("_r")
+    l = left.select(
+        F.col(key).alias("_k"), F.col(ts).alias("_ts"), F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+        F.lit(None).cast(
+            right.select(r_payload).schema["_r"].dataType.simpleString()
+        ).alias("_r"),
+    )
+    r = right.select(
+        F.col(key).alias("_k"), F.col(ts).alias("_ts"), F.lit(0).alias("_side"),
+        F.lit(None).cast(
+            left.select(F.struct(*[F.col(c) for c in left.columns]).alias("_l"))
+            .schema["_l"].dataType.simpleString()
+        ).alias("_l"),
+        r_payload,
+    )
+    u = l.unionByName(r)
+    w = Window.partitionBy("_k").orderBy("_ts", "_side").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    carried = u.withColumn("_last_r", F.last("_r", ignorenulls=True).over(w))
+    out = carried.filter(F.col("_side") == 1)
+    cols = [F.col(f"_l.{c}").alias(c) for c in left.columns] + [
+        F.col(f"_last_r.{c}").alias(f"{right_prefix}{c}") for c in right.columns
+    ]
+    return out.select(*cols)

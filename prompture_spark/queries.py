@@ -1465,3 +1465,39 @@ def q_doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select("doc_id", quality_score("text").alias("quality"))
+
+
+_ASOF_ORACLE = """
+WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+SELECT p.event_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       p.value,
+       c.event_id AS prior_click_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS prior_click_ts
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+@register("asof_join_purchase_click", _ASOF_ORACLE)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent prior
+    click — union + last-value-window formulation (ONE shuffle); DuckDB's
+    native ASOF JOIN is the oracle."""
+    from prompture_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(purchases, clicks, key="user_id", ts="ts")
+    return out.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "value",
+        F.col("r_event_id").alias("prior_click_id"),
+        F.date_format("r_ts", "yyyy-MM-dd HH:mm:ss").alias("prior_click_ts"),
+    )

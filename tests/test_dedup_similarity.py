@@ -133,3 +133,25 @@ def test_near_dup_drop_list_components(spark):
     out = {r.doc_id: r.keep_id for r in dd.near_dup_drop_list(pairs).collect()}
     # component {1,2,3}: keep 1; {7,9}: keep 7; {4,10}: keep 4
     assert out == {2: 1, 3: 1, 9: 7, 10: 4}
+
+
+def test_asof_join_semantics(spark):
+    import datetime as dt
+
+    from prompture_spark.operators.asof import asof_join
+
+    b = dt.datetime(2024, 1, 1, 10, 0, 0)
+    m = lambda x: b + dt.timedelta(minutes=x)
+    left = spark.createDataFrame(
+        [(1, "u", m(10)), (2, "u", m(5)), (3, "u", m(0)), (4, "v", m(9))],
+        "id int, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, "u", m(1)), (101, "u", m(5)), (102, "u", m(7)), (103, "w", m(0))],
+        "rid int, k string, ts timestamp",
+    )
+    got = {r.id: r.r_rid for r in asof_join(left, right, key="k").collect()}
+    assert got[1] == 102    # latest <= 10:10
+    assert got[2] == 101    # EQUAL ts matches (<= semantics)
+    assert got[3] is None   # nothing at or before 10:00
+    assert got[4] is None   # no right rows for key v
