@@ -60,3 +60,50 @@ def asof_join(
         F.col(f"_last_r.{c}").alias(f"{right_prefix}{c}") for c in right.columns
     ]
     return out.select(*cols)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str = "ts",
+    before_s: int = 300,
+    after_s: int = 300,
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Interval join: all right rows with ``left.ts - before <= right.ts <=
+    left.ts + after`` per key.
+
+    A raw inequality join plans as BroadcastNestedLoop (O(n·m)); the
+    scalable formulation buckets time into fixed cells of width
+    ``before+after``: each left row expands to the 2 cells its window can
+    overlap, right rows map to their own cell, and an EQUI-join on
+    (key, cell) + exact range filter replaces the theta join. Shuffle volume
+    is ≤ 2·|left| + |right| — independent of time density."""
+    cell = before_s + after_s
+    l_ts = F.col(ts).cast("timestamp").cast("long")
+    lo = l_ts - before_s
+    hi = l_ts + after_s
+    l = left.select(
+        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+        F.col(key).alias("_k"),
+        lo.alias("_lo"),
+        hi.alias("_hi"),
+        F.explode(
+            F.sequence(F.floor(lo / cell), F.floor(hi / cell))
+        ).alias("_cell"),
+    )
+    r_ts = F.col(ts).cast("timestamp").cast("long")
+    r = right.select(
+        F.struct(*[F.col(c) for c in right.columns]).alias("_r"),
+        F.col(key).alias("_k"),
+        r_ts.alias("_rts"),
+        F.floor(r_ts / cell).alias("_cell"),
+    )
+    joined = l.join(r, ["_k", "_cell"]).filter(
+        (F.col("_rts") >= F.col("_lo")) & (F.col("_rts") <= F.col("_hi"))
+    )
+    cols = [F.col(f"_l.{c}").alias(c) for c in left.columns] + [
+        F.col(f"_r.{c}").alias(f"{right_prefix}{c}") for c in right.columns
+    ]
+    return joined.select(*cols)

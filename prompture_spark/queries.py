@@ -1501,3 +1501,39 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_event_id").alias("prior_click_id"),
         F.date_format("r_ts", "yyyy-MM-dd HH:mm:ss").alias("prior_click_ts"),
     )
+
+
+_RANGE_JOIN_ORACLE = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+e AS (SELECT event_id, user_id, ts, event_type FROM events WHERE event_type <> 'purchase')
+SELECT p.event_id,
+       e.event_id AS near_event_id,
+       e.event_type AS near_event_type,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS near_ts
+FROM p JOIN e ON p.user_id = e.user_id
+ AND floor(epoch(e.ts)) >= floor(epoch(p.ts)) - 600
+ AND floor(epoch(e.ts)) <= floor(epoch(p.ts)) + 600
+"""
+
+
+@register("range_join_purchase_context", _RANGE_JOIN_ORACLE)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join: every event within ±10 min of each purchase for
+    the same user — time-bucket expansion turns the theta join into an
+    equi-join + filter (no nested loop)."""
+    from prompture_spark.operators.asof import range_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    others = ev.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    out = range_join(purchases, others, key="user_id", before_s=600, after_s=600)
+    return out.select(
+        "event_id",
+        F.col("r_event_id").alias("near_event_id"),
+        F.col("r_event_type").alias("near_event_type"),
+        F.date_format("r_ts", "yyyy-MM-dd HH:mm:ss").alias("near_ts"),
+    )

@@ -155,3 +155,22 @@ def test_asof_join_semantics(spark):
     assert got[2] == 101    # EQUAL ts matches (<= semantics)
     assert got[3] is None   # nothing at or before 10:00
     assert got[4] is None   # no right rows for key v
+
+
+def test_range_join_window_boundaries(spark):
+    import datetime as dt
+
+    from prompture_spark.operators.asof import range_join
+
+    b = dt.datetime(2024, 1, 1, 10, 0, 0)
+    s = lambda x: b + dt.timedelta(seconds=x)
+    left = spark.createDataFrame([(1, "u", s(1000))], "id int, k string, ts timestamp")
+    right = spark.createDataFrame(
+        [(100, "u", s(700)), (101, "u", s(699)), (102, "u", s(1300)),
+         (103, "u", s(1301)), (104, "w", s(1000))],
+        "rid int, k string, ts timestamp",
+    )
+    got = sorted(
+        r.r_rid for r in range_join(left, right, key="k", before_s=300, after_s=300).collect()
+    )
+    assert got == [100, 102]  # inclusive bounds; 101/103 one second outside
