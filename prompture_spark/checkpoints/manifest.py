@@ -43,7 +43,8 @@ from prompture_spark.plans.spec import ValidationSuite
 
 MANIFEST_DDL = (
     "run_id string, run_config_hash string, partition_id int, status string, "
-    "rows_checked long, violations long, elapsed_ms double, updated_at timestamp"
+    "rows_checked long, violations long, elapsed_ms double, batch_uid string, "
+    "updated_at timestamp"
 )
 
 
@@ -73,7 +74,9 @@ class ManifestStore:
         semantics of the reference's save() done as a window over appends."""
         if not os.path.exists(self.path):
             return self._empty()
-        raw = self.spark.read.parquet(self.path)
+        # mergeSchema: tolerate manifests written before a column was added
+        # (e.g. batch_uid) — appended files may differ in width.
+        raw = self.spark.read.option("mergeSchema", "true").parquet(self.path)
         w = Window.partitionBy("run_config_hash", "partition_id").orderBy(
             F.desc("updated_at"), F.desc("run_id")
         )
@@ -94,13 +97,25 @@ class ManifestStore:
                     int(r.get("rows_checked", 0)),
                     int(r.get("violations", 0)),
                     float(r.get("elapsed_ms", 0.0)),
+                    r.get("batch_uid"),
                 )
                 for r in rows
             ],
             "run_id string, run_config_hash string, partition_id int, status string, "
-            "rows_checked long, violations long, elapsed_ms double",
+            "rows_checked long, violations long, elapsed_ms double, batch_uid string",
         ).withColumn("updated_at", F.current_timestamp())
         df.write.mode("append").parquet(self.path)
+
+    def committed_batch_uids(self, run_config_hash: str | None = None) -> list[str]:
+        """Distinct batch output ids referenced by completed manifest rows —
+        the read-side half of the exactly-once contract (see
+        ``ResumableRunner.read_violations``)."""
+        rows = self.read().filter(
+            (F.col("status") == "completed") & F.col("batch_uid").isNotNull()
+        )
+        if run_config_hash is not None:
+            rows = rows.filter(F.col("run_config_hash") == run_config_hash)
+        return sorted(r.batch_uid for r in rows.select("batch_uid").distinct().collect())
 
     def completed_partitions(self, run_config_hash: str) -> DataFrame:
         return (
@@ -119,9 +134,18 @@ class ResumableRunner:
     ``run()`` plans the partition list from the data, anti-joins it against
     completed manifest rows, executes only the remainder (grouped into
     batches so one driver loop iteration covers many partitions), and MERGEs
-    a 'completed' row + metrics per partition. Violations append to a sink
-    directory per batch — re-running after a crash neither recomputes nor
-    double-writes completed partitions.
+    a 'completed' row + metrics per partition.
+
+    Exactly-once violations: each batch STAGES its violation rows under a
+    batch-scoped subdirectory ``<sink>/<batch_uid>/`` and the manifest row
+    records that ``batch_uid`` — the subdirectory becomes visible only
+    through ``read_violations()``, which reads exclusively the directories
+    referenced by completed manifest rows. A crash in the window between the
+    violation write and the manifest append leaves an ORPHAN directory that
+    the reader ignores (and ``gc_orphan_batches`` deletes), so the resumed
+    recomputation cannot double-count — the manifest append is the single
+    commit point for both the partition status and its output (the same
+    two-phase pattern as an Iceberg snapshot commit).
     """
 
     def __init__(
@@ -154,9 +178,13 @@ class ResumableRunner:
         run_id: str | None = None,
         batch_size: int = 4,
         fail_after_batches: int | None = None,
+        fail_before_commit: bool = False,
     ) -> dict:
         """Execute (or resume) the suite. ``fail_after_batches`` simulates a
-        crash for tests. Returns summary counters."""
+        crash after a batch's manifest commit; ``fail_before_commit``
+        additionally moves the simulated crash INTO the window between the
+        staged violation write and the manifest append (the at-least-once
+        hazard the batch_uid staging closes). Returns summary counters."""
         from prompture_spark.operators.engine import ValidationEngine
 
         run_id = run_id or uuid.uuid4().hex[:12]
@@ -166,10 +194,19 @@ class ResumableRunner:
         ran, batches = [], 0
         for i in range(0, len(pending), batch_size):
             batch = pending[i : i + batch_size]
+            batch_uid = f"{run_id}-b{batches}"
             t0 = time.perf_counter()
             sub = df.filter(F.col(suite.partition_col).isin(batch))
             res = eng.validate(sub, suite)
-            res.violations.write.mode("append").parquet(self.violations_sink)
+            res.violations.write.mode("overwrite").parquet(
+                f"{self.violations_sink}/{batch_uid}"
+            )
+            if (
+                fail_before_commit
+                and fail_after_batches is not None
+                and batches + 1 >= fail_after_batches
+            ):
+                raise RuntimeError("simulated crash before manifest commit")
             per_part = {
                 r.part_id: (r.rows, r.viols)
                 for r in sub.groupBy(F.col(suite.partition_col).alias("part_id"))
@@ -196,6 +233,7 @@ class ResumableRunner:
                         "rows_checked": per_part.get(p, (0, 0))[0],
                         "violations": per_part.get(p, (0, 0))[1],
                         "elapsed_ms": elapsed,
+                        "batch_uid": batch_uid,
                     }
                     for p in batch
                 ]
@@ -220,3 +258,39 @@ class ResumableRunner:
                 - set(ran)
             ),
         }
+
+    def read_violations(self, run_config_hash: str | None = None) -> DataFrame:
+        """The committed violations table: ONLY batch directories referenced
+        by a completed manifest row are read, so orphans from a crash between
+        the staged write and the manifest commit are invisible (exactly-once
+        read semantics over an at-least-once writer)."""
+        uids = self.manifest.committed_batch_uids(run_config_hash)
+        paths = [
+            f"{self.violations_sink}/{u}"
+            for u in uids
+            if os.path.exists(f"{self.violations_sink}/{u}")
+        ]
+        if not paths:
+            return self.spark.createDataFrame(
+                [],
+                "conv_id string, turn_idx int, part_id int, constraint_id string, "
+                "observed_value string",
+            )
+        return self.spark.read.parquet(*paths)
+
+    def gc_orphan_batches(self) -> list[str]:
+        """Delete staged batch directories no completed manifest row points
+        to (crash leftovers). Safe at any time: the commit point is the
+        manifest append, so an unreferenced directory is dead by definition."""
+        import shutil
+
+        if not os.path.isdir(self.violations_sink):
+            return []
+        committed = set(self.manifest.committed_batch_uids())
+        removed = []
+        for name in sorted(os.listdir(self.violations_sink)):
+            full = os.path.join(self.violations_sink, name)
+            if os.path.isdir(full) and name not in committed:
+                shutil.rmtree(full)
+                removed.append(name)
+        return removed

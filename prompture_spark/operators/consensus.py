@@ -106,4 +106,4 @@ def self_consistency(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
     """Normalize (lower, strip punct, collapse ws) then majority-vote
     (A7, eval/self_consistency.py:34-43)."""
     normed = df.withColumn("_norm", normalize_text(text_col))
-    return majority_vote(normed, group_col, "_norm").withColumnRenamed("_norm", "winner")
+    return majority_vote(normed, group_col, "_norm")

@@ -59,12 +59,21 @@ def exact_dedup(
 
 def shingles(col: Column | str, k: int = SHINGLE_K) -> Column:
     """Distinct char k-shingles of lower-cased text (array<string>).
-    Positions via sequence+transform — no Python."""
-    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    Positions via sequence+transform — no Python.
+
+    Pads with two leading/trailing spaces so edge characters get full
+    coverage, matching the reference exactly (dataset/dedup.py:108-115,
+    including its `len(padded) < k → {padded}` short-text case)."""
+    raw = F.lower(F.col(col) if isinstance(col, str) else col)
+    c = F.concat(F.lit("  "), raw, F.lit("  "))
     n = F.length(c) - (k - 1)
     # sequence(1, 0) DESCENDS in Spark rather than being empty — guard short texts.
-    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(F.array().cast("array<int>"))
-    return F.array_distinct(F.transform(idx, lambda i: F.substring(c, i, F.lit(k))))
+    return F.when(
+        n >= 1,
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(c, i, F.lit(k)))
+        ),
+    ).otherwise(F.array(c))
 
 
 def shingle_hashes(col: Column | str, k: int = SHINGLE_K) -> Column:
@@ -86,36 +95,60 @@ def ngram_jaccard_pairs(
     text_col: str,
     k: int = SHINGLE_K,
     threshold: float = JACCARD_THRESHOLD,
+    max_posting_df: int | None = 1024,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with shingle-Jaccard ≥ threshold.
 
     Inverted-index candidate join: only docs sharing a shingle are compared.
-    Returns (id_a, id_b, jaccard rounded 6dp)."""
+    Returns (id_a, id_b, jaccard rounded 6dp).
+
+    ``max_posting_df`` drops shingles whose DOCUMENT FREQUENCY exceeds the
+    cap from candidate generation (survivors are still verified with the
+    EXACT Jaccard over the full shingle sets, so the cap never creates false
+    positives). Without it, one corpus-common boilerplate shingle with a
+    posting list of 10^6 docs would emit 10^12 candidate pairs from the
+    self-join — the same degenerate-bucket failure minhash guards with
+    ``max_bucket_size``. A true near-dup pair is only lost if EVERY shingle
+    it shares is corpus-boilerplate (df > cap), i.e. the pair has no
+    distinctive content in common at all — at which point "near-duplicate"
+    is not meaningful. None = uncapped (exact candidate generation)."""
     # persist: the shingle frame feeds three plan branches (posting lists,
     # both verification sides) — without it the O(len·k) shingling re-runs
     # per branch. Hashed shingles: 8-byte longs, not Java strings.
     sh = df.select(
         F.col(id_col).alias("_id"), shingle_hashes(text_col, k).alias("_sh")
     ).filter(F.size("_sh") > 0).persist()
-    sizes = sh.select("_id", F.size("_sh").alias("_n"))
     posts = sh.select("_id", F.explode("_sh").alias("_s"))
+    if max_posting_df is not None:
+        rare = (
+            posts.groupBy("_s")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_posting_df)
+            .select("_s")
+        )
+        posts = posts.join(rare, "_s", "left_semi")
     a = posts.select(F.col("_id").alias("id_a"), "_s")
     b = posts.select(F.col("_id").alias("id_b"), "_s")
-    inter = (
+    cands = (
         a.join(b, "_s")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("_inter"))
+        .select("id_a", "id_b")
+        .distinct()
     )
-    na = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
-    nb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
+    # verify candidates with the exact Jaccard over the FULL shingle sets
+    # (cap-independent values; the cap only bounds candidate generation)
+    sa = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
+    sb = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))
     jac = (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
         .select(
             "id_a",
             "id_b",
-            (F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter"))).alias("_j"),
+            (
+                F.size(F.array_intersect("_sha", "_shb"))
+                / F.size(F.array_union("_sha", "_shb"))
+            ).alias("_j"),
         )
         .filter(F.col("_j") >= threshold)
     )
@@ -410,6 +443,12 @@ def near_dup_drop_list(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    # labels is persisted AND materialized (the convergence count touched
+    # it), so the edge frame is no longer needed — release it now rather
+    # than leaking cached blocks in a long-lived driver. The final labels
+    # frame stays cached until the caller materializes `out` (it is tiny:
+    # one row per doc participating in any near-dup pair).
+    edges.unpersist()
     out = labels.filter(F.col("id") != F.col("label")).select(
         F.col("id").alias("doc_id"), F.col("label").alias("keep_id")
     )

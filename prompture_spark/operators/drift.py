@@ -63,16 +63,29 @@ def psi(
 ) -> DataFrame:
     """PSI per partition vs baseline: (part_id, psi, drifted).
 
-    Full outer alignment on bucket with EPS smoothing so categories present
-    on only one side still contribute. Baseline is broadcast (it is tiny).
-    """
-    joined = part_hist.join(
-        F.broadcast(baseline_hist), on="bucket", how="full_outer"
-    ).select(
-        "part_id",
-        F.coalesce(F.col("freq"), F.lit(EPS)).alias("p"),
-        F.coalesce(F.col("base_freq"), F.lit(EPS)).alias("q"),
-    ).filter(F.col("part_id").isNotNull())
+    Dense (part_id × bucket) alignment: the bucket universe is the UNION of
+    baseline and observed buckets, cross-joined with every part_id, so a
+    partition entirely missing a category still contributes its (EPS, q)
+    term — exactly the vanished-category case where drift is strongest (a
+    plain join would drop that term; ks_statistic builds the same dense grid
+    for the same reason). All frames here are histogram-sized (|parts| ×
+    |buckets|), so the cross join is trivial and broadcast."""
+    buckets = (
+        part_hist.select("bucket")
+        .unionByName(baseline_hist.select("bucket"))
+        .distinct()
+    )
+    parts = part_hist.select("part_id").distinct()
+    grid = parts.crossJoin(F.broadcast(buckets))
+    joined = (
+        grid.join(part_hist, ["part_id", "bucket"], "left")
+        .join(F.broadcast(baseline_hist), "bucket", "left")
+        .select(
+            "part_id",
+            F.coalesce(F.col("freq"), F.lit(EPS)).alias("p"),
+            F.coalesce(F.col("base_freq"), F.lit(EPS)).alias("q"),
+        )
+    )
     return (
         joined.groupBy("part_id")
         .agg(F.round(F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))), round_to).alias("psi"))

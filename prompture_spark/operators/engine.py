@@ -58,13 +58,18 @@ from prompture_spark.plans.spec import RowConstraint as _RowConstraint
 @_dataclass(frozen=True)
 class _FusedReferential(_RowConstraint):
     """Referential check riding the row pass after a broadcast LEFT join:
-    the joined catalog column is null exactly for catalog misses."""
+    the joined catalog column is null exactly for catalog misses.
+
+    ``ref_nullable`` mirrors ``Referential.nullable`` so the fused predicate
+    agrees with the standalone anti-join: a NULL fact value passes only when
+    the constraint allows nulls."""
 
     cat_col: str = ""
+    ref_nullable: bool = True
 
     def predicate(self):
         c = F.col(self.column)
-        return c.isNull() | F.col(self.cat_col).isNotNull()
+        return (c.isNull() & F.lit(self.ref_nullable)) | F.col(self.cat_col).isNotNull()
 
 
 @dataclass
@@ -162,9 +167,17 @@ class ValidationEngine:
             .count()
             .filter(F.col("count") > 1)
         )
+        # Map the grouped key tuple onto the fixed violation schema slots
+        # generically: key[0] → conv_id (stringified), key[1] → turn_idx when
+        # it casts to int, null otherwise. Keys beyond the first two are part
+        # of the grouping (so multiplicity is correct) but not echoed.
+        conv_slot = F.col(keys[0]).cast("string").alias("conv_id")
+        turn_slot = (
+            F.col(keys[1]).cast("int") if len(keys) > 1 else F.lit(None).cast("int")
+        ).alias("turn_idx")
         return dups.select(
-            F.col("conv_id"),
-            F.col("turn_idx"),
+            conv_slot,
+            turn_slot,
             F.col("part_id"),
             F.lit(c.constraint_id).alias("constraint_id"),
             F.col("count").cast("string").alias("observed_value"),
@@ -254,6 +267,10 @@ class ValidationEngine:
         # Filter down to flagged rows (~defect rate) and persist: without
         # this, Catalyst prunes the two output branches into two DIFFERENT
         # window plans and the conv_id shuffle + sort runs twice.
+        # Cache lifecycle: the returned union keeps this block referenced, so
+        # (as with validate()'s violations frame) the CALLER owns release —
+        # materialize the result, then spark.catalog.clearCache() or let LRU
+        # evict; the cached frame is ~defect-rate × |input|, not the table.
         events = base.filter(is_mono | is_dup).select(
             "conv_id",
             "turn_idx",
@@ -418,7 +435,11 @@ class ValidationEngine:
                 work = work.join(
                     F.broadcast(catalog), work[c.column] == F.col(cat_col), "left"
                 )
-                row_cs.append(_FusedReferential(c.constraint_id, c.column, cat_col=cat_col))
+                row_cs.append(
+                    _FusedReferential(
+                        c.constraint_id, c.column, cat_col=cat_col, ref_nullable=c.nullable
+                    )
+                )
             else:
                 deferred.append(c)
         pruned = ValidationSuite(

@@ -32,7 +32,7 @@ REFUSAL_MARKERS = (
     "i'm sorry", "i am sorry", "i apologize", "as an ai", "i'm unable",
     "i am unable", "i won't", "i will not", "against my", "i must decline",
 )
-_REFUSAL_RE = "|".join(m.replace("'", "'") for m in REFUSAL_MARKERS)
+_REFUSAL_RE = "|".join(REFUSAL_MARKERS)
 
 
 def is_refusal(col: Column | str) -> Column:
@@ -240,14 +240,21 @@ def quality_filter(df: DataFrame, text_col: str = "text", **kw) -> DataFrame:
 
 def quality_stats(df: DataFrame, text_col: str = "text", **kw) -> DataFrame:
     """Per-reason drop counts + drop share (filters.py:172-192):
-    (reason, n, share)."""
+    (reason, n, share).
+
+    Single pass over the table: kept rows (reason null) are counted in the
+    same aggregation, the total comes from an unpartitioned window over the
+    GROUPED frame (≤ #reasons rows — a driver-trivial second stage, not a
+    second table scan)."""
+    from pyspark.sql.window import Window
+
     tagged = df.select(quality_reason(text_col, **kw).alias("reason"))
-    total = df.count()
+    counts = tagged.groupBy("reason").agg(F.count(F.lit(1)).alias("n"))
+    total = F.sum("n").over(Window.partitionBy())
     return (
-        tagged.filter(F.col("reason").isNotNull())
-        .groupBy("reason")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select("reason", "n", F.round(F.col("n") / F.lit(float(total)), 6).alias("share"))
+        counts.withColumn("share", F.round(F.col("n") / total, 6))
+        .filter(F.col("reason").isNotNull())
+        .select("reason", "n", "share")
     )
 
 

@@ -236,8 +236,14 @@ _p AS (SELECT _c.part_id, bucket, CAST(cnt AS DOUBLE) / total AS freq
 _g AS (SELECT role AS bucket, CAST(count(*) AS DOUBLE) /
               (SELECT count(*) FROM transcripts WHERE role IS NOT NULL) AS base_freq
        FROM transcripts WHERE role IS NOT NULL GROUP BY 1),
-_j AS (SELECT _p.part_id, coalesce(_p.freq, 1e-6) AS p, coalesce(_g.base_freq, 1e-6) AS q
-       FROM _p FULL OUTER JOIN _g ON _p.bucket = _g.bucket WHERE _p.part_id IS NOT NULL)
+-- dense (part_id × bucket) grid so a partition entirely missing a category
+-- still contributes its (EPS, q) term — mirrors drift.psi exactly
+_bk AS (SELECT bucket FROM _p UNION SELECT bucket FROM _g),
+_grid AS (SELECT part_id, bucket FROM (SELECT DISTINCT part_id FROM _p), _bk),
+_j AS (SELECT _grid.part_id, coalesce(_p.freq, 1e-6) AS p, coalesce(_g.base_freq, 1e-6) AS q
+       FROM _grid
+       LEFT JOIN _p ON _p.part_id = _grid.part_id AND _p.bucket = _grid.bucket
+       LEFT JOIN _g ON _g.bucket = _grid.bucket)
 SELECT part_id, round(sum((p - q) * ln(p / q)), 6) AS psi,
        round(sum((p - q) * ln(p / q)), 6) > 0.2 AS drifted
 FROM _j GROUP BY part_id
@@ -288,7 +294,7 @@ SELECT event_id,
          WHEN event_id % 7 = 4 THEN -k
          WHEN event_id % 7 = 5 THEN k
          ELSE NULL
-       END, 6) AS parsed
+       END, 6) + 0.0 AS parsed
 FROM styled
 """
 
@@ -311,7 +317,12 @@ def q_coerce_shorthand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("total garbage"))
     )
     return ev.select(
-        "event_id", F.round(coercion.parse_shorthand_number(styled), 6).alias("parsed")
+        "event_id",
+        # `+ 0.0` normalizes IEEE -0.0 to +0.0 on both the Spark and oracle
+        # sides (the driver's value-hash renders -0.0 != 0.0).
+        (F.round(coercion.parse_shorthand_number(styled), 6) + F.lit(0.0)).alias(
+            "parsed"
+        ),
     )
 
 
@@ -485,10 +496,15 @@ WITH aug AS (
 _JACCARD_ORACLE = (
     _AUG_DOCS_CTE
     + """
-, sh AS (
-  SELECT DISTINCT doc_id, substr(lower(text), CAST(i AS INT), 5) AS s
-  FROM aug, range(1, 2048) r(i)
-  WHERE i <= length(text) - 4
+, padded AS (
+  -- two-space padding on both sides, mirroring the reference's _shingles
+  -- (dataset/dedup.py:108-115) and the engine's shingles()
+  SELECT doc_id, '  ' || lower(text) || '  ' AS ptext FROM aug
+),
+sh AS (
+  SELECT DISTINCT doc_id, substr(ptext, CAST(i AS INT), 5) AS s
+  FROM padded, range(1, 8192) r(i)
+  WHERE i <= length(ptext) - 4
 ),
 sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
 inter AS (
@@ -1366,10 +1382,15 @@ def q_usage_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DROP_LIST_ORACLE = (
     _AUG_DOCS_CTE
     + """
-, sh AS (
-  SELECT DISTINCT doc_id, substr(lower(text), CAST(i AS INT), 5) AS s
-  FROM aug, range(1, 2048) r(i)
-  WHERE i <= length(text) - 4
+, padded AS (
+  -- two-space padding on both sides, mirroring the reference's _shingles
+  -- (dataset/dedup.py:108-115) and the engine's shingles()
+  SELECT doc_id, '  ' || lower(text) || '  ' AS ptext FROM aug
+),
+sh AS (
+  SELECT DISTINCT doc_id, substr(ptext, CAST(i AS INT), 5) AS s
+  FROM padded, range(1, 8192) r(i)
+  WHERE i <= length(ptext) - 4
 ),
 sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
 inter AS (

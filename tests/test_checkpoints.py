@@ -52,10 +52,45 @@ def test_crash_then_resume_no_recompute(spark, workspace):
     # final violations identical to a from-scratch run
     eng = ValidationEngine(spark)
     expected = eng.validate(df, suite).violations
-    got = spark.read.parquet(sink)
+    got = runner.read_violations()
     assert got.count() == expected.count()
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
+
+
+def test_crash_between_write_and_commit_no_double_count(spark, workspace):
+    """The at-least-once hazard: crash AFTER the batch's violations were
+    staged but BEFORE its manifest commit. The resume must recompute the
+    batch (it was never committed) and the reader must not see the orphaned
+    staged rows — total violations equal a from-scratch run exactly."""
+    man_path, sink = workspace
+    df = _df(spark)
+    suite = default_transcript_suite()
+    store = ManifestStore(spark, man_path)
+    runner = ResumableRunner(spark, store, sink)
+
+    with pytest.raises(RuntimeError, match="before manifest commit"):
+        runner.run(df, suite, "in", run_id="r1", batch_size=3,
+                   fail_after_batches=1, fail_before_commit=True)
+
+    # nothing committed: the staged batch is an orphan
+    cfg = suite_config_hash(suite, "in")
+    assert store.completed_partitions(cfg).count() == 0
+    assert runner.read_violations().count() == 0
+
+    summary = runner.run(df, suite, "in", run_id="r2", batch_size=3)
+    assert len(summary["partitions_run"]) == 8  # full recompute, none skipped
+
+    eng = ValidationEngine(spark)
+    expected = eng.validate(df, suite).violations
+    got = runner.read_violations()
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
+
+    # orphan GC removes exactly the uncommitted r1 staging dir
+    removed = runner.gc_orphan_batches()
+    assert removed == ["r1-b0"]
+    assert runner.read_violations().count() == expected.count()
 
 
 def test_rerun_when_complete_is_noop(spark, workspace):

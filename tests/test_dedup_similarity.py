@@ -33,9 +33,15 @@ def test_exact_dedup_first_occurrence_wins(spark, docs):
 
 
 def test_shingles_edge_cases(spark):
+    """Two-space padding parity with the reference (dataset/dedup.py:108-115):
+    'abcdef' → '  abcdef  ' (len 10) → 6 k=5 shingles; 'abc' → '  abc  '
+    (len 7) → 3; '' → '    ' shorter than k → the single padded string."""
     df = spark.createDataFrame([("abcdef",), ("abc",), ("",)], "v string")
     got = df.select(F.size(dd.shingles("v", 5)).alias("n")).collect()
-    assert [r.n for r in got] == [2, 0, 0]
+    assert [r.n for r in got] == [6, 3, 1]
+    # the short-text shingle IS the padded text, as in the reference
+    single = df.filter("v = ''").select(dd.shingles("v", 5).alias("s")).collect()
+    assert single[0].s == ["    "]
 
 
 def test_ngram_jaccard_finds_near_dups(spark, docs):
@@ -43,6 +49,54 @@ def test_ngram_jaccard_finds_near_dups(spark, docs):
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert (1, 2) in got  # trailing '!' keeps jaccard high
     assert not any(4 in p for p in got)
+
+
+def test_ngram_jaccard_posting_df_cap(spark):
+    """Boilerplate guard: a shingle shared by every doc must not drive
+    candidate generation. With the cap, true near-dup pairs (which share
+    doc-specific rare shingles) are still found with EXACT jaccard values,
+    while docs whose only overlap is corpus-wide boilerplate generate no
+    candidates at all instead of O(n²) join rows."""
+    boiler = "this content is provided for informational purposes only"
+    rows = [
+        (
+            i,
+            boiler
+            + " "
+            + " ".join(f"w{i:03d}q{j:02d}" for j in range(24)),
+        )
+        for i in range(200)
+    ]
+    # one true near-dup pair: 9001 is 42's text plus one word
+    rows.append((9001, rows[42][1] + " extra"))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    capped = dd.ngram_jaccard_pairs(df, "doc_id", "text", max_posting_df=8)
+    uncapped = dd.ngram_jaccard_pairs(df, "doc_id", "text", max_posting_df=None)
+    got_c = {(r.id_a, r.id_b, r.jaccard) for r in capped.collect()}
+    got_u = {(r.id_a, r.id_b, r.jaccard) for r in uncapped.collect()}
+    # exact same verified output (the true pair shares rare `0042` shingles,
+    # df=2 ≤ cap) — the cap only prunes boilerplate-only candidates
+    assert got_c == got_u
+    assert any(a == 42 and b == 9001 for a, b, _ in got_c)
+
+    # the capped posting join really is starved: with df cap 8, boilerplate
+    # shingles (df≈201) are gone, so candidate pairs are only those sharing
+    # a rare shingle — at most a handful, not 200·199/2
+    sh = df.select(F.col("doc_id").alias("_id"), dd.shingle_hashes("text").alias("_sh"))
+    posts = sh.select("_id", F.explode("_sh").alias("_s"))
+    rare = (
+        posts.groupBy("_s").agg(F.count(F.lit(1)).alias("d"))
+        .filter(F.col("d") <= 8).select("_s")
+    )
+    capped_posts = posts.join(rare, "_s", "left_semi")
+    a = capped_posts.select(F.col("_id").alias("id_a"), "_s")
+    b = capped_posts.select(F.col("_id").alias("id_b"), "_s")
+    n_cands = (
+        a.join(b, "_s").filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b").distinct().count()
+    )
+    assert n_cands < 500  # vs 19900 all-pairs if boilerplate drove the join
 
 
 def test_minhash_recall_and_no_false_positives(spark, docs):

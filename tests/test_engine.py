@@ -102,6 +102,48 @@ def test_validate_never_throws_on_dirty_rows(spark, micro):
     assert res.verdicts.filter(~F.col("ok")).count() > 0
 
 
+def test_validate_and_verdicts_agree_nonnullable_referential(spark, micro):
+    """A nullable=False Referential must count NULL fact values as
+    violations on BOTH paths: the standalone anti-join (verdicts /
+    table_violations) and the fused-into-the-row-pass predicate used by
+    validate(). The micro fixture has 9 NULL-tool rows + 1 catalog miss."""
+    from dataclasses import replace
+
+    from prompture_spark import model
+    from prompture_spark.plans.spec import Referential
+
+    _, df = micro
+    suite = default_transcript_suite()
+    strict_ref = Referential(
+        "tool_in_catalog", column="tool", catalog=model.TOOL_CATALOG, nullable=False
+    )
+    suite = replace(
+        suite,
+        table_constraints=tuple(
+            strict_ref if isinstance(c, Referential) else c
+            for c in suite.table_constraints
+        ),
+    )
+    eng = ValidationEngine(spark)
+    fused = (
+        eng.validate(df, suite)
+        .violations.filter(F.col("constraint_id") == "tool_in_catalog")
+    )
+    standalone = eng.table_violations(df, suite).filter(
+        F.col("constraint_id") == "tool_in_catalog"
+    )
+    verdict_count = (
+        eng.verdicts(df, suite)
+        .filter(F.col("constraint_id") == "tool_in_catalog")
+        .agg(F.sum("violation_count"))
+        .collect()[0][0]
+    )
+    assert fused.count() == standalone.count() == verdict_count == 10
+    # key sets identical, not just counts
+    key = ["conv_id", "turn_idx", "part_id"]
+    assert fused.select(key).exceptAll(standalone.select(key)).count() == 0
+
+
 def test_validate_full_all_outputs(spark, micro):
     _, df = micro
     eng = ValidationEngine(spark)
