@@ -71,18 +71,49 @@ _DT_PATTERNS = (
     "yyyy-MM-dd'T'HH:mm:ss",
     "yyyy-MM-dd HH:mm:ss",
     "yyyy-MM-dd",
-    "MM/dd/yyyy",
-    "dd.MM.yyyy",
 )
 
+# Ambiguous numeric-triple patterns, resolved by the dayfirst/yearfirst
+# flags exactly as dateutil does (reference parse_datetime, tools.py:181-199:
+# ``dateutil.parser.parse(..., dayfirst=..., yearfirst=...)``).
+_DT_AMBIG_MDY = ("MM/dd/yyyy", "MM/dd/yyyy HH:mm:ss", "MM-dd-yyyy")
+_DT_AMBIG_DMY = ("dd/MM/yyyy", "dd/MM/yyyy HH:mm:ss", "dd-MM-yyyy", "dd.MM.yyyy")
+_DT_AMBIG_YMD = ("yy/MM/dd", "yy-MM-dd")
 
-def parse_datetime(col: Column | str, patterns: tuple[str, ...] = _DT_PATTERNS) -> Column:
+
+def parse_datetime(
+    col: Column | str,
+    patterns: tuple[str, ...] = _DT_PATTERNS,
+    dayfirst: bool = False,
+    yearfirst: bool = False,
+    default_tz: str | None = None,
+) -> Column:
     """Ordered-pattern timestamp parse (C3): first pattern that parses wins,
     like dateutil's permissive parse; unparseable → null (caller applies
-    defaults via ``coerce``)."""
+    defaults via ``coerce``).
+
+    ``dayfirst``/``yearfirst`` resolve ambiguous numeric triples the way the
+    reference's dateutil call does (tools.py:181-199): ``03/04/2025`` parses
+    as April 3rd under ``dayfirst=True`` and March 4th otherwise;
+    ``yearfirst=True`` tries ``yy/MM/dd`` before either. Unambiguous ISO
+    forms always win regardless of flags (dateutil behaves the same).
+
+    ``default_tz`` mirrors the reference's attach-tz-when-naive: the parsed
+    wall-clock time is interpreted in that zone and normalized to UTC
+    (``to_utc_timestamp``). Spark timestamps carry no zone, so "attach" can
+    only mean "re-express in a canonical zone"; strings carrying an explicit
+    offset are already session-normalized by ``try_to_timestamp`` and must
+    not be passed through ``default_tz`` — same contract as the reference,
+    which only attaches when ``dt.tzinfo is None``."""
     c = _strip_ws(F.col(col) if isinstance(col, str) else col)
-    tries = [F.try_to_timestamp(c, F.lit(p)) for p in patterns]
-    return F.coalesce(*tries, F.try_to_timestamp(c))
+    ambig: tuple[str, ...] = _DT_AMBIG_DMY + _DT_AMBIG_MDY if dayfirst else _DT_AMBIG_MDY + _DT_AMBIG_DMY
+    if yearfirst:
+        ambig = _DT_AMBIG_YMD + ambig
+    tries = [F.try_to_timestamp(c, F.lit(p)) for p in patterns + ambig]
+    out = F.coalesce(*tries, F.try_to_timestamp(c))
+    if default_tz is not None:
+        out = F.to_utc_timestamp(out, default_tz)
+    return out
 
 
 def parse_shorthand_number(col: Column | str) -> Column:
@@ -126,6 +157,22 @@ def coerce(col: Column | str, to: str, default=None, nullable: bool = True) -> C
         ).cast(to if to != "long" else "bigint")
     elif to == "timestamp":
         cast = parse_datetime(c)
+    elif to == "decimal" or to.startswith("decimal("):
+        # Decimal target (reference tools.py:651-668 `target_type is Decimal`
+        # via _to_decimal :400-406; SURVEY §1.2 maps it to DecimalType).
+        # Plain numeric strings cast LOSSLESSLY straight to decimal; only
+        # shorthand forms ($1.2k, 12%) route through the double-valued
+        # shorthand parser — the same split as the reference, which calls
+        # parse_shorthand_number(as_decimal=True) only when shorthand is on.
+        target = to if "(" in to else "decimal(38,18)"
+        stripped = F.regexp_replace(_strip_ws(c.cast("string")), r"[,_$€£¥]", "")
+        cast = F.coalesce(
+            stripped.try_cast(target), parse_shorthand_number(c).try_cast(target)
+        )
+        to = target
+        type_defaults[target] = 0
+    elif to == "date":
+        cast = F.coalesce(c.try_cast("date"), parse_datetime(c).cast("date"))
     else:
         cast = c.try_cast(to)
     fallback = default if default is not None else (None if nullable else type_defaults.get(to))
@@ -201,6 +248,63 @@ def cost(prompt_tokens: Column, completion_tokens: Column, rate_in: Column, rate
     """Cost formula (C14): per-mega-token rates, rounded to 6dp."""
     return F.round(
         (prompt_tokens / F.lit(1e6)) * rate_in + (completion_tokens / F.lit(1e6)) * rate_out, 6
+    )
+
+
+def coerce_struct(col: Column | str, fields: dict[str, str]) -> Column:
+    """Nested-model/dict recovery to a typed struct (C5 nested path:
+    reference ``convert_value``'s Mapping→pydantic-model branch,
+    tools.py:728-740, and the recursive dict-value conversion,
+    tools.py:579-604).
+
+    The raw column is a JSON object string; each declared field is pulled
+    out and pushed through the same scalar ``coerce`` chain, so nested
+    shorthand ("$1,200", "yes") recovers exactly like top-level values.
+    A non-object (unparseable) input yields a NULL struct — the reference's
+    "Cannot convert non-mapping" fallback. Per-field failures null that
+    field only (the reference skips problematic items)."""
+    c = F.col(col) if isinstance(col, str) else col
+    m = F.from_json(c, "map<string,string>")
+    entries = [coerce(m.getItem(name), typ).alias(name) for name, typ in fields.items()]
+    return F.when(m.isNotNull(), F.struct(*entries)).otherwise(
+        F.lit(None).cast(
+            "struct<"
+            + ", ".join(
+                f"{name}: {('decimal(38,18)' if typ == 'decimal' else typ)}"
+                for name, typ in fields.items()
+            )
+            + ">"
+        )
+    )
+
+
+def coerce_map(col: Column | str, value_type: str = "string", drop_failures: bool = True) -> Column:
+    """Dict[str, T] recovery (tools.py:579-604): parse the JSON object as a
+    string map, coerce every value to ``value_type``; unconvertible entries
+    are DROPPED (the reference's "skip problematic items" loop) or kept as
+    nulls."""
+    c = F.col(col) if isinstance(col, str) else col
+    m = F.from_json(c, "map<string,string>")
+    vals = F.transform_values(m, lambda k, v: coerce(v, value_type))
+    if drop_failures:
+        vals = F.map_filter(vals, lambda k, v: v.isNotNull())
+    return vals
+
+
+def coerce_tuple(col: Column | str, types: list[str]) -> Column:
+    """Fixed-arity tuple recovery (tools.py:548-572): parse a JSON array,
+    coerce element i to types[i]; a failed element takes its TYPE DEFAULT
+    (the reference appends ``get_type_default(t)`` instead of aborting the
+    tuple). Returns struct<_1,...,_n>; arity mismatch → NULL struct (the
+    reference raises and falls back)."""
+    c = F.col(col) if isinstance(col, str) else col
+    arr = F.from_json(c, "array<string>")
+    entries = [
+        coerce(F.element_at(arr, i + 1), t, nullable=False).alias(f"_{i + 1}")
+        for i, t in enumerate(types)
+    ]
+    return F.when(
+        arr.isNotNull() & (F.size(arr) == len(types)), F.struct(*entries)
     )
 
 
