@@ -30,17 +30,30 @@ def asof_join(
     key: str,
     ts: str = "ts",
     right_prefix: str = "r_",
+    time_bucket_s: int | None = None,
 ) -> DataFrame:
     """Left as-of join: every left row + latest right row at or before its
     timestamp (null struct when none exists). Right columns come back
-    prefixed."""
+    prefixed.
+
+    Skew guard (``time_bucket_s``): the plain formulation windows by key, so
+    ONE hot key (an actor with 10^8 rows) serializes into one reducer task.
+    With ``time_bucket_s`` set, each key's timeline is cut into fixed cells
+    and the per-row window runs per (key, cell) — task size is bounded by
+    rows-per-cell, not rows-per-key. Rows whose cell has no earlier right
+    row take a CARRY-IN: the latest right payload per (key, cell) is
+    summarized (one row per cell), the carry is a window over that tiny
+    summary frame (#cells per key, never row-scale), and a second equi-join
+    on (key, cell) attaches it. Net: same ONE data-scale shuffle as the
+    plain path plus a summary-scale shuffle — the hot key now parallelizes
+    across #cells tasks. Default None keeps the single-window plan (optimal
+    when keys are well-distributed)."""
     r_payload = F.struct(*[F.col(c) for c in right.columns]).alias("_r")
+    r_type = right.select(r_payload).schema["_r"].dataType.simpleString()
     l = left.select(
         F.col(key).alias("_k"), F.col(ts).alias("_ts"), F.lit(1).alias("_side"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
-        F.lit(None).cast(
-            right.select(r_payload).schema["_r"].dataType.simpleString()
-        ).alias("_r"),
+        F.lit(None).cast(r_type).alias("_r"),
     )
     r = right.select(
         F.col(key).alias("_k"), F.col(ts).alias("_ts"), F.lit(0).alias("_side"),
@@ -51,11 +64,42 @@ def asof_join(
         r_payload,
     )
     u = l.unionByName(r)
-    w = Window.partitionBy("_k").orderBy("_ts", "_side").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    carried = u.withColumn("_last_r", F.last("_r", ignorenulls=True).over(w))
-    out = carried.filter(F.col("_side") == 1)
+    if time_bucket_s is None:
+        w = Window.partitionBy("_k").orderBy("_ts", "_side").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        carried = u.withColumn("_last_r", F.last("_r", ignorenulls=True).over(w))
+        out = carried.filter(F.col("_side") == 1)
+    else:
+        cell = F.floor(F.col("_ts").cast("timestamp").cast("long") / time_bucket_s)
+        u = u.withColumn("_cell", cell)
+        # in-cell pass: bounded window groups
+        w_in = Window.partitionBy("_k", "_cell").orderBy("_ts", "_side").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        carried = u.withColumn("_in_r", F.last("_r", ignorenulls=True).over(w_in))
+        # summary pass: latest right payload per (key, cell) — ORDER of
+        # magnitude smaller than the data; the carry-in for a cell is the
+        # last non-null summary of any EARLIER cell.
+        cell_last = (
+            u.filter(F.col("_side") == 0)
+            .groupBy("_k", "_cell")
+            .agg(F.max_by("_r", "_ts").alias("_cell_r"))
+        )
+        all_cells = u.select("_k", "_cell").distinct()
+        w_carry = Window.partitionBy("_k").orderBy("_cell").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        carry = (
+            all_cells.join(cell_last, ["_k", "_cell"], "left")
+            .withColumn("_carry_r", F.last("_cell_r", ignorenulls=True).over(w_carry))
+            .select("_k", "_cell", "_carry_r")
+        )
+        out = (
+            carried.filter(F.col("_side") == 1)
+            .join(carry, ["_k", "_cell"], "left")
+            .withColumn("_last_r", F.coalesce(F.col("_in_r"), F.col("_carry_r")))
+        )
     cols = [F.col(f"_l.{c}").alias(c) for c in left.columns] + [
         F.col(f"_last_r.{c}").alias(f"{right_prefix}{c}") for c in right.columns
     ]

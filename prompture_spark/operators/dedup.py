@@ -372,17 +372,53 @@ def embedding_dedup_pairs(
     threshold: float = COSINE_THRESHOLD,
     use_lsh: bool = False,
     n_planes: int = 8,
+    n_bands: int = 8,
 ) -> DataFrame:
     """Pairs with cosine ≥ threshold. ``use_lsh=False`` does the exact
     index-free self-join (oracle-checkable); ``use_lsh=True`` compares only
-    within hyperplane buckets (the 10^12-scale path — near-dups almost always
-    share all sign bits)."""
+    within hyperplane buckets (the 10^12-scale path).
+
+    Multi-probe via banding: ``n_bands`` INDEPENDENT bucket ids (each from
+    ``n_planes`` hyperplanes at a band-distinct seed); a pair is a candidate
+    if it collides in ANY band, and survivors are verified with the exact
+    cosine (no false positives; banding only bounds recall). One band of 8
+    planes catches a borderline cosine≈0.92 pair with probability only
+    (1−θ/π)^8 ≈ 0.33 — a pair differing in a single sign bit is lost. With 8
+    OR-ed bands that recall is 1−(1−0.33)^8 ≈ 0.96, while exact duplicates
+    still collide everywhere. Candidate volume grows linearly in bands, the
+    verification join stays pair-distinct."""
     base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     if use_lsh:
-        base = base.withColumn("_bkt", hyperplane_bucket(F.col("_v"), n_planes))
-        a = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "_bkt")
-        b = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "_bkt")
-        pairs = a.join(b, "_bkt").filter(F.col("id_a") < F.col("id_b"))
+        entries = base.select(
+            "_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bi).alias("band"),
+                            hyperplane_bucket(
+                                F.col("_v"), n_planes, seed=42 + bi * n_planes
+                            ).alias("bkt"),
+                        )
+                        for bi in range(n_bands)
+                    ]
+                )
+            ).alias("_e"),
+        ).select("_id", "_e.band", "_e.bkt")
+        a = entries.select(F.col("_id").alias("id_a"), "band", "bkt")
+        b = entries.select(F.col("_id").alias("id_b"), "band", "bkt")
+        # distinct on the ID pair FIRST (8 bytes × 2), then re-attach vectors:
+        # deduping after the band join would shuffle full embedding arrays
+        # n_bands times over.
+        cands = (
+            a.join(b, ["band", "bkt"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        va = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+        vb = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+        pairs = cands.join(va, "id_a").join(vb, "id_b")
     else:
         a = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
         b = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))

@@ -97,12 +97,27 @@ def synth_media(spark, n: int = 256, seed: int = 42) -> DataFrame:
     return df.withColumn("n_bytes", F.coalesce(F.length("content").cast("long"), F.lit(0)))
 
 
-def media_repartition(df: DataFrame, target_task_bytes: int = 64 << 20) -> DataFrame:
+def media_repartition(
+    df: DataFrame, target_task_bytes: int = 64 << 20, sample_fraction: float = 0.01
+) -> DataFrame:
     """Partition by byte budget: Σ n_bytes / target — never by row count.
 
     At 100 TB a row-count split puts a thousand 4 MB videos in one task and a
-    thousand 4 KB icons in another; byte budgeting keeps task memory flat."""
-    total = df.agg(F.sum("n_bytes")).collect()[0][0] or 1
+    thousand 4 KB icons in another; byte budgeting keeps task memory flat.
+
+    The total is ESTIMATED from a deterministic row sample (count is scan
+    metadata, mean n_bytes comes from the sample), not a full-table
+    aggregation — sizing the shuffle must not itself cost a 100 TB scan.
+    Falls back to the exact sum only when the sample is empty (tiny input,
+    where the full scan is free anyway)."""
+    n_rows = df.count()  # parquet scan metadata — no data read
+    sampled = df.sample(fraction=sample_fraction, seed=7).agg(
+        F.avg("n_bytes").alias("avg"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    if sampled["n"] and sampled["n"] >= 32:
+        total = int(sampled["avg"] * n_rows)
+    else:
+        total = df.agg(F.sum("n_bytes")).collect()[0][0] or 1
     n_parts = max(1, int(total / target_task_bytes))
     return df.repartition(n_parts, "media_id")
 

@@ -162,6 +162,42 @@ def test_embedding_dedup_lsh_subset_of_exact(spark, vecs):
     assert len(lsh) >= 1  # identical-direction vectors always share all sign bits
 
 
+def test_embedding_lsh_multiband_recall_on_borderline_pairs(spark):
+    """Band-OR multi-probe: borderline pairs (cosine just above 0.92) differ
+    in some sign bits, so a SINGLE 8-plane bucket loses ~2/3 of them; with 8
+    OR-ed bands recall vs the exact path must be ≥ 0.95. Verification keeps
+    the output a strict subset of exact (no false positives)."""
+    import math
+
+    # deterministic pseudo-random unit-ish vectors + borderline twins
+    def vec(i, dim=16):
+        return [math.sin(0.7 * i + 1.3 * j) for j in range(dim)]
+
+    rows = []
+    for i in range(120):
+        v = vec(i)
+        rows.append((i, v))
+        # twin: rotate a little so cosine lands near ~0.93-0.97 (borderline)
+        w = [a + 0.32 * math.cos(2.1 * i + 0.9 * j) for j, a in enumerate(v)]
+        rows.append((i + 10000, w))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dd.embedding_dedup_pairs(df, "vec_id", "embedding").collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in dd.embedding_dedup_pairs(
+            df, "vec_id", "embedding", use_lsh=True, n_planes=8, n_bands=8
+        ).collect()
+    }
+    assert lsh <= exact
+    assert len(exact) >= 30  # fixture really has borderline pairs
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.95, f"recall {recall:.3f} on {len(exact)} exact pairs"
+
+
 def test_brute_force_topk_orders_by_cosine(spark, vecs):
     q = vecs.filter(F.col("vec_id") == 1)
     out = sim.brute_force_topk(vecs, q, "vec_id", "embedding", k=2).collect()
@@ -209,6 +245,45 @@ def test_asof_join_semantics(spark):
     assert got[2] == 101    # EQUAL ts matches (<= semantics)
     assert got[3] is None   # nothing at or before 10:00
     assert got[4] is None   # no right rows for key v
+
+
+def test_asof_join_time_bucketed_equals_plain_on_hot_key(spark):
+    """Skew guard: one hot actor owning nearly all rows must parallelize
+    across time cells instead of serializing into one window task — and the
+    bucketed result must EQUAL the single-window result row for row,
+    including carry-ins across empty cells and the no-earlier-right case."""
+    import datetime as dt
+
+    from prompture_spark.operators.asof import asof_join
+
+    b = dt.datetime(2024, 1, 1, 0, 0, 0)
+    # hot key "hot": 4000 left rows over ~14 h; rights only every 97 s, so
+    # many buckets have no right row and depend on the carry-in. A second
+    # cold key checks key isolation.
+    left_rows = [(i, "hot" if i % 50 else "cold", b + dt.timedelta(seconds=13 * i)) for i in range(4000)]
+    right_rows = [(1000000 + j, "hot", b + dt.timedelta(seconds=97 * j + 5)) for j in range(500)]
+    right_rows += [(2000000, "cold", b + dt.timedelta(seconds=40))]
+    left = spark.createDataFrame(left_rows, "id int, k string, ts timestamp")
+    right = spark.createDataFrame(right_rows, "rid int, k string, ts timestamp")
+
+    plain = {r.id: r.r_rid for r in asof_join(left, right, key="k").collect()}
+    bucketed = {
+        r.id: r.r_rid
+        for r in asof_join(left, right, key="k", time_bucket_s=600).collect()
+    }
+    assert bucketed == plain
+
+    # the guard really bounds per-task window groups: no (key, cell) group
+    # exceeds rows-per-cell, regardless of the hot key's total row count
+    from pyspark.sql import functions as FF
+    cells = (
+        left.unionByName(right.selectExpr("rid as id", "k", "ts"))
+        .groupBy("k", FF.floor(FF.col("ts").cast("long") / 600).alias("cell"))
+        .count()
+    )
+    max_group = cells.agg(FF.max("count")).collect()[0][0]
+    total_hot = len([r for r in left_rows if r[1] == "hot"]) + 500
+    assert max_group < total_hot / 10  # hot key split across >10 tasks
 
 
 def test_range_join_window_boundaries(spark):

@@ -9,6 +9,7 @@ import datetime as dt
 import pytest
 from pyspark.sql import functions as F
 
+from prompture_spark.functions import coercion
 from prompture_spark.functions import (
     as_list,
     clean_json_text,
@@ -168,3 +169,80 @@ def test_coerce_union_ordered(spark):
     assert run1(spark, coerce_union(F.col("v"), ["boolean", "bigint"]), "1") == "true"
     assert run1(spark, coerce_union(F.col("v"), ["bigint", "boolean"]), "yes") == "true"
     assert run1(spark, coerce_union(F.col("v"), ["bigint"], default="0"), "junk") == "0"
+
+
+def test_coerce_decimal_target(spark):
+    """Decimal coercion parity with the reference (tests/test_robust_conversion.py
+    test_decimal_conversion_robustness; tools.py:651-668): '123.456' →
+    Decimal('123.456') losslessly, shorthand '1.5k' → 1500, money strings
+    strip currency/commas, garbage → null (or 0 when non-nullable)."""
+    from decimal import Decimal
+
+    df = spark.createDataFrame(
+        [("123.456",), ("1.5k",), ("$1,234.50",), ("garbage",), (None,)], "v string"
+    )
+    got = [r.d for r in df.select(coercion.coerce("v", "decimal(38,6)").alias("d")).collect()]
+    assert got[0] == Decimal("123.456000")
+    assert got[1] == Decimal("1500.000000")
+    assert got[2] == Decimal("1234.500000")
+    assert got[3] is None and got[4] is None
+    # non-nullable: type default 0
+    strict = [
+        r.d
+        for r in df.select(
+            coercion.coerce("v", "decimal(38,6)", nullable=False).alias("d")
+        ).collect()
+    ]
+    assert strict[3] == Decimal("0.000000")
+
+
+def test_coerce_struct_nested_recovery(spark):
+    """Nested dict→typed struct (tools.py:728-740 model path): fields recover
+    through the scalar chain; non-mapping input → NULL struct; a bad field
+    nulls only itself (reference skips problematic items)."""
+    df = spark.createDataFrame(
+        [
+            ('{"qty": "12", "price": "$1,200.50", "ok": "yes"}',),
+            ('{"qty": "oops", "price": "2.5k", "ok": "nein"}',),
+            ("not json",),
+            (None,),
+        ],
+        "j string",
+    )
+    got = df.select(
+        coercion.coerce_struct("j", {"qty": "bigint", "price": "double", "ok": "boolean"}).alias("s")
+    ).collect()
+    assert (got[0].s.qty, got[0].s.price, got[0].s.ok) == (12, 1200.5, True)
+    assert got[1].s.qty is None and got[1].s.price == 2500.0 and got[1].s.ok is False
+    assert got[2].s is None and got[3].s is None
+
+
+def test_coerce_map_drops_bad_values(spark):
+    df = spark.createDataFrame([('{"a": "1.5", "b": "x", "c": "2k"}',)], "j string")
+    got = df.select(coercion.coerce_map("j", "double").alias("m")).collect()[0].m
+    assert got == {"a": 1.5, "c": 2000.0}
+    kept = df.select(coercion.coerce_map("j", "double", drop_failures=False).alias("m")).collect()[0].m
+    assert kept == {"a": 1.5, "b": None, "c": 2000.0}
+
+
+def test_coerce_tuple_fixed_arity(spark):
+    """Tuple path (tools.py:548-572): per-position types, failed element →
+    TYPE DEFAULT (not null), arity mismatch → null struct."""
+    df = spark.createDataFrame(
+        [('["1", "2.5", "yes"]',), ('["x", "y", "z"]',), ('["1", "2"]',)], "j string"
+    )
+    got = df.select(coercion.coerce_tuple("j", ["bigint", "double", "boolean"]).alias("t")).collect()
+    assert (got[0].t._1, got[0].t._2, got[0].t._3) == (1, 2.5, True)
+    assert (got[1].t._1, got[1].t._2, got[1].t._3) == (0, 0.0, False)
+    assert got[2].t is None
+
+
+def test_parse_datetime_dayfirst_yearfirst(spark):
+    """dateutil flag parity (tools.py:181-199): 03/04/2025 is April 3rd with
+    dayfirst, March 4th without; unambiguous ISO wins regardless."""
+    df = spark.createDataFrame([("03/04/2025",), ("2025-06-07",)], "v string")
+    dmy = [r.t for r in df.select(coercion.parse_datetime("v", dayfirst=True).alias("t")).collect()]
+    mdy = [r.t for r in df.select(coercion.parse_datetime("v").alias("t")).collect()]
+    assert (dmy[0].month, dmy[0].day) == (4, 3)
+    assert (mdy[0].month, mdy[0].day) == (3, 4)
+    assert dmy[1] == mdy[1]  # ISO unaffected by flags

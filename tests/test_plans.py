@@ -49,6 +49,22 @@ def test_stats_prunes_columns_and_partial_aggregates(spark, parquet_transcripts)
     assert "partial" in p.lower()  # map-side combine before the shuffle
 
 
+def test_quality_stats_single_scan(spark, sf_small):
+    """quality_stats computes per-reason shares with ONE pass over the
+    table: the total is a window over the grouped (≤ #reasons rows) frame,
+    never a second df.count() scan."""
+    from prompture_spark.operators.textquality import quality_stats
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    import re
+
+    p = plan_of(quality_stats(docs, "text"))
+    # formatted explain lists each node once in the tree and once in the
+    # detail section — count only the numbered detail headers
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", p, re.M))
+    assert n_scans == 1, f"expected one table scan, plan has {n_scans}"
+
+
 def test_topk_avoids_full_sort(spark, sf_small):
     ev = spark.read.parquet(f"{sf_small}/events.parquet")
     p = plan_of(ev.orderBy(F.desc("ts")).limit(100))
