@@ -1896,3 +1896,57 @@ def q_injection_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         fl.getField("hex").alias("hex"),
         fl.getField("any").alias("any"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q: refusal confidence (W6) — position-weighted marker score
+# ---------------------------------------------------------------------------
+
+
+def _refusal_conf_oracle() -> str:
+    from prompture_spark.operators.textquality import REFUSAL_MARKERS
+
+    pos_terms = ", ".join(
+        "CASE WHEN strpos(lower(t), '{m}') > 0 THEN strpos(lower(t), '{m}') ELSE 1000000000 END".format(
+            m=m.replace("'", "''")
+        )
+        for m in REFUSAL_MARKERS
+    )
+    return f"""
+WITH styled AS (
+  SELECT event_id,
+         CASE
+           WHEN event_id % 4 = 0 THEN 'I cannot help with ' || event_type || ' requests today'
+           WHEN event_id % 4 = 1 THEN 'Well, thinking about it more, I''m sorry but no: ' || event_type
+           WHEN event_id % 4 = 2 THEN repeat('all good here. ', 10) || 'as an AI I must decline'
+           ELSE 'a perfectly compliant answer about ' || event_type
+         END AS t
+  FROM events
+),
+scored AS (
+  SELECT event_id, t, least({pos_terms}) AS pos FROM styled
+)
+SELECT event_id,
+       CASE WHEN pos = 1000000000 THEN 0.0
+            ELSE round(1.0 - 0.7 * least((CAST(pos AS DOUBLE) - 1) / greatest(CAST(length(t) AS DOUBLE), 1.0), 1.0), 6)
+       END AS confidence
+FROM scored
+"""
+
+
+@register("refusal_confidence_scores", _refusal_conf_oracle())
+def q_refusal_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6: position-weighted refusal confidence (detector.py:323-333) — a
+    marker at the head scores ~1.0, decaying toward 0.3 deeper in; 0.0 when
+    no marker fires. Marker positions synthesized at head/middle/tail."""
+    from prompture_spark.operators.textquality import refusal_confidence
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    m = F.col("event_id") % 4
+    styled = (
+        F.when(m == 0, F.concat(F.lit("I cannot help with "), F.col("event_type"), F.lit(" requests today")))
+        .when(m == 1, F.concat(F.lit("Well, thinking about it more, I'm sorry but no: "), F.col("event_type")))
+        .when(m == 2, F.concat(F.repeat(F.lit("all good here. "), 10), F.lit("as an AI I must decline")))
+        .otherwise(F.concat(F.lit("a perfectly compliant answer about "), F.col("event_type")))
+    )
+    return ev.select("event_id", refusal_confidence(styled).alias("confidence"))

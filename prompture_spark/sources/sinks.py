@@ -44,3 +44,59 @@ def run_summary(verdicts: DataFrame) -> dict:
         "total_violations": agg.total_violations,
         "failing": failing,
     }
+
+
+def merge_upsert_sql(target: str, source_view: str, keys: list[str], columns: list[str]) -> str:
+    """The production ``MERGE INTO`` statement for an Iceberg/Delta target —
+    the distributed analogue of the reference's SQLite
+    ``INSERT ... ON CONFLICT(id) DO UPDATE SET ...`` upsert
+    (persistence/store.py:123-161): match on the key tuple, update every
+    non-key column from the source, insert unmatched rows."""
+    on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+    sets = ", ".join(f"t.{c} = s.{c}" for c in columns if c not in keys)
+    return (
+        f"MERGE INTO {target} t USING {source_view} s ON {on} "
+        f"WHEN MATCHED THEN UPDATE SET {sets} "
+        f"WHEN NOT MATCHED THEN INSERT *"
+    )
+
+
+def merge_upsert(
+    spark, target: str, source: DataFrame, keys: list[str], fallback_path: str | None = None
+) -> str:
+    """Upsert ``source`` into ``target`` by key.
+
+    Primary path: a real ``MERGE INTO`` (requires a row-level-ops catalog —
+    Iceberg/Delta; that is the production deployment per the north rule's
+    Iceberg tables). Sandbox fallback (no such catalog is installable here):
+    append-only parquet + latest-wins read, the same log-structured pattern
+    an Iceberg MERGE-on-read implements internally — ``ManifestStore.read``'s
+    row_number-over-updated_at window IS the compaction read.
+
+    Returns which path executed ('merge' | 'append-log')."""
+    source.createOrReplaceTempView("_merge_src")
+    stmt = merge_upsert_sql(target, "_merge_src", keys, source.columns)
+    try:
+        spark.sql(stmt)
+        return "merge"
+    except Exception:
+        if fallback_path is None:
+            raise
+        source.withColumn("updated_at", F.current_timestamp()).write.mode(
+            "append"
+        ).parquet(fallback_path)
+        return "append-log"
+
+
+def read_upserted(spark, path: str, keys: list[str]) -> DataFrame:
+    """Latest-wins view over an append-log upsert target (the MERGE-on-read
+    compaction): newest ``updated_at`` per key tuple wins."""
+    from pyspark.sql.window import Window
+
+    raw = spark.read.parquet(path)
+    w = Window.partitionBy(*keys).orderBy(F.desc("updated_at"))
+    return (
+        raw.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "updated_at")
+    )
