@@ -1,0 +1,102 @@
+"""Custom stateful streaming operator: gap-based sessionization with
+``applyInPandasWithState``.
+
+The batch twin is ``operators/sessions.py`` (lag-window formulation); a
+stream cannot window over its whole history, so the session boundary lives
+in PER-KEY STATE: each actor carries (session_seq, start, last, n_events)
+across micro-batches. A session CLOSES when either
+
+  * a later event of the same actor arrives with a gap > ``gap_s`` — the
+    closed session is emitted in that micro-batch; or
+  * the event-time timeout fires: the watermark passed ``last + gap_s`` with
+    no new event, so no on-time event can ever extend the session
+    (late-data correctness comes from the same watermark that bounds state).
+
+State size is O(active actors) — one small tuple each — the bounded-state
+requirement for an infinite stream. Arrow-batched pandas on the Python
+side; grouping shuffle is the same one-shuffle-by-actor economics as the
+batch operator.
+
+Output rows: (user_id, session_seq, n_events, start_s, end_s) with epoch
+seconds — only CLOSED sessions are emitted (outputMode append). Sessions
+still open when a bounded test stream ends stay in state; production
+streams close them via the timeout as the watermark advances.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id bigint, session_seq int, n_events bigint, start_s bigint, end_s bigint"
+)
+# (session_seq, start_s, last_s, n_events)
+SESSION_STATE_SCHEMA = "seq int, start bigint, last bigint, n bigint"
+
+
+def _make_session_fn(gap_s: int):
+    def fn(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        cols = ["user_id", "session_seq", "n_events", "start_s", "end_s"]
+        user_id = key[0]
+        if state.hasTimedOut:
+            seq, start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame([(user_id, seq, n, start, last)], columns=cols)
+            return
+        batch = pd.concat(list(pdfs))
+        # epoch seconds; micro-batch rows are not ordered — sort within key
+        ts = sorted(int(t.timestamp()) for t in batch["ts"] if t is not None)
+        if state.exists:
+            seq, start, last, n = state.get
+        else:
+            seq, start, last, n = 0, None, None, 0
+        closed = []
+        for t in ts:
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last > gap_s:
+                closed.append((user_id, seq, n, start, last))
+                seq, start, last, n = seq + 1, t, t, 1
+            else:
+                last, n = max(last, t), n + 1
+        state.update((seq, start, last, n))
+        # close via event time once the watermark passes last + gap
+        state.setTimeoutTimestamp((last + gap_s) * 1000)
+        yield pd.DataFrame(closed, columns=cols)
+
+    return fn
+
+
+def stream_sessionize(
+    stream_df: DataFrame,
+    gap_s: int = 1800,
+    watermark: str = "30 minutes",
+    actor_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming gap-sessionization: returns the streaming DataFrame of
+    CLOSED sessions; caller attaches the sink. Same session semantics as the
+    batch ``operators.sessions.session_stats`` (gap strictly greater than
+    ``gap_s`` starts a new session)."""
+    wm = stream_df.withWatermark(ts_col, watermark)
+    return (
+        wm.select(actor_col, ts_col)
+        .groupBy(actor_col)
+        .applyInPandasWithState(
+            _make_session_fn(gap_s),
+            SESSION_OUTPUT_SCHEMA,
+            SESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -103,3 +103,82 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     # role_enum violation survives, not two
     role_viols = [r for r in viols if r.constraint_id == "role_enum"]
     assert len(role_viols) == 1
+
+
+def test_stream_sessionize_stateful_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization: sessions closed in-stream must
+    equal the batch operator's sessions, with state carrying a session ACROSS
+    micro-batches. The last session per user stays open (no later event
+    closes it before the bounded stream ends) — production closes those via
+    the event-time timeout."""
+    import datetime as dt
+
+    from prompture_spark.operators.sessions import session_stats
+    from prompture_spark.streaming.stateful import stream_sessionize
+
+    b = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows_a = []  # file/batch 1: users 1 and 2, two sessions each started
+    rows_b = []  # file/batch 2: continues user 1's 2nd session, then gaps
+    m = lambda x: b + dt.timedelta(minutes=x)
+    rows_a += [(1, m(0)), (1, m(5)), (1, m(10))]          # u1 session 0
+    rows_a += [(1, m(60)), (1, m(65))]                    # u1 session 1 (gap 50m)
+    rows_a += [(2, m(0)), (2, m(100))]                    # u2 sessions 0,1
+    rows_b += [(1, m(70)), (1, m(75))]                    # continues u1 s1
+    rows_b += [(1, m(200))]                               # u1 session 2 (closes s1)
+    rows_b += [(2, m(130)), (2, m(300))]                  # u2: s1 cont., s2 (closes s1)
+
+    rows_a = [(i, u, t) for i, (u, t) in enumerate(rows_a)]
+    rows_b = [(100 + i, u, t) for i, (u, t) in enumerate(rows_b)]
+    src = str(tmp_path / "landing")
+    spark.createDataFrame(rows_a, "event_id bigint, user_id bigint, ts timestamp").coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(rows_b, "event_id bigint, user_id bigint, ts timestamp").coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("event_id bigint, user_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stream_sessionize(stream, gap_s=30 * 60)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.user_id, r.session_seq): (r.n_events, r.start_s, r.end_s)
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+    full = spark.createDataFrame(rows_a + rows_b, "event_id bigint, user_id bigint, ts timestamp")
+    batch = session_stats(full, gap_minutes=30)
+    expected_all = {
+        (r.user_id, r.session_seq): r.n_events for r in batch.collect()
+    }
+    # every closed stream session matches the batch rollup exactly
+    for (u, s), (n, start_s, end_s) in got.items():
+        assert expected_all[(u, s)] == n
+    # closed = followed by a later session (gap closes it in-stream) OR its
+    # event-time timeout passed the final watermark (max ts - 30m delay):
+    # u1 s2 (ends m200; timeout m230 < watermark m270) closes via TIMEOUT,
+    # u2 s2 (ends m300; timeout m330 > m270) stays open in state.
+    batch_rows = {
+        (r.user_id, r.session_seq): r for r in batch.collect()
+    }
+    import datetime as _dt
+    final_wm = m(300) - _dt.timedelta(minutes=30)
+    last_seq = {}
+    for (u, s) in expected_all:
+        last_seq[u] = max(last_seq.get(u, -1), s)
+    expected_closed = set()
+    for (u, s), r in batch_rows.items():
+        end = _dt.datetime.strptime(r.end_ts, "%Y-%m-%d %H:%M:%S")
+        if s < last_seq[u] or end + _dt.timedelta(minutes=30) < final_wm:
+            expected_closed.add((u, s))
+    assert set(got) == expected_closed
+    assert (1, 2) in got and (2, 2) not in got  # timeout closed vs still open
+    # cross-batch continuation: u1 session 1 spans both files -> 4 events
+    assert got[(1, 1)][0] == 4
