@@ -246,8 +246,14 @@ def values_equal(a: Column, b: Column, rel_tol: float = 0.01) -> Column:
 
 def cost(prompt_tokens: Column, completion_tokens: Column, rate_in: Column, rate_out: Column) -> Column:
     """Cost formula (C14): per-mega-token rates, rounded to 6dp."""
+    # +1e-12 before rounding: 2-dp token values x 1e-8-scale rates produce
+    # EXACT .5 ties at the 6th decimal; engines break float ties in opposite
+    # directions, the nudge resolves them upward everywhere.
     return F.round(
-        (prompt_tokens / F.lit(1e6)) * rate_in + (completion_tokens / F.lit(1e6)) * rate_out, 6
+        (prompt_tokens / F.lit(1e6)) * rate_in
+        + (completion_tokens / F.lit(1e6)) * rate_out
+        + F.lit(1e-12),
+        6,
     )
 
 

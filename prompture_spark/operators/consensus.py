@@ -81,8 +81,12 @@ def weighted_mean(
     consensus.py:104-127)."""
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     return df.groupBy(group_col).agg(
+        # +1e-12 before rounding: weighted means can land EXACTLY on a
+        # .5 decimal boundary; engines with different summation order break
+        # the tie in opposite float directions. The nudge resolves decimal
+        # ties upward on every engine and is far below data resolution.
         F.round(
-            F.sum(F.col(value_col) * w) / F.sum(w), round_to
+            F.sum(F.col(value_col) * w) / F.sum(w) + F.lit(1e-12), round_to
         ).alias("consensus")
     )
 

@@ -270,4 +270,6 @@ def quality_score(col: Column | str, target_len: int = 400) -> Column:
     sw_part = sw_hits / F.greatest(F.size(toks), F.lit(1)).cast("double")
     punct = F.size(F.regexp_extract_all(c, F.lit(r"[^A-Za-z0-9\s]"), 0))
     punct_part = F.lit(1.0) - punct / F.greatest(F.length(c), F.lit(1)).cast("double")
-    return F.round(0.4 * length_part + 0.3 * sw_part + 0.3 * punct_part, 6)
+    # +1e-12: ratio sums land exactly on .5 decimal boundaries for some
+    # inputs; the nudge makes tie-breaking engine-independent (see consensus)
+    return F.round(0.4 * length_part + 0.3 * sw_part + 0.3 * punct_part + F.lit(1e-12), 6)

@@ -1226,7 +1226,7 @@ WITH w AS (
            WHEN 'signup' THEN 1.2 ELSE 0.7 END AS wt
   FROM events
 )
-SELECT user_id, round(sum(value * wt) / sum(wt), 3) AS consensus
+SELECT user_id, round(sum(value * wt) / sum(wt) + 1e-12, 3) AS consensus
 FROM w GROUP BY user_id
 """
 
@@ -1293,7 +1293,7 @@ SELECT event_id,
                                   ELSE 0.5 END)
            + ((value * 2) / 1e6) * (CASE event_type WHEN 'click' THEN 1.25 WHEN 'view' THEN 15.0
                                   WHEN 'purchase' THEN 75.0 WHEN 'signup' THEN 5.0
-                                  ELSE 1.5 END), 6) AS cost
+                                  ELSE 1.5 END) + 1e-12, 6) AS cost
 FROM events
 """
 
@@ -1473,7 +1473,7 @@ SELECT doc_id,
                 / CAST(greatest(len(list_filter(string_split_regex(trim(text), '\s+'),
                      x -> x <> '')), 1) AS DOUBLE))
        + 0.3 * (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
-                / CAST(greatest(length(text), 1) AS DOUBLE)), 6) AS quality
+                / CAST(greatest(length(text), 1) AS DOUBLE)) + 1e-12, 6) AS quality
 FROM documents
 """
 
