@@ -7,10 +7,10 @@ Two paths with one output shape (query_id, neighbor_id, cosine, rank):
     is one scan × |queries| dot products, all inside codegen.
   * ``ivf_topk``         — scale path (IVF-style): corpus is pre-bucketed by
     nearest centroid; queries probe only their ``n_probe`` nearest centroid
-    buckets, so the scan fraction is n_probe/n_centroids. Centroids here are
-    hash-seeded corpus samples (deterministic, no training loop) — at 100 TB
-    you'd plug in k-means centroids; the bucketing/probing plumbing is
-    identical.
+    buckets, so the scan fraction is n_probe/n_centroids. Centroids seed
+    from a deterministic hash sample and are refined with distributed Lloyd
+    iterations (``kmeans_refine`` — assign, per-dimension mean, rebuild;
+    trainable on a sample via ``train_fraction`` at 10^12 scale).
 """
 
 from __future__ import annotations
@@ -74,6 +74,119 @@ def _nearest_centroids(
     )
 
 
+def kmeans_refine(
+    corpus: DataFrame,
+    cents: DataFrame,
+    vec_col: str = "_cv",
+    iters: int = 2,
+    train_fraction: float | None = None,
+) -> DataFrame:
+    """Distributed Lloyd iterations over hash-sampled seeds: assign every
+    (sampled) vector to its nearest centroid (broadcast), recompute each
+    cluster's mean per dimension (posexplode → groupBy(cluster, dim) avg →
+    array rebuild), repeat. All built-ins, no Python in the row path.
+
+    ``train_fraction``: at 10^12 rows you train on a deterministic sample —
+    k-means centroids converge on far less data than the corpus; assignment
+    of the FULL corpus happens once afterwards in ivf_topk. Clusters that
+    lose every member simply drop out (fewer, better-placed buckets)."""
+    vecs = corpus.select(F.col(vec_col).alias("_tv"))
+    if train_fraction is not None:
+        vecs = vecs.sample(fraction=train_fraction, seed=1337)
+    for _ in range(iters):
+        assigned = _nearest_centroids(vecs, "_tv", cents, 1, "bucket")
+        dims = assigned.select("bucket", F.posexplode("_tv").alias("idx", "val"))
+        means = dims.groupBy("bucket", "idx").agg(F.avg("val").alias("m"))
+        cents = (
+            means.groupBy("bucket")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "m"))),
+                    lambda s: s["m"],
+                ).alias("_cent")
+            )
+            .select(F.col("bucket").alias("centroid_id"), "_cent")
+        )
+    return cents
+
+
+def _assign_buckets_arrow(
+    df: DataFrame, vec: str, cents: DataFrame, n: int, out: str
+) -> DataFrame:
+    """Nearest-centroid assignment via an Arrow-batched numpy kernel.
+
+    The centroid matrix is tiny (n_centroids × dim) and ships inside the UDF
+    closure; each Arrow batch does ONE matmul against it — dense linear
+    algebra where a vectorized kernel beats per-row expression cosines by
+    ~100× (this is the sanctioned exception to the no-Python-row-path rule:
+    batched numeric kernels, like the jsonschema UDF for logic). Emits one
+    row per (input row, probed bucket), matching _nearest_centroids."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    rows = cents.select("centroid_id", "_cent").collect()
+    ids = np.array([r.centroid_id for r in rows])
+    M = np.array([r._cent for r in rows], dtype="float64")
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    top_n = n
+
+    def _probe_fn(v):
+        X = np.array(v.tolist(), dtype="float64")
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        sims = Xn @ Mn.T
+        # argsort desc by sim, tie-break ascending centroid_id (parity with
+        # the expression path's orderBy(desc(_cs), asc(centroid_id)))
+        order = np.lexsort((ids[None, :].repeat(len(X), 0), -sims), axis=1)[:, :top_n]
+        return pd.Series([ids[o].tolist() for o in order])
+
+    # module uses `from __future__ import annotations`, which stringifies
+    # inline hints beyond pandas_udf's resolver — bind real objects instead
+    _probe_fn.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    _probe = pandas_udf("array<bigint>")(_probe_fn)
+
+    return df.withColumn("_bkts", _probe(F.col(vec))).select(
+        *df.columns, F.explode("_bkts").alias(out)
+    )
+
+
+def ivf_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    arrow: bool = True,
+) -> DataFrame:
+    """Offline IVF inverted-file build: assign every corpus vector to its
+    nearest centroid. The result is the INDEX — persist or write it
+    partitioned by bucket; serving only ever scans n_probe buckets of it."""
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    assign = _assign_buckets_arrow if arrow else _nearest_centroids
+    return assign(c, "_cv", centroids, 1, "bucket")
+
+
+def train_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    kmeans_iters: int = 2,
+    train_fraction: float | None = None,
+) -> DataFrame:
+    """Offline IVF index build: hash-sampled seeds + Lloyd refinement.
+    Returns (centroid_id, _cent) for reuse across many ``ivf_topk`` calls."""
+    cents = _centroids(corpus, id_col, vec_col, n_centroids)
+    if kmeans_iters > 0:
+        cents = kmeans_refine(
+            corpus.select(F.col(vec_col).alias("_cv")),
+            cents,
+            "_cv",
+            iters=kmeans_iters,
+            train_fraction=train_fraction,
+        )
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -82,17 +195,44 @@ def ivf_topk(
     k: int = 10,
     n_centroids: int = 16,
     n_probe: int = 4,
+    kmeans_iters: int = 2,
+    train_fraction: float | None = None,
+    centroids: DataFrame | None = None,
+    indexed_corpus: DataFrame | None = None,
+    arrow: bool = False,
 ) -> DataFrame:
     """Approximate top-k: probe only the n_probe nearest centroid buckets.
 
     Recall < 1 by design; the shape (bucketed corpus, multi-probe join,
     in-bucket rerank) is what survives the 100×-scale-up — the full cross
-    join does not."""
-    cents = _centroids(corpus, id_col, vec_col, n_centroids)
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
-    c_assigned = _nearest_centroids(c, "_cv", cents, 1, "bucket")
+    join does not. Centroids start as deterministic hash samples and are
+    refined with ``kmeans_iters`` distributed Lloyd rounds (0 = raw samples);
+    better-placed centroids raise recall at the same probe budget. Pass
+    ``centroids`` (from ``train_centroids``) to reuse a trained set —
+    centroid training is an OFFLINE index-build step; the serving path is
+    assignment + probe + rerank."""
+    if centroids is not None:
+        cents = centroids
+    else:
+        cents = _centroids(corpus, id_col, vec_col, n_centroids)
+        if kmeans_iters > 0:
+            cents = kmeans_refine(
+                corpus.select(F.col(vec_col).alias("_cv")),
+                cents,
+                "_cv",
+                iters=kmeans_iters,
+                train_fraction=train_fraction,
+            )
+    assign = _assign_buckets_arrow if arrow else _nearest_centroids
+    if indexed_corpus is not None:
+        c_assigned = indexed_corpus  # prebuilt inverted file (ivf_index)
+    else:
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+        )
+        c_assigned = assign(c, "_cv", cents, 1, "bucket")
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
-    q_assigned = _nearest_centroids(q, "_qv", cents, n_probe, "bucket")
+    q_assigned = assign(q, "_qv", cents, n_probe, "bucket")
     scored = (
         c_assigned.join(q_assigned, "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))

@@ -78,3 +78,43 @@ def test_boolean_casing_whitespace_invariance(spark, tokens):
     got = df.select(parse_boolean("raw").alias("p"), "expected", "raw").collect()
     for r in got:
         assert r.p is r.expected, r.raw
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_text, min_size=1, max_size=100))
+def test_nested_coercers_total_on_arbitrary_strings(spark, values):
+    """coerce_struct / coerce_map / coerce_tuple / decimal coerce are TOTAL:
+    arbitrary (usually non-JSON) strings yield nulls, never exceptions."""
+    from prompture_spark.functions.coercion import coerce_map, coerce_struct, coerce_tuple
+
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    out = df.select(
+        coerce_struct("v", {"a": "bigint", "b": "double"}).alias("s"),
+        coerce_map("v", "double").alias("m"),
+        coerce_tuple("v", ["bigint", "boolean"]).alias("t"),
+        coerce(F.col("v"), "decimal(38,6)").alias("d"),
+    ).collect()
+    assert len(out) == len(values)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-10**6, max_value=10**6),
+            st.integers(min_value=0, max_value=999999),
+        ),
+        min_size=1,
+        max_size=100,
+    )
+)
+def test_decimal_coercion_lossless_roundtrip(spark, pairs):
+    """Plain decimal strings (int.frac) recover EXACTLY through
+    coerce(to=decimal) — the lossless-direct-cast path never routes through
+    doubles."""
+    from decimal import Decimal
+
+    vals = [f"{i}.{f:06d}" for i, f in pairs]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = [r.d for r in df.select(coerce(F.col("v"), "decimal(38,6)").alias("d")).collect()]
+    assert got == [Decimal(v) for v in vals]
