@@ -97,7 +97,14 @@ elif job == "minhash":
     from prompture_spark.operators import dedup as dd
     if not os.path.exists(path):
         gen_docs().repartition(64).write.mode("overwrite").parquet(path)
-    df = spark.read.parquet(path)
+    # The docs table is only ~5 MB, so the parquet scan packs into 1-2 tasks
+    # and the expensive shingling stage would run on <=2 cores at ANY master
+    # — an artifact of the small-input proxy, not of the operator (at real
+    # scale the table is thousands of >=128 MB files). A fixed repartition
+    # (same at every master) restores the production scan parallelism.
+    # (clearCache in run_once would evict any persist, so the cheap 5 MB
+    # repartition shuffle is simply part of every run, at every master)
+    df = spark.read.parquet(path).repartition(128)
     units = df.count()
     def run_once():
         dd.minhash_lsh_pairs(df, "doc_id", "text", n_hashes=16, bands=8).count()
@@ -190,30 +197,37 @@ JOB_DESC = {
 def main() -> None:
     n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
     jobs = (sys.argv[2] if len(sys.argv) > 2 else "flagship,minhash,ivf").split(",")
+    n_draws = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     paths = {
         "flagship": f"/tmp/prompture_bench/turns_{n_turns}",
         "minhash": f"/tmp/prompture_bench/docs_{N_DOCS}",
         "ivf": f"/tmp/prompture_bench/vecs_{N_VECS}",
     }
     ceil = cpu_ceiling()
-    results: dict[str, dict] = {}
-    for job in jobs:
-        r2 = run(job, "local[2]", n_turns, paths[job])
-        r8 = run(job, "local[8]", n_turns, paths[job])
-        r32 = run(job, "local[32]", n_turns, paths[job])
-        results[job] = {
-            "r2": r2, "r8": r8, "r32": r32,
-            "eff_2_8": round((r8["tput"] / r2["tput"]) / 4, 3),
-            "eff_8_32": round((r32["tput"] / r8["tput"]) / 4, 3),
-        }
-        print(json.dumps({"job": job,
-                          "eff_2_8": results[job]["eff_2_8"],
-                          "eff_8_32": results[job]["eff_8_32"],
-                          "tput_32": round(r32["tput"], 1)}))
+    # results[job] = list of per-draw dicts; every draw reported, median graded
+    results: dict[str, list[dict]] = {j: [] for j in jobs}
+    for draw in range(n_draws):
+        for job in jobs:
+            r2 = run(job, "local[2]", n_turns, paths[job])
+            r8 = run(job, "local[8]", n_turns, paths[job])
+            r32 = run(job, "local[32]", n_turns, paths[job])
+            d = {
+                "r2": r2, "r8": r8, "r32": r32,
+                "eff_2_8": round((r8["tput"] / r2["tput"]) / 4, 3),
+                "eff_8_32": round((r32["tput"] / r8["tput"]) / 4, 3),
+            }
+            results[job].append(d)
+            print(json.dumps({"draw": draw, "job": job,
+                              "eff_2_8": d["eff_2_8"],
+                              "eff_8_32": d["eff_8_32"],
+                              "tput_32": round(r32["tput"], 1)}))
+
+    import statistics
 
     md = [f"""# BENCH/BASELINE — measured scaling (sandbox proxy for N vs 4N executors)
 
-Generated {datetime.date.today().isoformat()} by `python tools/scaling_bench.py {n_turns}`.
+Generated {datetime.date.today().isoformat()} by `python tools/scaling_bench.py {n_turns}`
+({n_draws} independent draws per job; EVERY draw reported, median graded).
 
 The north rule requires throughput scaling efficiency ≥ 0.8 between N and 4N
 executors. No real cluster exists in the sandbox, so per the driver
@@ -232,21 +246,31 @@ multi-executor cluster each executor adds its own memory bandwidth, shuffle
 disk, and physical cores — strictly more favorable than threads sharing one
 JVM/socket.
 """]
-    for job, R in results.items():
-        r2, r8, r32 = R["r2"], R["r8"], R["r32"]
+    for job, draws in results.items():
+        med_2_8 = statistics.median(d["eff_2_8"] for d in draws)
+        med_8_32 = statistics.median(d["eff_8_32"] for d in draws)
+        draw_rows = "\n".join(
+            f"| {i} | {d['r2']['sec']:.3f} | {d['r8']['sec']:.3f} | "
+            f"{d['r32']['sec']:.3f} | {d['eff_2_8']:.3f} | {d['eff_8_32']:.3f} |"
+            for i, d in enumerate(draws)
+        )
+        best32 = max(d["r32"]["tput"] for d in draws)
         md.append(f"""
 ## {job} — {JOB_DESC[job].format(n=n_turns)}
 
-| master | wall sec (median of 3, 2 warm-ups) | units/sec |
-|---|---|---|
-| local[2]  | {r2['sec']:.3f} | {r2['tput']:,.0f} |
-| local[8]  | {r8['sec']:.3f} | {r8['tput']:,.0f} |
-| local[32] | {r32['sec']:.3f} | {r32['tput']:,.0f} |
+Per-draw wall seconds (median of 3 timed runs, 2 warm-ups each) and
+efficiencies — all draws, none discarded:
 
-| N → 4N pair | scaling efficiency | CPU ceiling | normalized (engine / ceiling) |
+| draw | local[2] s | local[8] s | local[32] s | eff 2→8 | eff 8→32 |
+|---|---|---|---|---|---|
+{draw_rows}
+
+| N → 4N pair | MEDIAN efficiency | CPU ceiling | normalized (engine / ceiling) |
 |---|---|---|---|
-| local[2] → local[8]  | **{R['eff_2_8']:.3f}** | {ceil['eff_2_to_8']:.3f} | {R['eff_2_8'] / ceil['eff_2_to_8']:.3f} |
-| local[8] → local[32] | **{R['eff_8_32']:.3f}** | {ceil['eff_8_to_32']:.3f} | {R['eff_8_32'] / ceil['eff_8_to_32']:.3f} |
+| local[2] → local[8]  | **{med_2_8:.3f}** | {ceil['eff_2_to_8']:.3f} | {med_2_8 / ceil['eff_2_to_8']:.3f} |
+| local[8] → local[32] | **{med_8_32:.3f}** | {ceil['eff_8_to_32']:.3f} | {med_8_32 / ceil['eff_8_to_32']:.3f} |
+
+Best local[32] throughput: {best32:,.0f} units/sec.
 """)
     md.append("""
 Spark conf: AQE on (coalescePartitions + skewJoin), Arrow on,
