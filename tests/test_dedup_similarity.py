@@ -215,6 +215,46 @@ def test_ivf_recall_on_real_embeddings(spark, sf_med):
     assert recall >= 0.5, f"IVF recall too low: {recall}"
 
 
+def test_ivf_arrow_assignment_and_prebuilt_index_parity(spark, sf_med):
+    """The Arrow matmul assignment kernel and the prebuilt inverted file must
+    produce EXACTLY the expression path's results (same buckets → same
+    candidates → same exact rerank)."""
+    emb = spark.read.parquet(f"{sf_med}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    expr = sim.ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=4, kmeans_iters=0)
+    arrow = sim.ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=4,
+                         kmeans_iters=0, arrow=True)
+    cents = sim.train_centroids(emb, n_centroids=8, kmeans_iters=0)
+    idx = sim.ivf_index(emb, cents)
+    via_index = sim.ivf_topk(emb, queries, k=5, n_probe=4,
+                             centroids=cents, indexed_corpus=idx, arrow=True)
+    se = {(r.query_id, r.neighbor_id, r.rank) for r in expr.collect()}
+    sa = {(r.query_id, r.neighbor_id, r.rank) for r in arrow.collect()}
+    si = {(r.query_id, r.neighbor_id, r.rank) for r in via_index.collect()}
+    assert se == sa == si and len(se) > 0
+
+
+def test_kmeans_refine_improves_or_holds_recall(spark, sf_med):
+    """Lloyd-refined centroids must not lose recall vs raw hash-sample seeds
+    at the same probe budget (typically they gain)."""
+    emb = spark.read.parquet(f"{sf_med}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.brute_force_topk(emb, queries, k=5).collect()
+    }
+
+    def recall(iters):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in sim.ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=4,
+                                  kmeans_iters=iters).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    assert recall(2) >= recall(0) - 0.02  # refinement never costs material recall
+
+
 def test_near_dup_drop_list_components(spark):
     """Chained pairs form one component; the smallest id is kept."""
     pairs = spark.createDataFrame(

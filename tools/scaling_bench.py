@@ -58,12 +58,13 @@ N_VECS = {n_vecs}
 N_QUERIES = {n_queries}
 
 def gen_docs():
-    # 40 pseudo-words from a 4k vocabulary, expression-generated; every 10th
-    # doc gets a twin with one word changed (a genuine near-dup population).
+    # 40 pseudo-words from a 40k vocabulary (distinct docs stay below the
+    # jaccard threshold), expression-generated; every 10th doc gets a twin
+    # with one word changed (a genuine near-dup population).
     base = spark.range(N_DOCS).select(
         F.col("id").alias("doc_id"),
         F.array_join(F.transform(F.sequence(F.lit(0), F.lit(39)),
-            lambda j: F.concat(F.lit("w"), F.pmod(F.xxhash64("id", j), F.lit(4000)).cast("string"))), " ").alias("text"),
+            lambda j: F.concat(F.lit("w"), F.pmod(F.xxhash64("id", j), F.lit(40000)).cast("string"))), " ").alias("text"),
     )
     twins = base.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 10 * N_DOCS).alias("doc_id"),
@@ -107,7 +108,9 @@ elif job == "minhash":
     df = spark.read.parquet(path).repartition(128)
     units = df.count()
     def run_once():
-        dd.minhash_lsh_pairs(df, "doc_id", "text", n_hashes=16, bands=8).count()
+        # operator defaults (32 hashes / 8 bands, r=4): candidate collision
+        # probability j^4, so verification volume tracks TRUE near-dups
+        dd.minhash_lsh_pairs(df, "doc_id", "text").count()
         spark.catalog.clearCache()
 elif job == "ivf":
     from prompture_spark.operators import similarity as sim
@@ -186,7 +189,7 @@ JOB_DESC = {
     "flagship": "full constraint suite over {n:,} skewed transcript turns "
                 "(fused row scan + one conv_id window shuffle + broadcast "
                 "referential), violations persisted once",
-    "minhash": f"MinHash-LSH near-dup pairs (16 hashes × 8 bands, bucket cap, "
+    "minhash": f"MinHash-LSH near-dup pairs (32 hashes × 8 bands, bucket cap, "
                f"exact-Jaccard verification) over {N_DOCS:,}+twins generated docs",
     "ivf": f"IVF top-10 serving path (assign + probe-8 of 64 k-means centroids "
            f"+ rerank; index build offline) for {N_QUERIES} queries over "
