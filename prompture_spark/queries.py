@@ -1950,3 +1950,94 @@ def q_refusal_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat(F.lit("a perfectly compliant answer about "), F.col("event_type")))
     )
     return ev.select("event_id", refusal_confidence(styled).alias("confidence"))
+
+
+# ---------------------------------------------------------------------------
+# Q: union-type coercion (C5 union path — tools.py:495-518, first success wins)
+# ---------------------------------------------------------------------------
+
+_UNION_ORACLE = """
+WITH k AS (
+  SELECT event_id, CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS n
+  FROM events
+)
+SELECT event_id,
+       CASE
+         WHEN event_id % 4 = 0 THEN CAST(n AS VARCHAR)
+         WHEN event_id % 4 = 1 THEN CAST(CAST(n AS DOUBLE) + 0.5 AS VARCHAR)
+         WHEN event_id % 4 = 2 THEN 'true'
+         ELSE NULL
+       END AS picked
+FROM k
+"""
+
+
+@register("coerce_union_events", _UNION_ORACLE)
+def q_coerce_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union[int, float, bool] coercion (tools.py:495-518): member types try
+    in declaration order, first success wins — '42'→int, '42.5'→float (int
+    try_cast fails), 'yes'→bool, garbage→default(null)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    num = F.regexp_extract("props", "[0-9]+", 0)
+    m = F.col("event_id") % 4
+    styled = (
+        F.when(m == 0, num)
+        .when(m == 1, F.concat(num, F.lit(".5")))
+        .when(m == 2, F.lit("yes"))
+        .otherwise(F.lit("not a value"))
+    )
+    return ev.select(
+        "event_id",
+        coercion.coerce_union(styled, ["bigint", "double", "boolean"]).alias("picked"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q: multi-kind PII scan (F8) — ssn/ipv4/email flags per synthetic payload
+# ---------------------------------------------------------------------------
+
+_PII_KINDS_ORACLE = r"""
+WITH styled AS (
+  SELECT event_id,
+         CASE
+           WHEN event_id % 5 = 0 THEN 'contact me at user' || CAST(event_id AS VARCHAR) || '@example.com please'
+           WHEN event_id % 5 = 1 THEN 'my ssn is ' || lpad(CAST(event_id % 900 + 100 AS VARCHAR), 3, '0') || '-45-6789 ok'
+           WHEN event_id % 5 = 2 THEN 'server at 10.0.' || CAST(event_id % 256 AS VARCHAR) || '.7 responded'
+           WHEN event_id % 5 = 3 THEN 'nothing sensitive here at all'
+           ELSE NULL
+         END AS t
+  FROM events
+)
+SELECT event_id,
+       t IS NOT NULL AND regexp_matches(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') AS has_email,
+       t IS NOT NULL AND regexp_matches(t, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b') AS has_ssn,
+       t IS NOT NULL AND regexp_matches(t, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b') AS has_ipv4
+FROM styled
+"""
+
+
+@register("pii_kind_flags", _PII_KINDS_ORACLE)
+def q_pii_kind_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 beyond email: per-kind PII presence flags (ssn, ipv4, email) over
+    synthetic payloads, driven by the same pii_matches map the scrubber
+    uses (security/redaction.py:63-158)."""
+    from prompture_spark.operators import textquality as tq
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    m = F.col("event_id") % 5
+    styled = (
+        F.when(m == 0, F.concat(F.lit("contact me at user"), F.col("event_id").cast("string"), F.lit("@example.com please")))
+        .when(m == 1, F.concat(F.lit("my ssn is "), F.lpad((F.col("event_id") % 900 + 100).cast("string"), 3, "0"), F.lit("-45-6789 ok")))
+        .when(m == 2, F.concat(F.lit("server at 10.0."), (F.col("event_id") % 256).cast("string"), F.lit(".7 responded")))
+        .when(m == 3, F.lit("nothing sensitive here at all"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    pm = tq.pii_matches(styled)
+    def has(kind):
+        return F.coalesce(F.size(pm.getItem(kind)) > 0, F.lit(False))
+    return ev.select(
+        "event_id",
+        has("email").alias("has_email"),
+        has("ssn").alias("has_ssn"),
+        has("ipv4").alias("has_ipv4"),
+    )
