@@ -117,6 +117,30 @@ class ManifestStore:
             rows = rows.filter(F.col("run_config_hash") == run_config_hash)
         return sorted(r.batch_uid for r in rows.select("batch_uid").distinct().collect())
 
+    def committed_batch_partitions(self, run_config_hash: str | None = None) -> DataFrame:
+        """(batch_uid, part_id) pairs for the LATEST completed row per
+        (run_config_hash, partition) — the authoritative output set. When a
+        partition is recomputed (forced rerun, concurrent runner), its old
+        batch directory still holds that partition's superseded violation
+        rows; readers must filter by these pairs, not whole directories, or
+        the superseded rows are double-counted."""
+        from pyspark.sql.window import Window
+
+        rows = self.read().filter(
+            (F.col("status") == "completed") & F.col("batch_uid").isNotNull()
+        )
+        if run_config_hash is not None:
+            rows = rows.filter(F.col("run_config_hash") == run_config_hash)
+        w = Window.partitionBy("run_config_hash", "partition_id").orderBy(
+            F.col("updated_at").desc(), F.col("batch_uid").desc()
+        )
+        return (
+            rows.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("batch_uid", F.col("partition_id").alias("part_id"))
+            .distinct()
+        )
+
     def completed_partitions(self, run_config_hash: str) -> DataFrame:
         return (
             self.read()
@@ -260,23 +284,42 @@ class ResumableRunner:
         }
 
     def read_violations(self, run_config_hash: str | None = None) -> DataFrame:
-        """The committed violations table: ONLY batch directories referenced
-        by a completed manifest row are read, so orphans from a crash between
-        the staged write and the manifest commit are invisible (exactly-once
-        read semantics over an at-least-once writer)."""
-        uids = self.manifest.committed_batch_uids(run_config_hash)
-        paths = [
-            f"{self.violations_sink}/{u}"
+        """The committed violations table: ONLY (batch_uid, partition) pairs
+        referenced by the latest completed manifest row are read, so (a)
+        orphans from a crash between the staged write and the manifest commit
+        are invisible (exactly-once read semantics over an at-least-once
+        writer), and (b) a partition superseded by a later recompute — whose
+        old batch directory still holds sibling partitions' live rows — is
+        not double-counted."""
+        pairs = self.manifest.committed_batch_partitions(run_config_hash)
+        uids = sorted(r.batch_uid for r in pairs.select("batch_uid").distinct().collect())
+        frames = [
+            self.spark.read.parquet(f"{self.violations_sink}/{u}").withColumn(
+                "_batch_uid", F.lit(u)
+            )
             for u in uids
             if os.path.exists(f"{self.violations_sink}/{u}")
         ]
-        if not paths:
+        if not frames:
             return self.spark.createDataFrame(
                 [],
                 "conv_id string, turn_idx int, part_id int, constraint_id string, "
                 "observed_value string",
             )
-        return self.spark.read.parquet(*paths)
+        raw = frames[0]
+        for f in frames[1:]:
+            raw = raw.unionByName(f)
+        live = raw.join(
+            F.broadcast(
+                pairs.select(F.col("batch_uid").alias("_batch_uid"), "part_id")
+            ),
+            ["_batch_uid", "part_id"],
+            "left_semi",
+        )
+        # the join puts key columns first — restore the canonical order
+        return live.select(
+            "conv_id", "turn_idx", "part_id", "constraint_id", "observed_value"
+        )
 
     def gc_orphan_batches(self) -> list[str]:
         """Delete staged batch directories no completed manifest row points

@@ -95,7 +95,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     k: int = SHINGLE_K,
     threshold: float = JACCARD_THRESHOLD,
-    max_posting_df: int | None = 1024,
+    max_posting_df: int | None = None,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with shingle-Jaccard ≥ threshold.
 
@@ -111,7 +111,9 @@ def ngram_jaccard_pairs(
     ``max_bucket_size``. A true near-dup pair is only lost if EVERY shingle
     it shares is corpus-boilerplate (df > cap), i.e. the pair has no
     distinctive content in common at all — at which point "near-duplicate"
-    is not meaningful. None = uncapped (exact candidate generation)."""
+    is not meaningful. The default is None (EXACT candidate generation, no
+    silent recall loss); scale-path callers opt into the cap explicitly —
+    the 100 TB configuration is ``max_posting_df=1024``."""
     # persist: the shingle frame feeds three plan branches (posting lists,
     # both verification sides) — without it the O(len·k) shingling re-runs
     # per branch. Hashed shingles: 8-byte longs, not Java strings.

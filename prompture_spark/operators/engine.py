@@ -171,9 +171,12 @@ class ValidationEngine:
         # generically: key[0] → conv_id (stringified), key[1] → turn_idx when
         # it casts to int, null otherwise. Keys beyond the first two are part
         # of the grouping (so multiplicity is correct) but not echoed.
+        # try_cast, not cast: under ANSI mode (Spark 4.x default) a plain
+        # cast of a non-numeric string key would throw CAST_INVALID_INPUT at
+        # runtime instead of yielding the documented null.
         conv_slot = F.col(keys[0]).cast("string").alias("conv_id")
         turn_slot = (
-            F.col(keys[1]).cast("int") if len(keys) > 1 else F.lit(None).cast("int")
+            F.col(keys[1]).try_cast("int") if len(keys) > 1 else F.lit(None).cast("int")
         ).alias("turn_idx")
         return dups.select(
             conv_slot,

@@ -50,16 +50,38 @@ def _make_session_fn(gap_s: int):
         user_id = key[0]
         if state.hasTimedOut:
             seq, start, last, n = state.get
-            state.remove()
+            if start is None:
+                # tombstone (counter-only state) expired with no new events:
+                # drop it — state stays bounded even for one-off actors.
+                state.remove()
+                return
+            # Emit the closed session but KEEP the sequence counter in a
+            # tombstone so the actor's next session continues cumulative
+            # numbering (parity with the batch operator, which numbers over
+            # full history). The tombstone expires after one further gap.
+            state.update((seq + 1, None, None, 0))
+            # one further gap period past close — clamped above the current
+            # watermark, which may already have advanced past last + 2*gap
+            state.setTimeoutTimestamp(
+                max((last + 2 * gap_s) * 1000,
+                    state.getCurrentWatermarkMs() + gap_s * 1000)
+            )
             yield pd.DataFrame([(user_id, seq, n, start, last)], columns=cols)
             return
         batch = pd.concat(list(pdfs))
-        # epoch seconds; micro-batch rows are not ordered — sort within key
-        ts = sorted(int(t.timestamp()) for t in batch["ts"] if t is not None)
+        # epoch seconds; micro-batch rows are not ordered — sort within key.
+        # pd.notna filters both None and NaT (NaT.timestamp() raises).
+        ts = sorted(int(t.timestamp()) for t in batch["ts"] if pd.notna(t))
         if state.exists:
             seq, start, last, n = state.get
         else:
             seq, start, last, n = 0, None, None, 0
+        if not ts:
+            # Every timestamp in the batch was null/NaT. Nothing to extend or
+            # close; re-arm the timeout only when an open session exists.
+            if state.exists and last is not None:
+                state.setTimeoutTimestamp((last + gap_s) * 1000)
+            return
         closed = []
         for t in ts:
             if start is None:

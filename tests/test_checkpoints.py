@@ -130,3 +130,50 @@ def test_manifest_latest_status_wins(spark, workspace):
                    "status": "completed", "rows_checked": 10}])
     latest = store.read().filter(F.col("partition_id") == 1).collect()
     assert len(latest) == 1 and latest[0].status == "completed"
+
+
+def test_superseded_partition_not_double_counted(spark, workspace):
+    """When a later run recomputes one partition of an already-committed
+    batch, the old batch directory still holds that partition's superseded
+    rows next to its siblings' live rows. read_violations must return the
+    superseded partition's rows ONCE (from the newest batch only)."""
+    man_path, sink = workspace
+    df = _df(spark)
+    suite = default_transcript_suite()
+    store = ManifestStore(spark, man_path)
+    runner = ResumableRunner(spark, store, sink)
+
+    runner.run(df, suite, "test-input", run_id="r1", batch_size=8)
+    cfg = suite_config_hash(suite, "test-input")
+    baseline_rows = runner.read_violations(cfg).collect()  # materialize now
+    baseline = spark.createDataFrame(
+        baseline_rows,
+        "conv_id string, turn_idx int, part_id int, constraint_id string, "
+        "observed_value string",
+    )
+    expected_total = len(baseline_rows)
+    part0 = baseline.filter(F.col("part_id") == 0)
+    part0_rows = part0.count()
+    assert part0_rows > 0
+
+    # Recompute partition 0 into a NEW batch directory and commit it
+    # (concurrent-runner / forced-recompute scenario): the old batch dir r1-b0
+    # still contains partition 0's now-superseded rows — identical content,
+    # which is exactly what a double-counting reader would return twice.
+    part0.write.mode("overwrite").parquet(f"{sink}/redo-b0")
+    store.append([
+        {
+            "run_id": "redo",
+            "run_config_hash": cfg,
+            "partition_id": 0,
+            "status": "completed",
+            "rows_checked": 1,
+            "violations": part0_rows,
+            "batch_uid": "redo-b0",
+        }
+    ])
+
+    got = runner.read_violations(cfg)
+    assert got.count() == expected_total  # not expected_total + part0_rows
+    assert got.filter(F.col("part_id") == 0).count() == part0_rows
+    assert got.exceptAll(baseline).count() == 0

@@ -154,3 +154,23 @@ def test_validate_full_all_outputs(spark, micro):
     drift = {r.part_id: r.psi for r in res.drift.collect()}
     assert set(drift) == {0, 1}
     assert res.verdicts.count() == 2 * len(default_transcript_suite().constraint_ids())
+
+
+def test_uniqueness_string_second_key_ansi_safe(spark):
+    """A Unique constraint whose second key is a non-numeric STRING column
+    must yield the documented null in the turn_idx slot — not throw
+    CAST_INVALID_INPUT under ANSI mode (Spark 4.x default)."""
+    from prompture_spark.plans.spec import Unique
+
+    df = spark.createDataFrame(
+        [("alice", "login"), ("alice", "login"), ("bob", "login")],
+        "user string, action string",
+    ).withColumn("part_id", F.lit(0))
+    eng = ValidationEngine(spark)
+    got = eng.uniqueness_violations(
+        df, Unique("unique_user_action", keys=("user", "action")), "part_id"
+    ).collect()
+    assert len(got) == 1
+    assert got[0].conv_id == "alice"
+    assert got[0].turn_idx is None  # 'login' does not cast to int -> null
+    assert got[0].observed_value == "2"

@@ -182,3 +182,92 @@ def test_stream_sessionize_stateful_matches_batch(spark, tmp_path):
     assert (1, 2) in got and (2, 2) not in got  # timeout closed vs still open
     # cross-batch continuation: u1 session 1 spans both files -> 4 events
     assert got[(1, 1)][0] == 4
+
+
+def test_stream_sessionize_null_ts_does_not_crash(spark, tmp_path):
+    """Dirty data: null/NaT event timestamps must not kill the stream — the
+    framework's whole premise is dirty input. Rows with null ts are ignored;
+    a batch that is ALL-null for a new key leaves no state behind."""
+    import datetime as dt
+
+    from prompture_spark.streaming.stateful import stream_sessionize
+
+    b = dt.datetime(2024, 1, 1, 0, 0, 0)
+    m = lambda x: b + dt.timedelta(minutes=x)
+    src = str(tmp_path / "landing")
+    # file 1: user 7 has ONLY null timestamps (the first-batch crash case);
+    # user 1 mixes null and real timestamps.
+    rows_a = [(7, None), (7, None), (1, None), (1, m(0)), (1, m(5))]
+    # file 2: user 1 continues, then a far event closes session 0 in-stream.
+    rows_b = [(1, m(10)), (1, None), (1, m(200))]
+    schema = "user_id bigint, ts timestamp"
+    spark.createDataFrame(rows_a, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(rows_b, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        stream_sessionize(stream, gap_s=30 * 60)
+        .writeStream.format("memory")
+        .queryName("null_ts_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.session_seq): r.n_events
+        for r in spark.sql("SELECT * FROM null_ts_sessions").collect()
+    }
+    # user 1's session 0 closed with the three REAL timestamps; nulls ignored
+    assert got == {(1, 0): 3}
+
+
+def test_stream_sessionize_seq_monotone_after_timeout(spark, tmp_path):
+    """After an event-time timeout closes a session, the actor's NEXT session
+    must continue the cumulative numbering (batch-operator parity), not
+    restart at 0 — the counter survives in a tombstone state entry."""
+    import datetime as dt
+
+    from prompture_spark.streaming.stateful import stream_sessionize
+
+    b = dt.datetime(2024, 1, 1, 0, 0, 0)
+    m = lambda x: b + dt.timedelta(minutes=x)
+    src = str(tmp_path / "landing")
+    schema = "user_id bigint, ts timestamp"
+    gap = 30 * 60
+    # file 1: u1 session 0 (m0..m5). file 2: watermark mover u9 at m300 →
+    # u1's timeout (m5+30m) fires, closing (u1, 0). file 3: u1 returns at
+    # m310 (within the tombstone window) → session must be seq 1.
+    # file 4: watermark mover at m700 → closes (u1, 1) via timeout.
+    for rows in (
+        [(1, m(0)), (1, m(5))],
+        [(9, m(300))],
+        [(1, m(310))],
+        [(9, m(700))],
+    ):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        stream_sessionize(stream, gap_s=gap, watermark="30 minutes")
+        .writeStream.format("memory")
+        .queryName("timeout_seq_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql(
+        "SELECT * FROM timeout_seq_sessions WHERE user_id = 1"
+    ).collect()
+    got = {(r.user_id, r.session_seq): r.n_events for r in rows}
+    # no duplicate (user, seq) keys, and numbering is monotone across the
+    # timeout boundary: session 0 (2 events) then session 1 (1 event)
+    assert len(rows) == len(got)
+    assert got == {(1, 0): 2, (1, 1): 1}
