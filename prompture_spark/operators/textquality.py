@@ -25,76 +25,330 @@ from pyspark.sql import functions as F
 from prompture_spark.functions.coercion import normalize_text
 
 # ------------------------------------------------------------------ refusal
+#
+# Full EN+ES marker tables and taxonomy ported as data from
+# refusal/markers.py:28-261 + detector.py:32-76; see functions/markers.py.
+# Matching is the reference's pipeline re-expressed as Column expressions:
+# normalize -> per-category earliest word-bounded match (one regexp_instr
+# over a space-padded string per category) -> position-decayed score ->
+# best-score-wins category with strongest-first tie-break.
 
-# Marker set distilled from refusal/detector.py marker categories.
-REFUSAL_MARKERS = (
-    "i cannot help", "i can't help", "i cannot assist", "i can't assist",
-    "i'm sorry", "i am sorry", "i apologize", "as an ai", "i'm unable",
-    "i am unable", "i won't", "i will not", "against my", "i must decline",
+from prompture_spark.functions import markers as mk
+
+
+def _fold_quotes(c: Column) -> Column:
+    """ASCII-fold the unicode quote/dash variants (detector.py:142-145).
+    One codepoint each -> a single translate call."""
+    return F.translate(c, "‘’“”–—", "''\"\"--")
+
+
+_EMPHASIS_STEPS = (
+    # markdown emphasis strip without backreferences (RE2-compatible twin
+    # of detector.py:116 `(\*\*|__|\*|_)(.+?)\1`): bold before italic.
+    (r"\*\*([^*]+)\*\*", "$1"),
+    (r"__([^_]+)__", "$1"),
+    (r"\*([^*]+)\*", "$1"),
+    (r"_([^_]+)_", "$1"),
 )
-_REFUSAL_RE = "|".join(REFUSAL_MARKERS)
+
+_FILLER_RE = (
+    r"^(?:sure|okay|ok|well|certainly|of course|alright|hmm|thanks|thank you"
+    r"|great question|good question|claro|por supuesto|bueno|gracias)"
+    r"[\s,.\-!:]+"
+)
+
+
+def refusal_normalize(col: Column | str) -> Column:
+    """detector.py:135-151 ``_normalize``: quote/dash fold, markdown-emphasis
+    strip, lowercase, whitespace collapse, leading-filler strip. (NFKC is not
+    expressible as a built-in Column function; the explicit quote/dash folds
+    cover the forms the marker tables rely on.)"""
+    c = F.col(col) if isinstance(col, str) else col
+    c = _fold_quotes(c)
+    for pat, repl in _EMPHASIS_STEPS:
+        c = F.regexp_replace(c, pat, repl)
+    c = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    return F.regexp_replace(c, _FILLER_RE, "")
+
+
+def injection_normalize(col: Column | str) -> Column:
+    """injection.py:40-58: lighter than the refusal normalizer — keeps
+    markdown intact so chat-template delimiters survive."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(_fold_quotes(c)), r"\s+", " "))
+
+
+def _position_score(
+    pos0: Column, base: float, threshold: int, decay: float, span: float
+) -> Column:
+    """detector.py:323-332 / injection.py:459-468 ``_score``: base confidence
+    up to the position threshold, then linear decay toward base*decay over
+    the next ``span`` chars (500 refusal, 1000 injection). Written with the
+    same literal arithmetic as the reference so the doubles match
+    bit-for-bit on Spark, DuckDB, and CPython."""
+    overflow = pos0.cast("double") - F.lit(float(threshold))
+    factor = F.when(pos0 <= threshold, F.lit(1.0)).otherwise(
+        F.greatest(
+            F.lit(decay),
+            F.lit(1.0) - (overflow / F.lit(span)) * (F.lit(1.0) - F.lit(decay)),
+        )
+    )
+    return F.lit(base) * factor
+
+
+def _category_positions(
+    norm: Column, marker_table: dict[str, tuple[str, ...]]
+) -> dict[str, Column]:
+    """0-based position of the earliest word-bounded match per category
+    (-1 = no match). The text is padded with one space per side so the
+    boundary requirement (detector.py:342-360) becomes an explicit non-word
+    char on both flanks — no lookarounds, valid under Java regex AND RE2."""
+    padded = F.concat(F.lit(" "), norm, F.lit(" "))
+    out = {}
+    for cat, marks in marker_table.items():
+        p = F.regexp_instr(padded, F.lit(mk.category_pattern(marks)))
+        out[cat] = F.when(p > 0, (p - F.lit(1)).cast("int")).otherwise(F.lit(-1))
+    return out
+
+
+def _detect_struct(
+    positions: dict[str, Column],
+    base_conf: dict[str, float],
+    threshold: int,
+    decay: float,
+    span: float,
+    empty: Column,
+    empty_category: str | None,
+    trigger_categories: tuple[str, ...],
+    min_confidence: float,
+    flag_name: str,
+) -> Column:
+    """Shared best-score-wins aggregation for both detectors. Returns
+    struct<category, confidence, <flag_name>, position>."""
+    scores = {
+        cat: F.when(
+            pos >= 0, _position_score(pos, base_conf[cat], threshold, decay, span)
+        ).otherwise(F.lit(0.0))
+        for cat, pos in positions.items()
+    }
+    best = F.greatest(*scores.values()) if len(scores) > 1 else next(iter(scores.values()))
+    # strongest-first tie-break: the reference keeps the FIRST category whose
+    # score is not exceeded later (`score > best_score`, detector.py:279-283)
+    cat_chain = None
+    pos_chain = None
+    for cat in base_conf:  # insertion order = strongest -> weakest
+        if cat not in positions:
+            continue
+        hit = scores[cat] == best
+        cat_chain = (
+            F.when(hit, F.lit(cat)) if cat_chain is None else cat_chain.when(hit, F.lit(cat))
+        )
+        pos_chain = (
+            F.when(hit, positions[cat])
+            if pos_chain is None
+            else pos_chain.when(hit, positions[cat])
+        )
+    matched = best > 0.0
+    if empty_category is not None:
+        category = (
+            F.when(empty, F.lit(empty_category))
+            .when(matched, cat_chain)
+            .otherwise(F.lit(None).cast("string"))
+        )
+        confidence = (
+            F.when(empty, F.lit(1.0)).when(matched, F.round(best, 4)).otherwise(F.lit(0.0))
+        )
+        flag = F.when(empty, F.lit(True)).otherwise(
+            matched & category.isin(*trigger_categories) & (best >= min_confidence)
+        )
+    else:
+        category = F.when(
+            ~empty & matched, cat_chain
+        ).otherwise(F.lit(None).cast("string"))
+        confidence = F.when(~empty & matched, F.round(best, 4)).otherwise(F.lit(0.0))
+        flag = ~empty & matched & (best >= min_confidence)
+    position = F.when(~empty & matched, pos_chain).otherwise(F.lit(-1))
+    return F.struct(
+        category.alias("category"),
+        confidence.alias("confidence"),
+        flag.alias(flag_name),
+        position.alias("position"),
+    )
+
+
+def refusal_detect(col: Column | str) -> Column:
+    """Full refusal classification over the complete EN+ES marker tables:
+    struct<category, confidence, is_refusal, position>. Mirrors
+    RefusalDetector.detect (detector.py:251-309): empty/null text is a
+    refusal with category 'empty' and confidence 1.0; otherwise the decisive
+    category is the best position-decayed score, and is_refusal fires when
+    that category is in {hard_refusal, policy, soft_refusal} with score
+    >= 0.3."""
+    norm = refusal_normalize(col)
+    empty = norm.isNull() | (F.length(norm) < 1)
+    return _refusal_struct_from(_category_positions(norm, mk.REFUSAL_MARKERS), empty)
+
+
+def _refusal_struct_from(positions: dict[str, Column], empty: Column) -> Column:
+    return _detect_struct(
+        positions,
+        mk.REFUSAL_BASE_CONFIDENCE,
+        mk.REFUSAL_POSITION_THRESHOLD,
+        mk.REFUSAL_POSITION_DECAY,
+        mk.REFUSAL_DECAY_SPAN,
+        empty,
+        "empty",
+        mk.REFUSAL_TRIGGER_CATEGORIES,
+        mk.REFUSAL_MIN_CONFIDENCE,
+        "is_refusal",
+    )
+
+
+def with_refusal_detect(
+    df: DataFrame, text_col: str = "text", out_col: str = "refusal"
+) -> DataFrame:
+    """Staged form of :func:`refusal_detect` for table-scale paths: the
+    normalized text and the five per-category match positions are
+    materialized as intermediate projections, so each marker regex is
+    evaluated ONCE per row and the generated code for any single stage stays
+    under the JVM's 64KB method limit (the single-Column form duplicates the
+    normalization subtree into every category scan). Catalyst keeps the
+    stages separate because the intermediates are non-cheap and multiply
+    referenced. Appends ``out_col`` struct<category, confidence, is_refusal,
+    position> and drops the intermediates."""
+    norm_c = "__refnorm"
+    staged = df.withColumn(norm_c, refusal_normalize(text_col))
+    pos_names = {cat: f"__refpos_{cat}" for cat in mk.REFUSAL_MARKERS}
+    pos_exprs = _category_positions(F.col(norm_c), mk.REFUSAL_MARKERS)
+    staged = staged.withColumns(
+        {pos_names[c]: _pushdown_barrier(e) for c, e in pos_exprs.items()}
+    )
+    empty = F.col(norm_c).isNull() | (F.length(norm_c) < 1)
+    struct = _refusal_struct_from(
+        {cat: F.col(n) for cat, n in pos_names.items()}, empty
+    )
+    return staged.withColumn(out_col, struct).drop(norm_c, *pos_names.values())
+
+
+def _pushdown_barrier(expr: Column) -> Column:
+    """Wrap an (integer) expression in a value-identical nondeterministic
+    no-op (+0, computed from rand()). Catalyst's
+    PushPredicateThroughNonJoin refuses to push a Filter below a Project
+    containing any nondeterministic field — without this, a downstream
+    ``filter(category IS NOT NULL)`` is substituted through the staged
+    projections, re-inlining every marker regex into one filter expression
+    (observed: >64KB generated method, whole-stage-codegen fallback, and
+    ~30x redundant regex evaluation per row). The guard must live INSIDE a
+    referenced output column (a standalone dummy column is removed by
+    ColumnPruning before the pushdown rule runs) and must not be provably
+    constant (a ``rand() < -1`` branch gets range-folded away);
+    ``rand()*0.0`` survives — Catalyst never folds double multiplication
+    by zero (NaN semantics), and the addend is always 0 at runtime."""
+    return expr + (F.rand(seed=0) * F.lit(0.0)).cast("int")
 
 
 def is_refusal(col: Column | str) -> Column:
-    c = F.lower(F.col(col) if isinstance(col, str) else col)
-    return c.isNotNull() & c.rlike(_REFUSAL_RE)
-
-
-REFUSAL_CATEGORIES = {
-    # category -> markers (detector.py's six marker categories, distilled)
-    "hard_refusal": ("i cannot help", "i can't help", "i cannot assist", "i can't assist", "i must decline"),
-    "apology": ("i'm sorry", "i am sorry", "i apologize"),
-    "identity": ("as an ai",),
-    "capability": ("i'm unable", "i am unable"),
-    "unwillingness": ("i won't", "i will not"),
-    "policy": ("against my",),
-}
+    return refusal_detect(col).getField("is_refusal")
 
 
 def refusal_category(col: Column | str) -> Column:
-    """First matching refusal category (priority = table order), null when no
-    marker fires — the per-category counting base for the evaluator report
+    """Decisive refusal category (reference taxonomy: hard_refusal, policy,
+    soft_refusal, deflection, safety_disclaimer, empty), null when no marker
+    fires — the per-category counting base for the evaluator report
     (refusal/evaluator.py:95-120)."""
-    c = F.lower(F.col(col) if isinstance(col, str) else col)
-    out = None
-    for cat, markers in REFUSAL_CATEGORIES.items():
-        cond = c.isNotNull() & c.rlike("|".join(markers))
-        out = F.when(cond, F.lit(cat)) if out is None else out.when(cond, F.lit(cat))
-    return out.otherwise(F.lit(None).cast("string"))
+    return refusal_detect(col).getField("category")
 
 
 def refusal_confidence(col: Column | str) -> Column:
-    """Position-weighted score (detector.py:323-333): a marker at the start
-    of the text scores ~1.0, decaying toward 0.3 deeper in. 0.0 = no marker."""
-    c = F.lower(F.col(col) if isinstance(col, str) else col)
-    pos = F.least(
-        *[
-            F.when(F.instr(c, m) > 0, F.instr(c, m)).otherwise(F.lit(10**9))
-            for m in REFUSAL_MARKERS
-        ]
-    )
-    rel = (pos - 1) / F.greatest(F.length(c).cast("double"), F.lit(1.0))
-    return F.when(
-        c.isNull() | (pos == 10**9), F.lit(0.0)
-    ).otherwise(F.round(F.lit(1.0) - F.lit(0.7) * F.least(rel, F.lit(1.0)), 6))
+    """Position-weighted confidence in [0,1] (detector.py:323-332): the
+    decisive category's base confidence, decaying past char 200 toward 40%
+    of base by char 700. 0.0 = no marker."""
+    return refusal_detect(col).getField("confidence")
 
 
 # ---------------------------------------------------------------- injection
 
-_B64_RUN = r"[A-Za-z0-9+/]{40,}={0,2}"          # injection.py:375-449
-_HEX_RUN = r"(?:[0-9a-fA-F]{2}){20,}"
-INJECTION_MARKERS = (
-    "ignore previous instructions", "ignore all previous", "disregard the above",
-    "system prompt", "you are now", "jailbreak", "do anything now",
-)
-_INJ_RE = "|".join(INJECTION_MARKERS)
+_B64_RUN = mk.B64_RUN_PATTERN                    # injection.py:284-290
+_HEX_RUN = mk.HEX_RUN_PATTERN
+
+
+def injection_detect(col: Column | str) -> Column:
+    """Full injection classification over the complete EN+ES marker tables
+    (instruction_override, role_hijack, prompt_extraction, delimiter_attack)
+    plus the encoded-payload heuristic: struct<category, confidence,
+    is_injection, position>. Mirrors PromptInjectionDetector.detect
+    (injection.py:375-449). Deviation: the encoded-payload position is the
+    FIRST suspicious run, not the longest one (injection.py:292-305) — the
+    position only modulates score decay, and first <= longest keeps the
+    score conservative-high."""
+    c = F.col(col) if isinstance(col, str) else col
+    norm = injection_normalize(c)
+    empty = c.isNull() | (F.length(norm) < 1)
+    positions = _category_positions(norm, mk.INJECTION_MARKERS)
+    positions["encoded_payload"] = _encoded_payload_position(c)
+    return _injection_struct_from(positions, empty)
+
+
+def _encoded_payload_position(c: Column) -> Column:
+    """Earliest suspicious base64/hex run — scans the ORIGINAL text
+    (injection.py:414-417): the refusal-style normalization would mangle
+    base64 case information."""
+    b64p = F.regexp_instr(c, F.lit(_B64_RUN))
+    hexp = F.regexp_instr(c, F.lit(_HEX_RUN))
+    return (
+        F.when((b64p > 0) & ((hexp <= 0) | (b64p <= hexp)), (b64p - 1).cast("int"))
+        .when(hexp > 0, (hexp - 1).cast("int"))
+        .otherwise(F.lit(-1))
+    )
+
+
+def _injection_struct_from(positions: dict[str, Column], empty: Column) -> Column:
+    return _detect_struct(
+        positions,
+        mk.INJECTION_BASE_CONFIDENCE,
+        mk.INJECTION_POSITION_THRESHOLD,
+        mk.INJECTION_POSITION_DECAY,
+        mk.INJECTION_DECAY_SPAN,
+        empty,
+        None,  # empty prompt is NOT an injection (injection.py:377-385)
+        (),
+        mk.INJECTION_MIN_CONFIDENCE,
+        "is_injection",
+    )
+
+
+def with_injection_detect(
+    df: DataFrame, text_col: str = "text", out_col: str = "injection"
+) -> DataFrame:
+    """Staged form of :func:`injection_detect` — same rationale as
+    :func:`with_refusal_detect`."""
+    norm_c = "__injnorm"
+    staged = df.withColumn(norm_c, injection_normalize(text_col))
+    pos_names = {cat: f"__injpos_{cat}" for cat in mk.INJECTION_MARKERS}
+    pos_names["encoded_payload"] = "__injpos_encoded_payload"
+    pos_exprs = _category_positions(F.col(norm_c), mk.INJECTION_MARKERS)
+    pos_exprs["encoded_payload"] = _encoded_payload_position(
+        F.col(text_col) if isinstance(text_col, str) else text_col
+    )
+    staged = staged.withColumns(
+        {pos_names[c]: _pushdown_barrier(e) for c, e in pos_exprs.items()}
+    )
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    empty = c.isNull() | (F.length(norm_c) < 1)
+    struct = _injection_struct_from(
+        {cat: F.col(n) for cat, n in pos_names.items()}, empty
+    )
+    return staged.withColumn(out_col, struct).drop(norm_c, *pos_names.values())
 
 
 def injection_flags(col: Column | str) -> Column:
-    """struct<marker:boolean, b64:boolean, hex:boolean, any:boolean>."""
+    """struct<marker:boolean, b64:boolean, hex:boolean, any:boolean> — the
+    cheap boolean surface over the full detector (marker = any phrase
+    category fired; any = detector's is_injection OR a raw encoded run)."""
     c = F.col(col) if isinstance(col, str) else col
-    lc = F.lower(c)
-    marker = lc.isNotNull() & lc.rlike(_INJ_RE)
+    det = injection_detect(c)
+    cat = det.getField("category")
+    marker = cat.isNotNull() & (cat != "encoded_payload")
     b64 = c.isNotNull() & c.rlike(_B64_RUN)
     hx = c.isNotNull() & c.rlike(_HEX_RUN)
     return F.struct(
@@ -105,28 +359,103 @@ def injection_flags(col: Column | str) -> Column:
 
 # ---------------------------------------------------------------------- PII
 
+# Full reference category set (security/redaction.py:45-131), re-expressed
+# RE2-and-Java-compatible: the reference's lookarounds become \b word
+# boundaries (equivalent at alphanumeric pattern edges). 'card' candidates
+# allow the reference's space/dash grouping (redaction.py:84-88) and are
+# Luhn-validated before they count; 'iban' is length-validated 15-34
+# (redaction.py:158-161).
 PII_PATTERNS = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
     "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
     "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
-    "card": r"\b[0-9]{13,19}\b",
+    "card": r"\b(?:[0-9][ -]?){12,18}[0-9]\b",
+    "iban": r"\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\b",
+    # the reference's per-vendor key shapes (redaction.py:113-123), merged
+    # into one alternation: OpenAI/Anthropic sk-, Google AIza, AWS AKIA/ASIA,
+    # GitHub ghp_/gho_, Slack xox?-, Stripe sk|pk|rk_live/test_
+    "api_key": (
+        r"\b(?:sk-ant-[A-Za-z0-9_-]{20,}|sk-[A-Za-z0-9_-]{20,}"
+        r"|AIza[0-9A-Za-z_-]{30,}|(?:AKIA|ASIA)[0-9A-Z]{16}"
+        r"|ghp_[A-Za-z0-9]{30,}|gho_[A-Za-z0-9]{30,}"
+        r"|xox[baprs]-[A-Za-z0-9-]{10,}"
+        r"|(?:sk|pk|rk)_(?:live|test)_[A-Za-z0-9]{20,})\b"
+    ),
+    # full 8-group form + single-'::'-compression with tail (the reference's
+    # lookaround-guarded variant covers more compressions; RE2 has no
+    # lookbehind, so the rare exotic compressions are out of scope)
+    "ipv6": (
+        r"\b(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}\b"
+        r"|\b(?:[0-9A-Fa-f]{1,4}:){1,6}:[0-9A-Fa-f]{1,4}\b"
+    ),
+    "url_credentials": r"\b(?i:https?|ftp|s3|ssh)://[^\s:/@]+:[^\s/@]+@[^\s]+",
 }
+
+
+def _iban_len_ok(s: Column) -> Column:
+    """Country IBAN lengths range 15-34 chars (redaction.py:158-161)."""
+    return (F.length(s) >= 15) & (F.length(s) <= 34)
 
 
 def pii_matches(col: Column | str) -> Column:
     """map<string, array<string>> of PII kind → matches. Card numbers are
     Luhn-verified with a pure expression (no UDF): doubled-alternate digit
-    sum % 10 == 0."""
+    sum % 10 == 0; IBANs are length-validated 15-34."""
     c = F.col(col) if isinstance(col, str) else col
     entries = []
     for kind, pat in PII_PATTERNS.items():
         matches = F.regexp_extract_all(c, F.lit(pat), 0)
         if kind == "card":
             matches = F.filter(matches, _luhn_ok)
+        elif kind == "iban":
+            matches = F.filter(matches, _iban_len_ok)
         entries.append(F.struct(F.lit(kind).alias("key"), matches.alias("value")))
     m = F.map_from_entries(F.array(*entries))
     return F.when(c.isNull(), F.map_from_entries(F.array().cast("array<struct<key:string,value:array<string>>>"))).otherwise(m)
+
+
+# Reference placeholder names (PIICategory values, redaction.py:45-56) and
+# the reference's scan priority for overlap handling (redaction.py:263-296):
+# URL creds first (a password inside a URL must not re-classify as an API
+# key), then API keys before generic patterns, cards before phone.
+PII_PLACEHOLDERS = {
+    "url_credentials": "URL_CREDENTIALS", "api_key": "API_KEY",
+    "email": "EMAIL", "ipv4": "IPV4", "ipv6": "IPV6", "ssn": "SSN",
+    "iban": "IBAN", "card": "CREDIT_CARD", "phone": "PHONE",
+}
+PII_REDACTION_ORDER = tuple(PII_PLACEHOLDERS)
+
+
+def pii_redact(col: Column | str) -> Column:
+    """PII masking transform (PIIRedactor.redact, redaction.py:241-261 and
+    redact_pii :364-371): struct<text_redacted:string, n_<kind>:int ...>.
+
+    Chained per-category rewrites in the reference's priority order — each
+    category counts and replaces its matches on the text as already redacted
+    by higher-priority categories, so an overlapping lower-priority match is
+    naturally suppressed (the chained twin of the reference's span-based
+    overlap resolution; the rare longest-match-beats-priority tiebreak of
+    redaction.py:330-354 is approximated by priority order). Card candidates
+    are Luhn-verified and IBANs length-verified before masking; those two
+    rewrite via an expression fold (extract → validate → literal-replace)
+    since a regex rewrite cannot carry the validation."""
+    c = F.col(col) if isinstance(col, str) else col
+    cur = c
+    fields = []
+    for kind in PII_REDACTION_ORDER:
+        pat, token = PII_PATTERNS[kind], F.lit(f"[{PII_PLACEHOLDERS[kind]}]")
+        cands = F.regexp_extract_all(cur, F.lit(pat), 0)
+        if kind == "card":
+            cands = F.filter(cands, _luhn_ok)
+        elif kind == "iban":
+            cands = F.filter(cands, _iban_len_ok)
+        fields.append(F.coalesce(F.size(cands), F.lit(0)).alias(f"n_{kind}"))
+        if kind in ("card", "iban"):
+            cur = F.aggregate(cands, cur, lambda acc, x: F.replace(acc, x, token))
+        else:
+            cur = F.regexp_replace(cur, pat, f"[{PII_PLACEHOLDERS[kind]}]")
+    return F.struct(cur.alias("text_redacted"), *fields)
 
 
 def _luhn_ok(s: Column) -> Column:
@@ -217,10 +546,14 @@ def quality_reason(
     max_len: int = 4000,
     min_tokens: int = 1,
     refusal: bool = True,
+    refusal_flag: Column | None = None,
 ) -> Column:
     """First-drop-wins violation_reason column (null = keep), mirroring
     QualityFilter's ordered predicates (filters.py:195-255): cheap checks
-    first — ``when`` cascades short-circuit per row."""
+    first — ``when`` cascades short-circuit per row. Pass ``refusal_flag``
+    (a precomputed boolean, e.g. from :func:`with_refusal_detect`) on
+    table-scale paths so the full-marker detection isn't inlined into the
+    cascade expression."""
     c = F.col(text_col)
     reason = (
         F.when(c.isNull(), F.lit("null_text"))
@@ -229,13 +562,29 @@ def quality_reason(
         .when(token_count_ws(c) < min_tokens, F.lit("too_few_tokens"))
     )
     if refusal:
-        reason = reason.when(is_refusal(c), F.lit("refusal"))
+        flag = refusal_flag if refusal_flag is not None else is_refusal(c)
+        reason = reason.when(flag, F.lit("refusal"))
     return reason.otherwise(F.lit(None).cast("string"))
+
+
+def _with_reason(df: DataFrame, text_col: str, out: str, **kw) -> DataFrame:
+    if kw.get("refusal", True):
+        staged = with_refusal_detect(df, text_col, "__qref")
+        return staged.withColumn(
+            out,
+            quality_reason(
+                text_col, refusal_flag=F.col("__qref").getField("is_refusal"), **kw
+            ),
+        ).drop("__qref")
+    return df.withColumn(out, quality_reason(text_col, **kw))
 
 
 def quality_filter(df: DataFrame, text_col: str = "text", **kw) -> DataFrame:
     """Rows that pass the cascade (QualityFilter.filter)."""
-    return df.filter(quality_reason(text_col, **kw).isNull())
+    cols = df.columns
+    return _with_reason(df, text_col, "__qreason", **kw).filter(
+        F.col("__qreason").isNull()
+    ).select(*cols)
 
 
 def quality_stats(df: DataFrame, text_col: str = "text", **kw) -> DataFrame:
@@ -248,7 +597,7 @@ def quality_stats(df: DataFrame, text_col: str = "text", **kw) -> DataFrame:
     second table scan)."""
     from pyspark.sql.window import Window
 
-    tagged = df.select(quality_reason(text_col, **kw).alias("reason"))
+    tagged = _with_reason(df, text_col, "reason", **kw).select("reason")
     counts = tagged.groupBy("reason").agg(F.count(F.lit(1)).alias("n"))
     total = F.sum("n").over(Window.partitionBy())
     return (
