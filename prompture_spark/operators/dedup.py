@@ -491,3 +491,163 @@ def near_dup_drop_list(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         F.col("id").alias("doc_id"), F.col("label").alias("keep_id")
     )
     return out
+
+
+# ------------------------------------------------- config-driven chain (S)
+
+
+from dataclasses import dataclass
+
+
+@dataclass
+class DedupConfig:
+    """Pipeline-friendly dedup configuration — the Spark twin of the
+    reference's ``DedupConfig`` (dataset/dedup.py:279-301):
+    strategy ∈ {exact, shingle, semantic, none}; ``threshold`` ignored for
+    exact/none; ``shingle_size`` only for shingle; semantic requires the
+    DataFrame to carry ``vector_col`` (the embedder is upstream — at table
+    scale embeddings are a COLUMN, not a per-call model)."""
+
+    strategy: str = "exact"
+    threshold: float | None = None
+    shingle_size: int = SHINGLE_K
+
+
+def greedy_first_wins_drops(pairs: DataFrame, max_iterations: int = 64) -> DataFrame:
+    """The ids the reference's SEQUENTIAL first-kept-wins scan would drop
+    (dedup_shingle dataset/dedup.py:151-166 / dedup_semantic :253-268): doc
+    x is dropped iff some EARLIER doc that was itself KEPT is similar to x.
+
+    This is NOT connected components (near_dup_drop_list): in a chain
+    A~B, B~C with A≁C, the scan keeps A, drops B, then KEEPS C (B wasn't
+    kept, so it can't kill C) — components would drop C too.
+
+    Parallel formulation (priority greedy independent set): iterate
+      1. drop every undecided node with an earlier KEPT neighbor;
+      2. keep every undecided node with no earlier UNDECIDED neighbor
+    until no node is undecided. The minimum undecided node always decides,
+    and rounds ≈ longest similarity chain (shallow for near-dup families),
+    so the driver loop runs a handful of small joins over the PAIRS frame
+    only — the corpus itself never re-shuffles. Input pairs must satisfy
+    id_a < id_b with ids in scan (insertion) order; output: (doc_id) rows
+    to drop."""
+    # localCheckpoint (eager) after every round: the status frames are tiny
+    # (ids participating in pairs only) but their LOGICAL PLANS compound
+    # multiplicatively across rounds — persist() caches data yet keeps the
+    # full lineage tree, which blows the driver heap by ~10 rounds.
+    # Checkpointing truncates lineage to the materialized blocks.
+    edges = (
+        pairs.select(F.col("id_a").alias("e"), F.col("id_b").alias("x"))
+        .distinct()
+        .localCheckpoint()
+    )
+    undecided = (
+        edges.select(F.col("e").alias("id"))
+        .union(edges.select(F.col("x").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    kept = undecided.filter(F.lit(False)).localCheckpoint()
+    dropped = undecided.filter(F.lit(False)).localCheckpoint()
+    for _ in range(max_iterations):
+        if undecided.isEmpty():
+            break
+        # 1. an earlier KEPT neighbor kills x
+        newly_dropped = undecided.join(
+            edges.join(kept, edges["e"] == kept["id"], "left_semi"),
+            undecided["id"] == F.col("x"),
+            "left_semi",
+        ).localCheckpoint()
+        still = undecided.join(newly_dropped, "id", "left_anti").localCheckpoint()
+        # 2. no earlier UNDECIDED neighbor -> the scan reaches x with every
+        # earlier similar doc already dropped -> x is kept
+        blocked = edges.join(still, edges["e"] == still["id"], "left_semi")
+        newly_kept = still.join(
+            blocked, still["id"] == F.col("x"), "left_anti"
+        ).localCheckpoint()
+        dropped = dropped.union(newly_dropped).localCheckpoint()
+        kept = kept.union(newly_kept).localCheckpoint()
+        undecided = still.join(newly_kept, "id", "left_anti").localCheckpoint()
+    return dropped.select(F.col("id").alias("doc_id")).distinct()
+
+
+def apply_dedup(
+    df: DataFrame,
+    config: DedupConfig,
+    id_col: str,
+    text_col: str,
+    vector_col: str | None = None,
+) -> tuple[DataFrame, int]:
+    """Run one strategy; return (kept_df, removed_count) — the Spark twin of
+    ``apply_dedup`` (dataset/dedup.py:304-335). Empty-key rows vanish
+    uncounted for exact/shingle (the reference's ``continue``,
+    dedup.py:87-89, 153-155) but COUNT as removed for semantic
+    (dedup.py:253-257)."""
+    strategy = config.strategy
+    if strategy == "none":
+        return df, 0
+    n_in = df.count()
+    norm = normalize_text(text_col)
+    if strategy == "exact":
+        nonempty = df.filter(norm != "")
+        kept = exact_dedup(nonempty, text_col, order_cols=[id_col])
+        return kept, nonempty.count() - kept.count()
+    if strategy == "shingle":
+        nonempty = df.filter(norm != "").withColumn("_normkey", norm)
+        pairs = ngram_jaccard_pairs(
+            nonempty,
+            id_col,
+            "_normkey",
+            k=config.shingle_size,
+            threshold=config.threshold if config.threshold is not None else JACCARD_THRESHOLD,
+        )
+        drops = greedy_first_wins_drops(pairs)
+        kept = nonempty.join(
+            drops, nonempty[id_col] == drops["doc_id"], "left_anti"
+        ).drop("_normkey")
+        return kept, nonempty.count() - kept.count()
+    if strategy == "semantic":
+        if vector_col is None:
+            raise ValueError("DedupConfig(strategy='semantic') requires vector_col")
+        nonempty = df.filter(norm != "")
+        pairs = embedding_dedup_pairs(
+            nonempty,
+            id_col,
+            vector_col,
+            threshold=config.threshold if config.threshold is not None else COSINE_THRESHOLD,
+        ).select(F.col("id_a"), F.col("id_b"))
+        drops = greedy_first_wins_drops(pairs)
+        kept = nonempty.join(
+            drops, nonempty[id_col] == drops["doc_id"], "left_anti"
+        )
+        # empty-key rows count as removed here (dedup.py:253-257)
+        return kept, n_in - kept.count()
+    raise ValueError(
+        f"Unknown dedup strategy {strategy!r}. Choose 'exact', 'shingle', 'semantic', or 'none'."
+    )
+
+
+def dedup_pipeline(
+    df: DataFrame,
+    configs: list[DedupConfig],
+    id_col: str,
+    text_col: str,
+    vector_col: str | None = None,
+) -> tuple[DataFrame, list[dict]]:
+    """Compose strategies (the chain the reference wires through its synth
+    pipeline's ``dedup`` parameter) with per-stage drop accounting. Returns
+    (final_kept, [{stage, strategy, removed, remaining}, ...])."""
+    cur = df
+    stats = []
+    for i, cfg in enumerate(configs):
+        cur, removed = apply_dedup(cur, cfg, id_col, text_col, vector_col)
+        cur = cur.persist()
+        stats.append(
+            {
+                "stage": i,
+                "strategy": cfg.strategy,
+                "removed": removed,
+                "remaining": cur.count(),
+            }
+        )
+    return cur, stats

@@ -1,0 +1,147 @@
+"""Dataset export formats for fine-tuning consumers.
+
+Spark restatement of the reference's output-format converters
+(/root/reference/prompture/dataset/formats.py:26-89):
+
+  * ``to_jsonl``    — flat ``{"question", "answer"}`` records;
+  * ``to_sharegpt`` — ``{"conversations": [{"from": "human", "value": q},
+    {"from": "gpt", "value": a}]}`` (Unsloth / Axolotl sharegpt);
+  * ``to_alpaca``   — ``{"instruction", "input", "output"}`` (QA pairs map
+    question→instruction, ""→input, answer→output — formats.py:53-68);
+  * ``write_dataset`` — JSON-Lines sink (formats.py:71-89).
+
+Plus the table-scale sources the reference takes as given:
+
+  * ``qa_pairs_from_transcripts`` — adjacent (user → assistant) turn pairs
+    per conversation via one ``lead()`` window (no shuffle beyond the
+    per-conversation sort);
+  * ``conversation_sharegpt`` — whole-conversation ShareGPT reshaping:
+    groupBy(conv_id) + sort_array(collect_list(...)), one hash-agg shuffle.
+
+Field names match the reference exactly; ``from`` is produced verbatim as a
+struct field. At 100 TB both reshapes are single-shuffle: the QA pairing
+windows by conv_id, the conversation fold is a hash aggregation, and the
+JSONL sink writes per-partition files with no driver materialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# role -> ShareGPT speaker tag. The reference only ever emits human/gpt
+# (formats.py:31-49); the conversation-level reshaping passes other roles
+# through so tool/system turns stay attributable.
+_ROLE_TO_FROM = {"user": "human", "assistant": "gpt"}
+
+
+def _from_tag(role: Column) -> Column:
+    out = None
+    for r, tag in _ROLE_TO_FROM.items():
+        out = F.when(role == r, F.lit(tag)) if out is None else out.when(role == r, F.lit(tag))
+    return out.otherwise(role)
+
+
+def qa_pairs_from_transcripts(df: DataFrame) -> DataFrame:
+    """(conv_id, turn_idx, question, answer) for every user turn whose NEXT
+    turn in the conversation is an assistant turn. Null-text / null-ts rows
+    are excluded first (exports take clean rows; the validation suite owns
+    flagging them). The intra-conversation order is the engine-wide stable
+    total order (turn_idx, ts, text, role) so the pairing is deterministic
+    even across duplicate turn_idx defects."""
+    clean = df.filter(F.col("text").isNotNull() & F.col("ts").isNotNull())
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts", "text", "role")
+    nxt_role = F.lead("role").over(w)
+    nxt_text = F.lead("text").over(w)
+    return (
+        clean.select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            F.col("text").alias("question"),
+            nxt_role.alias("_nr"),
+            nxt_text.alias("answer"),
+        )
+        .filter((F.col("role") == "user") & (F.col("_nr") == "assistant"))
+        .select("conv_id", "turn_idx", "question", "answer")
+    )
+
+
+def to_jsonl(qa: DataFrame) -> DataFrame:
+    """formats.py:26-28 — plain (question, answer) records."""
+    return qa.select("question", "answer")
+
+
+def to_sharegpt(qa: DataFrame) -> DataFrame:
+    """formats.py:31-49 — one human→gpt exchange per record, as a typed
+    ``conversations`` array<struct<from,value>> column."""
+    return qa.select(
+        "conv_id",
+        "turn_idx",
+        F.array(
+            F.struct(F.lit("human").alias("from"), F.col("question").alias("value")),
+            F.struct(F.lit("gpt").alias("from"), F.col("answer").alias("value")),
+        ).alias("conversations"),
+    )
+
+
+def to_alpaca(qa: DataFrame) -> DataFrame:
+    """formats.py:53-68 — QA pairs become {instruction, input:"", output}."""
+    return qa.select(
+        "conv_id",
+        "turn_idx",
+        F.col("question").alias("instruction"),
+        F.lit("").alias("input"),
+        F.col("answer").alias("output"),
+    )
+
+
+def conversation_sharegpt(df: DataFrame) -> DataFrame:
+    """Whole-conversation ShareGPT reshaping: per conv_id, the full ordered
+    turn list as conversations:array<struct<from,value>>. One hash-agg
+    shuffle; ordering restored with sort_array over (turn_idx, ts, text,
+    role) sort keys, then projected down to (from, value)."""
+    # invalid-role messages are dropped at import by the reference
+    # (persistence/serialization.py:243-250) — same policy here
+    from prompture_spark.model import VALID_ROLES
+
+    clean = df.filter(
+        F.col("text").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("role").isin(*VALID_ROLES)
+    )
+    packed = clean.groupBy("conv_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("turn_idx", "ts", "text", "role"))
+        ).alias("_turns")
+    )
+    return packed.select(
+        "conv_id",
+        F.transform(
+            "_turns",
+            lambda t: F.struct(
+                _from_tag(t.getField("role")).alias("from"),
+                t.getField("text").alias("value"),
+            ),
+        ).alias("conversations"),
+    )
+
+
+def records_json(df: DataFrame, payload_cols: list[str] | None = None) -> DataFrame:
+    """Render each row's payload as ONE JSON-Lines record string — the exact
+    bytes ``write_dataset`` emits (formats.py:80-89 json.dumps per record).
+    Keeps any non-payload columns for keying/verification."""
+    cols = payload_cols or df.columns
+    keep = [c for c in df.columns if c not in cols]
+    return df.select(
+        *keep, F.to_json(F.struct(*[F.col(c) for c in cols])).alias("record")
+    )
+
+
+def write_dataset(df: DataFrame, path: str, payload_cols: list[str] | None = None) -> None:
+    """JSONL sink (formats.py:71-89): one JSON object per line, UTF-8,
+    written distributed (per-partition part files — at scale a single local
+    file is an anti-pattern; downstream trainers glob the directory)."""
+    cols = payload_cols or df.columns
+    df.select(*cols).write.mode("overwrite").json(path)

@@ -2240,3 +2240,282 @@ def q_pii_redacted(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in tq.PII_REDACTION_ORDER
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# Q: dataset export formats (dataset/formats.py:26-89) — sharegpt / alpaca /
+# jsonl reshaping of transcript QA pairs, emitted as the exact JSONL record
+# strings write_dataset produces (JSON strings hash engine-independently;
+# raw struct cells would compare by repr).
+# ---------------------------------------------------------------------------
+
+_QA_PAIRS_SQL = """
+, clean AS (SELECT * FROM transcripts WHERE text IS NOT NULL AND ts IS NOT NULL)
+, paired AS (
+  SELECT conv_id, turn_idx, role, text AS question,
+         lead(role) OVER w AS _nr, lead(text) OVER w AS answer
+  FROM clean WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, ts, text, role)
+)
+, qa AS (SELECT conv_id, turn_idx, question, answer FROM paired
+         WHERE role = 'user' AND _nr = 'assistant')
+"""
+
+_SHAREGPT_ORACLE = (
+    ORACLE_TRANSCRIPTS_CTE
+    + _QA_PAIRS_SQL
+    + """
+SELECT conv_id, turn_idx,
+       to_json([struct_pack("from" := 'human', value := question),
+                struct_pack("from" := 'gpt', value := answer)]) AS record
+FROM qa
+"""
+)
+
+
+@register("export_sharegpt_rows", _SHAREGPT_ORACLE)
+def q_export_sharegpt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_sharegpt (formats.py:31-49): one human→gpt exchange per user→
+    assistant adjacency, serialized as the JSONL record string."""
+    from prompture_spark.operators import formats as fmt
+
+    df = transcripts_from_events(spark, sf_dir)
+    sg = fmt.to_sharegpt(fmt.qa_pairs_from_transcripts(df))
+    return sg.select(
+        "conv_id", "turn_idx", F.to_json("conversations").alias("record")
+    )
+
+
+_ALPACA_ORACLE = (
+    ORACLE_TRANSCRIPTS_CTE
+    + _QA_PAIRS_SQL
+    + """
+SELECT conv_id, turn_idx, question AS instruction, '' AS input, answer AS output
+FROM qa
+"""
+)
+
+
+@register("export_alpaca_rows", _ALPACA_ORACLE)
+def q_export_alpaca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_alpaca (formats.py:53-68): {instruction, input:"", output}."""
+    from prompture_spark.operators import formats as fmt
+
+    df = transcripts_from_events(spark, sf_dir)
+    return fmt.to_alpaca(fmt.qa_pairs_from_transcripts(df))
+
+
+_JSONL_ORACLE = (
+    ORACLE_TRANSCRIPTS_CTE
+    + _QA_PAIRS_SQL
+    + """
+SELECT conv_id, turn_idx,
+       to_json(struct_pack(question := question, answer := answer)) AS record
+FROM qa
+"""
+)
+
+
+@register("export_jsonl_records", _JSONL_ORACLE)
+def q_export_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_jsonl + write_dataset record bytes (formats.py:26-28, 71-89)."""
+    from prompture_spark.operators import formats as fmt
+
+    df = transcripts_from_events(spark, sf_dir)
+    qa = fmt.qa_pairs_from_transcripts(df)
+    return fmt.records_json(qa, ["question", "answer"])
+
+
+_CONV_SHAREGPT_ORACLE = (
+    ORACLE_TRANSCRIPTS_CTE
+    + """
+, clean AS (SELECT * FROM transcripts WHERE text IS NOT NULL AND ts IS NOT NULL
+           AND role IN ('user', 'assistant', 'system', 'tool'))
+SELECT conv_id,
+       to_json(list(struct_pack(
+           "from" := CASE role WHEN 'user' THEN 'human'
+                               WHEN 'assistant' THEN 'gpt' ELSE role END,
+           value := text)
+         ORDER BY turn_idx, ts, text, role)) AS conversations_json
+FROM clean GROUP BY conv_id
+"""
+)
+
+
+@register("conversation_sharegpt_rows", _CONV_SHAREGPT_ORACLE)
+def q_conversation_sharegpt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-conversation ShareGPT reshaping (beyond the reference's
+    single-exchange converter): the full ordered turn list per conv_id."""
+    from prompture_spark.operators import formats as fmt
+
+    df = transcripts_from_events(spark, sf_dir)
+    return fmt.conversation_sharegpt(df).select(
+        "conv_id", F.to_json("conversations").alias("conversations_json")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q: config-driven dedup chain (dataset/dedup.py:279-335) — exact → shingle →
+# semantic with per-stage drop accounting. The oracle restates the greedy
+# FIRST-KEPT-WINS scan (not connected components) as a sequential recursive
+# CTE carrying the kept set, over pair sets recomputed independently in SQL.
+# ---------------------------------------------------------------------------
+
+_GREEDY_SCAN_SQL = """
+, {scan} AS (
+  SELECT 0 AS i, CAST([] AS BIGINT[]) AS kept, CAST([] AS BIGINT[]) AS dropped
+  UNION ALL
+  SELECT s.i + 1,
+         CASE WHEN EXISTS (SELECT 1 FROM {pairs} p
+                           WHERE p.id_b = nl.ids[s.i + 1]
+                             AND list_contains(s.kept, p.id_a))
+              THEN s.kept ELSE list_append(s.kept, nl.ids[s.i + 1]) END,
+         CASE WHEN EXISTS (SELECT 1 FROM {pairs} p
+                           WHERE p.id_b = nl.ids[s.i + 1]
+                             AND list_contains(s.kept, p.id_a))
+              THEN list_append(s.dropped, nl.ids[s.i + 1]) ELSE s.dropped END
+  FROM {scan} s, {nodes} nl WHERE s.i < len(nl.ids)
+)
+, {out} AS MATERIALIZED (
+  SELECT coalesce((SELECT dropped FROM {scan} ORDER BY i DESC LIMIT 1),
+                  CAST([] AS BIGINT[])) AS d
+)
+"""
+
+_DEDUP_PIPELINE_ORACLE = (
+    r"""
+WITH RECURSIVE
+base AS MATERIALIZED (
+  SELECT d.doc_id AS id, d.text AS text, CAST(e.embedding AS DOUBLE[]) AS emb
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+  WHERE d.doc_id % 5 = 0
+),
+corpus AS MATERIALIZED (
+  SELECT * FROM base
+  UNION ALL SELECT id + 200000, text, emb FROM base WHERE id % 7 = 0
+  UNION ALL SELECT id + 100000, text || ' tailword', emb FROM base WHERE id % 10 = 0
+  UNION ALL SELECT id + 300000, 'paraphrase stand in ' || CAST(id AS VARCHAR), emb
+            FROM base WHERE id % 13 = 0
+),
+normed AS MATERIALIZED (
+  SELECT id, emb,
+         trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', ' ', 'g'),
+                             '\s+', ' ', 'g')) AS nk
+  FROM corpus
+),
+nonempty AS MATERIALIZED (SELECT * FROM normed WHERE nk <> ''),
+kept1 AS MATERIALIZED (
+  SELECT id, emb, nk FROM (
+    SELECT *, row_number() OVER (PARTITION BY nk ORDER BY id) AS rn FROM nonempty
+  ) WHERE rn = 1
+),
+padded AS MATERIALIZED (SELECT id, '  ' || nk || '  ' AS p FROM kept1),
+sh AS MATERIALIZED (
+  SELECT DISTINCT id, substr(p, CAST(i AS INT), 5) AS s
+  FROM padded, range(1, 8192) r(i) WHERE i <= length(p) - 4
+),
+sz AS MATERIALIZED (SELECT id, count(*) AS n FROM sh GROUP BY 1),
+inter AS MATERIALIZED (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2
+),
+spairs AS MATERIALIZED (
+  SELECT id_a, id_b
+  FROM inter JOIN sz na ON id_a = na.id JOIN sz nb ON id_b = nb.id
+  WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.8
+),
+snodes AS MATERIALIZED (
+  SELECT list(id ORDER BY id) AS ids FROM (
+    SELECT DISTINCT id FROM (SELECT id_a AS id FROM spairs UNION ALL SELECT id_b FROM spairs)
+  )
+)
+"""
+    + _GREEDY_SCAN_SQL.format(scan="sscan", pairs="spairs", nodes="snodes", out="sdrop")
+    + """
+, kept2 AS MATERIALIZED (
+  SELECT k.* FROM kept1 k, sdrop WHERE NOT list_contains(sdrop.d, k.id)
+)
+, cpairs AS MATERIALIZED (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM kept2 a JOIN kept2 b ON a.id < b.id
+  WHERE list_cosine_similarity(a.emb, b.emb) >= 0.92
+)
+, cnodes AS MATERIALIZED (
+  SELECT list(id ORDER BY id) AS ids FROM (
+    SELECT DISTINCT id FROM (SELECT id_a AS id FROM cpairs UNION ALL SELECT id_b FROM cpairs)
+  )
+)
+"""
+    + _GREEDY_SCAN_SQL.format(scan="cscan", pairs="cpairs", nodes="cnodes", out="cdrop")
+    + """
+SELECT 0 AS stage, 'exact' AS strategy,
+       CAST((SELECT count(*) FROM nonempty) - (SELECT count(*) FROM kept1) AS BIGINT) AS removed,
+       CAST((SELECT count(*) FROM kept1) AS BIGINT) AS remaining
+UNION ALL
+SELECT 1, 'shingle',
+       CAST(len(sdrop.d) AS BIGINT),
+       CAST((SELECT count(*) FROM kept1) - len(sdrop.d) AS BIGINT)
+FROM sdrop
+UNION ALL
+SELECT 2, 'semantic',
+       CAST(len(cdrop.d) AS BIGINT),
+       CAST((SELECT count(*) FROM kept2) - len(cdrop.d) AS BIGINT)
+FROM cdrop
+"""
+)
+
+
+@register("dedup_pipeline_stats", _DEDUP_PIPELINE_ORACLE)
+def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """apply_dedup / DedupConfig chain (dataset/dedup.py:279-335): exact →
+    shingle(0.8) → semantic(0.92) with per-stage (removed, remaining) over a
+    corpus seeded with exact twins, tailword near-dups, and
+    same-embedding-different-text paraphrase twins."""
+    from prompture_spark.operators import dedup as dd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    base = (
+        docs.join(emb, docs["doc_id"] == emb["vec_id"])
+        .filter(F.col("doc_id") % 5 == 0)
+        .select(
+            F.col("doc_id").alias("id"),
+            "text",
+            F.col("embedding").cast("array<double>").alias("emb"),
+        )
+    )
+    corpus = (
+        base.unionByName(
+            base.filter(F.col("id") % 7 == 0).select(
+                (F.col("id") + 200000).alias("id"), "text", "emb"
+            )
+        )
+        .unionByName(
+            base.filter(F.col("id") % 10 == 0).select(
+                (F.col("id") + 100000).alias("id"),
+                F.concat("text", F.lit(" tailword")).alias("text"),
+                "emb",
+            )
+        )
+        .unionByName(
+            base.filter(F.col("id") % 13 == 0).select(
+                (F.col("id") + 300000).alias("id"),
+                F.concat(F.lit("paraphrase stand in "), F.col("id").cast("string")).alias("text"),
+                "emb",
+            )
+        )
+    )
+    _, stats = dd.dedup_pipeline(
+        corpus,
+        [
+            dd.DedupConfig("exact"),
+            dd.DedupConfig("shingle", threshold=0.8),
+            dd.DedupConfig("semantic", threshold=0.92),
+        ],
+        "id",
+        "text",
+        "emb",
+    )
+    return spark.createDataFrame(
+        [(s["stage"], s["strategy"], s["removed"], s["remaining"]) for s in stats],
+        "stage int, strategy string, removed bigint, remaining bigint",
+    )

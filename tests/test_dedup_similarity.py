@@ -343,3 +343,49 @@ def test_range_join_window_boundaries(spark):
         r.r_rid for r in range_join(left, right, key="k", before_s=300, after_s=300).collect()
     )
     assert got == [100, 102]  # inclusive bounds; 101/103 one second outside
+
+
+def test_greedy_first_wins_is_not_connected_components(spark):
+    """Chain A~B, B~C, A!~C: the reference's sequential scan keeps A, drops
+    B (similar to kept A), then KEEPS C (its only earlier similar doc B was
+    not kept) — dataset/dedup.py:151-166. Connected components would drop C."""
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a bigint, id_b bigint")
+    drops = sorted(r.doc_id for r in dd.greedy_first_wins_drops(pairs).collect())
+    assert drops == [2]
+    # clique 10~11, 10~12, 11~12 -> keep 10 only
+    clique = spark.createDataFrame(
+        [(10, 11), (10, 12), (11, 12)], "id_a bigint, id_b bigint"
+    )
+    drops2 = sorted(r.doc_id for r in dd.greedy_first_wins_drops(clique).collect())
+    assert drops2 == [11, 12]
+    # longer alternating chain 1~2~3~4~5 keeps odds
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a bigint, id_b bigint"
+    )
+    drops3 = sorted(r.doc_id for r in dd.greedy_first_wins_drops(chain).collect())
+    assert drops3 == [2, 4]
+
+
+def test_apply_dedup_chain_counts(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta", [1.0, 0.0]),
+        (2, "Alpha, beta GAMMA delta epsilon zeta!", [0.0, 1.0]),   # exact dup of 1 (normalized)
+        (3, "alpha beta gamma delta epsilon zeta eta", [0.0, 1.0]), # shingle near-dup of 1
+        (4, "totally different content lives here", [0.0, 0.99]),  # semantic dup of 3... but 3 dropped -> of 2? no: 2 removed at exact
+        (5, "another unrelated document entirely", [0.6, 0.8]),
+        (6, "", [0.5, 0.5]),                                        # empty key: vanishes uncounted at exact
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, vec array<double>")
+    cfgs = [
+        dd.DedupConfig("exact"),
+        dd.DedupConfig("shingle", threshold=0.8),
+        dd.DedupConfig("semantic", threshold=0.92),
+    ]
+    kept, stats = dd.dedup_pipeline(df, cfgs, "doc_id", "text", "vec")
+    by = {s["strategy"]: s for s in stats}
+    assert by["exact"]["removed"] == 1            # doc 2
+    assert by["exact"]["remaining"] == 4          # 1,3,4,5 (6 vanished uncounted)
+    assert by["shingle"]["removed"] == 1          # doc 3 (near-dup of kept 1)
+    # semantic: survivors 1,4,5 — cosine(4,5)<0.92, cosine(1,4)=0 — none
+    assert by["semantic"]["removed"] == 0
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 4, 5]

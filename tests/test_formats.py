@@ -1,0 +1,128 @@
+"""Dataset export format tests: field-name parity against the reference's
+own converters (dataset/formats.py:26-89, executed from the read-only tree)
+and a write_dataset JSONL round-trip."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from prompture_spark.operators import formats as fmt
+
+QA = [("c1", 0, "what is 2+2?", "4"), ("c1", 4, "and 3+3?", "6"),
+      ("c2", 1, "¿hola señor?", "¡hola!")]
+
+
+@pytest.fixture()
+def qa_df(spark):
+    return spark.createDataFrame(
+        QA, "conv_id string, turn_idx int, question string, answer string"
+    )
+
+
+@pytest.fixture(scope="module")
+def ref_formats():
+    import importlib.util, sys, types
+
+    base = "/root/reference/prompture/dataset"
+    pkg = types.ModuleType("_ref_dataset")
+    pkg.__path__ = [base]
+    sys.modules["_ref_dataset"] = pkg
+    out = {}
+    for m in ("schemas", "formats"):
+        spec = importlib.util.spec_from_file_location(f"_ref_dataset.{m}", f"{base}/{m}.py")
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[f"_ref_dataset.{m}"] = mod
+        spec.loader.exec_module(mod)
+        out[m] = mod
+    return out
+
+
+def test_formats_match_reference(spark, qa_df, ref_formats):
+    """The Spark converters emit the same records (field names and values)
+    as the reference's to_jsonl / to_sharegpt / to_alpaca."""
+    pairs = [
+        ref_formats["schemas"].QAPair(question=q, answer=a) for _, _, q, a in QA
+    ]
+    exp_jsonl = ref_formats["formats"].to_jsonl(pairs)
+    exp_sharegpt = ref_formats["formats"].to_sharegpt(pairs)
+    exp_alpaca = ref_formats["formats"].to_alpaca(pairs)
+
+    got_jsonl = [r.asDict() for r in fmt.to_jsonl(qa_df).collect()]
+    assert sorted(got_jsonl, key=str) == sorted(exp_jsonl, key=str)
+
+    got_sharegpt = [
+        json.loads(r.j)
+        for r in fmt.to_sharegpt(qa_df)
+        .select(F.to_json(F.struct("conversations")).alias("j"))
+        .collect()
+    ]
+    assert sorted(got_sharegpt, key=str) == sorted(
+        [json.loads(json.dumps(e)) for e in exp_sharegpt], key=str
+    )
+
+    got_alpaca = [
+        {"instruction": r.instruction, "input": r.input, "output": r.output}
+        for r in fmt.to_alpaca(qa_df).collect()
+    ]
+    assert sorted(got_alpaca, key=str) == sorted(exp_alpaca, key=str)
+
+
+def test_write_dataset_roundtrip(spark, qa_df, tmp_path):
+    """formats.py:71-89: JSONL on disk, one object per line, UTF-8 intact."""
+    path = str(tmp_path / "out.jsonl")
+    fmt.write_dataset(fmt.to_alpaca(qa_df), path,
+                      payload_cols=["instruction", "input", "output"])
+    back = spark.read.json(path)
+    assert back.count() == 3
+    assert sorted(back.columns) == ["input", "instruction", "output"]
+    got = {r.instruction: r.output for r in back.collect()}
+    assert got["¿hola señor?"] == "¡hola!"  # ensure_ascii=False parity
+    # every line is standalone JSON
+    import glob
+
+    lines = []
+    for f in glob.glob(f"{path}/part-*"):
+        lines += [json.loads(line) for line in open(f, encoding="utf-8") if line.strip()]
+    assert len(lines) == 3 and all("instruction" in l for l in lines)
+
+
+def test_qa_pairing_adjacency(spark):
+    """Only user→assistant ADJACENT turns pair; tool interruptions break the
+    pair; order keys are deterministic."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("c", 0, "user", "q1", None, t0, 0),
+        ("c", 1, "assistant", "a1", None, t0, 0),
+        ("c", 2, "user", "q2", None, t0, 0),
+        ("c", 3, "tool", "t", "click", t0, 0),      # breaks q2 pairing
+        ("c", 4, "assistant", "a2", None, t0, 0),
+        ("c", 5, "user", "dangling", None, t0, 0),  # no next turn
+    ]
+    from prompture_spark.model import TRANSCRIPT_SCHEMA
+
+    df = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    got = {(r.question, r.answer) for r in fmt.qa_pairs_from_transcripts(df).collect()}
+    assert got == {("q1", "a1")}
+
+
+def test_conversation_sharegpt_order_and_roles(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("c", 2, "assistant", "second", None, t0, 0),
+        ("c", 1, "user", "first", None, t0, 0),
+        ("c", 3, "bot", "invalid-role", None, t0, 0),   # dropped (import policy)
+        ("c", 4, "tool", "tool-out", "click", t0, 0),
+    ]
+    from prompture_spark.model import TRANSCRIPT_SCHEMA
+
+    df = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    out = fmt.conversation_sharegpt(df).collect()[0]
+    convs = [(c["from"], c["value"]) for c in out.conversations]
+    assert convs == [("human", "first"), ("gpt", "second"), ("tool", "tool-out")]
