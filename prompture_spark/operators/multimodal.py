@@ -5,12 +5,15 @@ The reference treats media as driver-side attachments to LLM calls
 at 100 TB instead carries media as columns: ``content: binary`` plus typed
 metadata, processed by Arrow-batched ``mapInPandas`` stages.
 
-The Spark-side plumbing here is REAL and tested — schemas, partition-size
-control, UDF signatures, Arrow batch shapes, error routing. The actual codec
-work (JPEG decode, audio resample, video frame extraction) is STUBBED behind
-``_decode_image``/`_decode_audio`` with a deterministic fake, because no
-image/audio libraries exist in this container; swapping in Pillow/ffmpeg
-changes one pure function per modality and nothing in the plan.
+Image decode is REAL: a complete pure-stdlib PNG decoder (zlib inflate +
+all five scanline filters) and a JPEG frame-header parser live in
+``functions/imagecodec.py`` — features report true width/height/channels,
+and PNG features include mean luminance computed over the actual decoded
+samples. Resize operates on real pixels (nearest-neighbor) and re-encodes
+a valid PNG. Video frame *extraction* remains a stub (no container demuxer
+exists without ffmpeg): the sampler is a deterministic byte-stride slicer
+over the payload with the exact long-form output shape a real demuxer
+stage would produce.
 
 Design points that matter at scale:
   * media rows are fat (KB..MB) — ``media_repartition`` targets a byte
@@ -24,12 +27,15 @@ Design points that matter at scale:
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from prompture_spark.functions import imagecodec as ic
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -47,7 +53,19 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("channels", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),  # null for header-only JPEG parse
         T.StructField("sha256", T.StringType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("content", T.BinaryType()),  # re-encoded PNG
         T.StructField("error", T.StringType()),
     ]
 )
@@ -62,39 +80,65 @@ FRAME_SAMPLE_SCHEMA = T.StructType(
 )
 
 
-def _decode_image(payload: bytes) -> tuple[int, int, int]:
-    """STUB: deterministic fake decoder.
-
-    Real implementation: ``PIL.Image.open(io.BytesIO(payload)).size`` — the
-    container has no imaging library, so dimensions are derived from the
-    payload hash. Raises on empty payloads the way a real decoder raises on
-    truncated files (exercises the error-routing path)."""
-    if not payload:
-        raise ValueError("empty payload")
-    h = hashlib.sha256(payload).digest()
-    return 16 + h[0] % 2032, 16 + h[1] % 2032, 1 + h[2] % 4
+def _synth_payload(mid: int) -> tuple[str, bytes | None, str]:
+    """Deterministic (kind, payload, mime) for one media id. Image rows are
+    REAL bitstreams: even image ids a gradient PNG (filter 0/2 alternating,
+    gray/RGB/RGBA), odd image ids a JPEG header stream (SOI+APP0+SOF0+EOI).
+    ~6% of payloads are null and a further slice are truncated PNGs, so the
+    error-routing path is exercised by genuinely corrupt bytes."""
+    h = hashlib.sha256(f"media-{mid}".encode()).digest()
+    kind = ("image", "audio", "video")[h[3] % 3]
+    if h[4] % 17 == 0:
+        return kind, None, "application/octet-stream"
+    if kind == "image":
+        if mid % 2 == 0:
+            w, hh = 4 + h[0] % 29, 4 + h[1] % 29
+            channels = (1, 3, 4)[h[2] % 3]
+            px = bytes(
+                (mid * 31 + y * 7 + x) & 0xFF
+                for y in range(hh)
+                for x in range(w * channels)
+            )
+            payload = ic.encode_png(w, hh, channels, px, filter_type=2 if h[5] % 2 else 0)
+            if h[6] % 13 == 0:  # truncated file -> decode error row
+                payload = payload[: len(payload) // 2]
+            return kind, payload, "image/png"
+        w, hh = 8 + h[0] % 120, 8 + h[1] % 120
+        ncomp = 1 if h[2] % 4 == 0 else 3
+        sof = struct.pack(">BHHB", 8, hh, w, ncomp)
+        comps = b"".join(bytes([i + 1, 0x11, 0]) for i in range(ncomp))
+        payload = (
+            b"\xff\xd8"
+            + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+            + b"\xff\xc0" + struct.pack(">H", 8 + 3 * ncomp) + sof + comps
+            + b"\xff\xd9"
+        )
+        return kind, payload, "image/jpeg"
+    # audio/video: opaque deterministic bytes, length varies (skew-realistic)
+    n = 64 + (h[0] | (h[1] << 8)) % 4096
+    payload = (h * (n // len(h) + 1))[:n]
+    return kind, payload, "application/octet-stream"
 
 
 def synth_media(spark, n: int = 256, seed: int = 42) -> DataFrame:
-    """Deterministic synthetic media table (binary payload = hash bytes)."""
-    df = spark.range(n).select(
-        F.col("id").alias("media_id"),
-        F.element_at(
-            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.pmod(F.xxhash64("id", F.lit(seed)), 3) + 1).cast("int"),
-        ).alias("kind"),
-        F.when(
-            F.pmod(F.xxhash64("id", F.lit(seed + 1)), 17) == 0, F.lit(None)
-        )  # ~6% corrupt rows exercise the error path
-        .otherwise(
-            F.sha2(F.concat(F.lit("payload-"), F.col("id").cast("string")), 256).cast(
-                "binary"
+    """Deterministic synthetic media table with REAL image bitstreams,
+    generated distributed (mapInPandas over a range — payload bytes are
+    built in the workers, never on the driver)."""
+    del seed  # retained for signature compatibility; ids are the seed
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                kind, payload, mime = _synth_payload(int(mid))
+                rows.append(
+                    (int(mid), kind, payload, mime, len(payload) if payload else 0)
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "content", "mime", "n_bytes"]
             )
-        )
-        .alias("content"),
-        F.lit("application/octet-stream").alias("mime"),
-    )
-    return df.withColumn("n_bytes", F.coalesce(F.length("content").cast("long"), F.lit(0)))
+
+    return spark.range(n).mapInPandas(_gen, MEDIA_SCHEMA)
 
 
 def media_repartition(
@@ -123,21 +167,31 @@ def media_repartition(
 
 
 def extract_image_features(df: DataFrame, batch_size: int = 512) -> DataFrame:
-    """mapInPandas decode → (dims, channels, content hash, error)."""
+    """mapInPandas REAL decode → (dims, channels, mean luma, content hash,
+    error). PNG payloads are fully decoded (pixels reconstructed through the
+    scanline filters) and mean_luma is computed from the samples; JPEG
+    payloads yield true dimensions/components from the SOF header with
+    mean_luma null."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["content"]):
                 try:
-                    w, h, c = _decode_image(bytes(payload) if payload is not None else b"")
+                    b = bytes(payload) if payload is not None else b""
+                    w, h, c, px = ic.decode_image(b)
+                    luma = round(ic.mean_luma(c, px), 6) if px is not None else None
                     out.append(
-                        (mid, w, h, c, hashlib.sha256(bytes(payload)).hexdigest(), None)
+                        (mid, w, h, c, luma, hashlib.sha256(b).hexdigest(), None)
                     )
                 except Exception as e:  # corrupt media -> error row, stage survives
-                    out.append((mid, None, None, None, None, str(e)))
+                    out.append((mid, None, None, None, None, None, str(e)))
             yield pd.DataFrame(
-                out, columns=["media_id", "width", "height", "channels", "sha256", "error"]
+                out,
+                columns=[
+                    "media_id", "width", "height", "channels", "mean_luma",
+                    "sha256", "error",
+                ],
             )
 
     return df.filter(F.col("kind") == "image").mapInPandas(
@@ -146,26 +200,40 @@ def extract_image_features(df: DataFrame, batch_size: int = 512) -> DataFrame:
 
 
 def resize_images(df: DataFrame, max_side: int = 256) -> DataFrame:
-    """STUB resize: real impl re-encodes the payload; the stub scales the fake
-    dimensions, keeping the plan (decode → transform → re-emit) intact."""
-    feats = extract_image_features(df)
-    scale = F.least(
-        F.lit(1.0),
-        F.lit(max_side) / F.greatest(F.col("width"), F.col("height")).cast("double"),
-    )
-    return feats.filter(F.col("error").isNull()).select(
-        "media_id",
-        F.round(F.col("width") * scale).cast("int").alias("width"),
-        F.round(F.col("height") * scale).cast("int").alias("height"),
-        "channels",
-        "sha256",
-    )
+    """REAL resize: decode PNG pixels, nearest-neighbor downscale to fit
+    ``max_side``, re-encode a valid PNG. JPEGs (header-parse only — no
+    entropy decoder without a codec library) and corrupt payloads route to
+    error rows. One mapInPandas stage: decode → transform → re-emit."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    b = bytes(payload) if payload is not None else b""
+                    if not b.startswith(ic.PNG_SIGNATURE):
+                        raise ic.ImageDecodeError("resize requires decodable PNG")
+                    w, h, c, px = ic.decode_png(b)
+                    nw, nh, npx = ic.resize_nearest(w, h, c, px, max_side)
+                    out.append((mid, nw, nh, c, ic.encode_png(nw, nh, c, npx), None))
+                except Exception as e:
+                    out.append((mid, None, None, None, None, str(e)))
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "width", "height", "channels", "content", "error"],
+            )
+
+    return df.filter(F.col("kind") == "image").mapInPandas(_resize, RESIZED_SCHEMA)
 
 
 def sample_video_frames(df: DataFrame, every_n: int = 10, max_frames: int = 8) -> DataFrame:
-    """STUB frame sampler: real impl seeks the container every N frames; the
-    stub derives per-frame hashes from the payload. Output is long-form
-    (media_id, frame_idx, hash) — the shape a caption/embedding stage joins on."""
+    """STUB frame sampler (no demuxer without ffmpeg): deterministic
+    byte-stride slicing — frame i is the payload window starting at byte
+    ``i * every_n * stride_bytes``, hashed. Output is long-form (media_id,
+    frame_idx, hash) — the exact shape a caption/embedding stage joins on;
+    a real implementation swaps the slicer for container seeks and nothing
+    else changes."""
+    stride_bytes = 32
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -175,10 +243,14 @@ def sample_video_frames(df: DataFrame, every_n: int = 10, max_frames: int = 8) -
                     rows.append((mid, None, None, "empty payload"))
                     continue
                 b = bytes(payload)
-                n_frames = min(max_frames, 1 + b[0] % max_frames)
-                for i in range(n_frames):
-                    fh = hashlib.sha256(b + str(i * every_n).encode()).hexdigest()
-                    rows.append((mid, i * every_n, fh, None))
+                for i in range(max_frames):
+                    start = i * every_n * stride_bytes
+                    if start >= len(b):
+                        break
+                    window = b[start : start + stride_bytes]
+                    rows.append(
+                        (mid, i * every_n, hashlib.sha256(window).hexdigest(), None)
+                    )
             yield pd.DataFrame(
                 rows, columns=["media_id", "frame_idx", "frame_sha256", "error"]
             )

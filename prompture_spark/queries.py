@@ -1282,10 +1282,11 @@ def q_unanimous(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unanimous_vote(ev, "user_id", "event_type")
 
 
-@register("multimodal_image_features")  # stubbed decode — rows-only + pytest
+@register("multimodal_image_features")  # binary payloads — rows-only + pytest
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: synthetic binary media -> mapInPandas feature
-    extraction with error routing (decode stubbed; see operators/multimodal)."""
+    """Multimodal: synthetic real-bitstream media (PNG/JPEG) -> mapInPandas
+    REAL decode (pure-stdlib PNG codec + JPEG SOF parse, functions/
+    imagecodec.py) with corrupt-payload error routing."""
     from prompture_spark.operators import multimodal as mm
 
     media = mm.synth_media(spark, 512)

@@ -1,11 +1,78 @@
-"""Multimodal plumbing tests: schema, Arrow batch shape, byte-budget
-partitioning, error routing. Decode itself is a documented stub."""
+"""Multimodal tests: REAL PNG decode (pure-stdlib codec), JPEG header parse,
+Arrow batch shape, byte-budget partitioning, error routing. Video frame
+extraction stays a documented byte-stride stub."""
 
 from __future__ import annotations
 
+import base64
+import hashlib
+
 from pyspark.sql import functions as F
 
+from prompture_spark.functions import imagecodec as ic
 from prompture_spark.operators import multimodal as mm
+
+# standard third-party 1x1 RGBA "red dot" PNG — proves the decoder reads
+# bytes produced by an EXTERNAL encoder, not just its own round-trip
+THIRD_PARTY_PNG = base64.b64decode(
+    "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJ"
+    "AAAADUlEQVR42mP8z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg=="
+)
+
+
+def test_png_roundtrip_all_filters_and_channels():
+    for ch in (1, 2, 3, 4):
+        for ft in (0, 2):
+            w, h = 7, 5
+            px = bytes((x * 13 + ch * 7) & 0xFF for x in range(w * h * ch))
+            got = ic.decode_png(ic.encode_png(w, h, ch, px, filter_type=ft))
+            assert got == (w, h, ch, px)
+
+
+def test_png_third_party_bytes():
+    w, h, c, px = ic.decode_png(THIRD_PARTY_PNG)
+    assert (w, h, c) == (1, 1, 4)
+    assert px == b"\xff\x00\x00\x7f"  # semi-transparent red
+
+
+def test_png_corrupt_payloads_raise():
+    import pytest
+
+    good = ic.encode_png(4, 4, 3, bytes(48))
+    for bad in (b"", b"notapng", good[: len(good) // 2], good[:20]):
+        with pytest.raises(ic.ImageDecodeError):
+            ic.decode_png(bad)
+
+
+def test_jpeg_header_parse():
+    import struct
+
+    for w, h, ncomp in ((47, 33, 3), (1024, 768, 1)):
+        payload = (
+            b"\xff\xd8"
+            + b"\xff\xe0" + struct.pack(">H", 16)
+            + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+            + b"\xff\xc0" + struct.pack(">H", 8 + 3 * ncomp)
+            + struct.pack(">BHHB", 8, h, w, ncomp)
+            + b"".join(bytes([i + 1, 0x11, 0]) for i in range(ncomp))
+            + b"\xff\xd9"
+        )
+        assert ic.parse_jpeg_header(payload) == (w, h, ncomp)
+
+
+def test_mean_luma_known_values():
+    # uniform gray 100 -> luma 100; pure red RGB -> 0.299 * 255
+    assert ic.mean_luma(1, bytes([100] * 10)) == 100
+    red = bytes([255, 0, 0] * 4)
+    assert abs(ic.mean_luma(3, red) - 0.299 * 255) < 1e-9
+
+
+def test_resize_nearest_known_pixels():
+    # 4x2 gray image, downscale to max_side 2 -> 2x1, picks source columns 0,2
+    px = bytes([10, 20, 30, 40, 50, 60, 70, 80])
+    nw, nh, npx = ic.resize_nearest(4, 2, 1, px, 2)
+    assert (nw, nh) == (2, 1)
+    assert npx == bytes([10, 30])
 
 
 def test_synth_media_deterministic(spark):
@@ -16,26 +83,46 @@ def test_synth_media_deterministic(spark):
     assert kinds == {"image", "audio", "video"}
 
 
-def test_image_features_and_error_routing(spark):
+def test_image_features_real_decode_and_error_routing(spark):
     media = mm.synth_media(spark, 256)
     feats = mm.extract_image_features(media)
     rows = feats.collect()
     assert len(rows) == media.filter(F.col("kind") == "image").count()
     ok = [r for r in rows if r.error is None]
     bad = [r for r in rows if r.error is not None]
-    assert ok and bad  # corrupt payloads became error rows, stage survived
-    assert all(16 <= r.width <= 2048 and 1 <= r.channels <= 4 for r in ok)
-    assert all(len(r.sha256) == 64 for r in ok)
+    assert ok and bad  # null + truncated payloads became error rows
+    # dims come from real bitstreams, not hashes: re-decode locally and compare
+    payloads = {
+        r.media_id: bytes(r.content)
+        for r in media.filter(F.col("content").isNotNull()).collect()
+    }
+    for r in ok:
+        w, h, c, px = ic.decode_image(payloads[r.media_id])
+        assert (r.width, r.height, r.channels) == (w, h, c)
+        assert r.sha256 == hashlib.sha256(payloads[r.media_id]).hexdigest()
+        if px is not None:  # PNG: luma computed over real decoded samples
+            assert abs(r.mean_luma - ic.mean_luma(c, px)) < 1e-4
+        else:  # JPEG header-only parse
+            assert r.mean_luma is None
+    assert any(r.mean_luma is not None for r in ok)
 
 
-def test_resize_bounds(spark):
+def test_resize_real_pixels_reencoded(spark):
     media = mm.synth_media(spark, 256)
-    resized = mm.resize_images(media, max_side=64).collect()
-    assert resized
-    assert all(max(r.width, r.height) <= 64 for r in resized)
+    resized = mm.resize_images(media, max_side=8)
+    ok = [r for r in resized.collect() if r.error is None]
+    assert ok
+    for r in ok:
+        assert max(r.width, r.height) <= 8
+        # output is a VALID PNG whose dims match the row
+        w, h, c, _ = ic.decode_png(bytes(r.content))
+        assert (w, h, c) == (r.width, r.height, r.channels)
+    # JPEGs route to error rows (header-only parse, no pixel decode)
+    errs = [r.error for r in resized.collect() if r.error is not None]
+    assert any("PNG" in e for e in errs)
 
 
-def test_frame_sampling_long_form(spark):
+def test_frame_sampling_byte_stride(spark):
     media = mm.synth_media(spark, 256)
     frames = mm.sample_video_frames(media, every_n=5, max_frames=4)
     rows = frames.filter(F.col("error").isNull()).collect()
@@ -43,11 +130,20 @@ def test_frame_sampling_long_form(spark):
     assert all(r.frame_idx % 5 == 0 and r.frame_idx < 4 * 5 for r in rows)
     per_media = frames.filter(F.col("error").isNull()).groupBy("media_id").count()
     assert per_media.agg(F.max("count")).collect()[0][0] <= 4
+    # deterministic: frame hash is the hash of the payload byte window
+    payloads = {
+        r.media_id: bytes(r.content)
+        for r in media.filter(F.col("kind") == "video").collect()
+        if r.content is not None
+    }
+    for r in rows[:20]:
+        b = payloads[r.media_id]
+        start = r.frame_idx * 32
+        assert r.frame_sha256 == hashlib.sha256(b[start : start + 32]).hexdigest()
 
 
 def test_media_repartition_by_bytes(spark):
     media = mm.synth_media(spark, 512)
-    # 512 rows x 32B payloads, 2KB budget -> multiple partitions
-    out = mm.media_repartition(media, target_task_bytes=2048)
+    out = mm.media_repartition(media, target_task_bytes=32 << 10)
     assert out.rdd.getNumPartitions() >= 4
     assert out.count() == 512
