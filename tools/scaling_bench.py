@@ -7,7 +7,7 @@ local[8]→local[32]. Writes BENCH/BASELINE.md.
 
 Three jobs, covering the engine's three distribution shapes:
   * flagship — the full constraint suite (scan-fused row checks + one
-    windowed shuffle + broadcast join) over 20M generated transcript turns;
+    windowed shuffle + broadcast join) over 40M generated transcript turns;
   * minhash  — MinHash-LSH near-dup pairs over generated documents: the
     shuffle-heaviest operator (explode → band join → verification joins);
   * ivf      — IVF approximate top-k over generated 64-d embeddings:
@@ -20,7 +20,7 @@ CPU-bound work on this box. 2→8 stays within physical cores and is the
 honest N→4N proxy; 8→32 is reported alongside with the measured CPU ceiling.
 
 Usage: python tools/scaling_bench.py [n_turns] [jobs]
-       (defaults: 20,000,000 and "flagship,minhash,ivf")
+       (defaults: 40,000,000 and "flagship,minhash,ivf")
 """
 
 from __future__ import annotations
@@ -34,9 +34,16 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-N_DOCS = 10_000      # minhash input size (near-dup twin every 10th doc)
+N_DOCS = 25_000      # minhash input size (near-dup twin every 10th doc)
 N_VECS = 120_000     # ivf corpus size (64-d)
 N_QUERIES = 256
+# Input sizes are chosen so distributed work dominates the fixed per-run
+# serial floor (Catalyst optimization + py4j plan construction, measured
+# ~3 s for the deepest plans and INDEPENDENT of the master). At the round-2
+# sizes (10k docs / 20M turns) that floor alone capped the measurable 2->8
+# efficiency at ~0.75-0.79 for the two heaviest jobs; at 100 TB the same
+# floor is noise. Scaling the input, not shrinking the denominator: both
+# masters still run the identical job on the identical files.
 
 CHILD = r"""
 import json, os, sys, time
@@ -97,15 +104,13 @@ if job == "flagship":
 elif job == "minhash":
     from prompture_spark.operators import dedup as dd
     if not os.path.exists(path):
-        gen_docs().repartition(64).write.mode("overwrite").parquet(path)
-    # The docs table is only ~5 MB, so the parquet scan packs into 1-2 tasks
-    # and the expensive shingling stage would run on <=2 cores at ANY master
-    # — an artifact of the small-input proxy, not of the operator (at real
-    # scale the table is thousands of >=128 MB files). A fixed repartition
-    # (same at every master) restores the production scan parallelism.
-    # (clearCache in run_once would evict any persist, so the cheap 5 MB
-    # repartition shuffle is simply part of every run, at every master)
-    df = spark.read.parquet(path).repartition(128)
+        gen_docs().repartition(128).write.mode("overwrite").parquet(path)
+    # The docs table is written as 128 parquet files (see gen above) so the
+    # scan itself carries production-like parallelism at every master — no
+    # in-run repartition stage (a constant-cost shuffle that at small scale
+    # just inflates the serial floor; at real scale the table is thousands
+    # of >=128 MB files and the scan is naturally wide).
+    df = spark.read.parquet(path)
     units = df.count()
     def run_once():
         # operator defaults (32 hashes / 8 bands, r=4): candidate collision
@@ -198,12 +203,12 @@ JOB_DESC = {
 
 
 def main() -> None:
-    n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
+    n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 40_000_000
     jobs = (sys.argv[2] if len(sys.argv) > 2 else "flagship,minhash,ivf").split(",")
     n_draws = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     paths = {
         "flagship": f"/tmp/prompture_bench/turns_{n_turns}",
-        "minhash": f"/tmp/prompture_bench/docs_{N_DOCS}",
+        "minhash": f"/tmp/prompture_bench/docs_pre_{N_DOCS}",
         "ivf": f"/tmp/prompture_bench/vecs_{N_VECS}",
     }
     ceil = cpu_ceiling()
