@@ -40,6 +40,23 @@ COSINE_THRESHOLD = 0.92  # dedup.py:205-224
 SHINGLE_K = 5            # dedup.py:104-125
 
 
+def spread_for_compute(df: DataFrame) -> DataFrame:
+    """Guard CPU-heavy per-row stages against narrow file layouts.
+
+    A dim-sized table often arrives as ONE parquet file, so the scan is one
+    task and every expression pipelined onto it (shingling, 32 minhash
+    passes, cosine math) runs on one core regardless of cluster size. When
+    the source has fewer partitions than the session's default parallelism,
+    round-robin repartition the (still narrow) source rows before the heavy
+    projections. At production scale inputs arrive in thousands of splits
+    and this is a no-op — the condition, not just the repartition, is the
+    operator contract."""
+    sc = df.sparkSession.sparkContext
+    n = df.rdd.getNumPartitions()
+    target = sc.defaultParallelism
+    return df.repartition(target) if n < target else df
+
+
 # ---------------------------------------------------------------- exact (E1)
 
 
@@ -117,9 +134,12 @@ def ngram_jaccard_pairs(
     # persist: the shingle frame feeds three plan branches (posting lists,
     # both verification sides) — without it the O(len·k) shingling re-runs
     # per branch. Hashed shingles: 8-byte longs, not Java strings.
-    sh = df.select(
-        F.col(id_col).alias("_id"), shingle_hashes(text_col, k).alias("_sh")
-    ).filter(F.size("_sh") > 0).persist()
+    sh = (
+        spread_for_compute(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t")))
+        .select("_id", shingle_hashes("_t", k).alias("_sh"))
+        .filter(F.size("_sh") > 0)
+        .persist()
+    )
     posts = sh.select("_id", F.explode("_sh").alias("_s"))
     if max_posting_df is not None:
         rare = (
@@ -196,10 +216,15 @@ def minhash_lsh_pairs(
     generation O(n²) — the standard web-dedup guard. None = uncapped."""
     rows_per_band = n_hashes // bands
     # persist: feeds the signature branch AND both exact-verification sides;
-    # hashed shingles (longs) keep the cache and shuffles compact
-    sh = df.select(
-        F.col(id_col).alias("_id"), shingle_hashes(text_col, k).alias("_sh")
-    ).filter(F.size("_sh") > 0).persist()
+    # hashed shingles (longs) keep the cache and shuffles compact.
+    # spread first: the 32 seeded hash passes are the dominant CPU and must
+    # not inherit a single-file scan's parallelism.
+    sh = (
+        spread_for_compute(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t")))
+        .select("_id", shingle_hashes("_t", k).alias("_sh"))
+        .filter(F.size("_sh") > 0)
+        .persist()
+    )
     sig = sh.select("_id", "_sh", minhash_signature(F.col("_sh"), n_hashes, seed).alias("_sig"))
     band_entries = sig.select(
         "_id",
@@ -293,7 +318,9 @@ def simhash_pairs(
     candidates join per segment value instead of all-pairs."""
     segs = max_hamming + 1
     bits = 64 // segs
-    sh = df.select(F.col(id_col).alias("_id"), simhash64(text_col).alias("_h"))
+    sh = spread_for_compute(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    ).select("_id", simhash64("_t").alias("_h"))
     entries = sh.select(
         "_id",
         "_h",
@@ -389,7 +416,9 @@ def embedding_dedup_pairs(
     OR-ed bands that recall is 1−(1−0.33)^8 ≈ 0.96, while exact duplicates
     still collide everywhere. Candidate volume grows linearly in bands, the
     verification join stays pair-distinct."""
-    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    base = spread_for_compute(
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    )
     if use_lsh:
         entries = base.select(
             "_id",

@@ -29,8 +29,16 @@ def brute_force_topk(
     vec_col: str = "embedding",
     k: int = 10,
 ) -> DataFrame:
-    """Exact cosine top-k of each query vs the corpus (excluding self)."""
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    """Exact cosine top-k of each query vs the corpus (excluding self).
+
+    The corpus side never shuffles (queries broadcast), but a single-file
+    corpus scan would serialize the cosine math on one core — spread it to
+    session parallelism when narrower (no-op on multi-split inputs)."""
+    from prompture_spark.operators.dedup import spread_for_compute
+
+    c = spread_for_compute(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
