@@ -1,0 +1,89 @@
+"""Property tests for the pure-stdlib image codec (no Spark session needed).
+
+Invariants: encode→decode is the identity for any 8-bit image; corrupt
+payloads raise ImageDecodeError (never a stray IndexError/struct.error that
+would change the mapInPandas error-routing contract); JPEG header parse
+round-trips arbitrary dimensions."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from prompture_spark.functions import imagecodec as ic
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    ch=st.sampled_from([1, 2, 3, 4]),
+    ft=st.sampled_from([0, 2]),
+    data=st.data(),
+)
+def test_png_roundtrip_property(w, h, ch, ft, data):
+    px = bytes(
+        data.draw(st.lists(st.integers(0, 255), min_size=w * h * ch, max_size=w * h * ch))
+    )
+    assert ic.decode_png(ic.encode_png(w, h, ch, px, filter_type=ft)) == (w, h, ch, px)
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.data())
+def test_png_corruption_raises_only_decode_error(data):
+    px = bytes(range(48))
+    good = ic.encode_png(4, 4, 3, px)
+    # mutate: truncate anywhere, or flip bytes at arbitrary offsets
+    mode = data.draw(st.sampled_from(["truncate", "flip", "both"]))
+    b = bytearray(good)
+    if mode in ("truncate", "both"):
+        b = b[: data.draw(st.integers(0, len(b) - 1))]
+    if mode in ("flip", "both") and b:
+        for _ in range(data.draw(st.integers(1, 4))):
+            i = data.draw(st.integers(0, len(b) - 1))
+            b[i] ^= data.draw(st.integers(1, 255))
+    try:
+        w, h, c, px_out = ic.decode_png(bytes(b))
+        assert len(px_out) == w * h * c  # if it decodes, it is self-consistent
+    except ic.ImageDecodeError:
+        pass  # the only permitted failure mode
+
+
+@settings(max_examples=40, deadline=None)
+@given(w=st.integers(1, 65535), h=st.integers(1, 65535), ncomp=st.sampled_from([1, 3]))
+def test_jpeg_header_roundtrip_property(w, h, ncomp):
+    payload = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        + b"\xff\xc0" + struct.pack(">H", 8 + 3 * ncomp)
+        + struct.pack(">BHHB", 8, h, w, ncomp)
+        + b"".join(bytes([i + 1, 0x11, 0]) for i in range(ncomp))
+        + b"\xff\xd9"
+    )
+    assert ic.parse_jpeg_header(payload) == (w, h, ncomp)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 32),
+    h=st.integers(1, 32),
+    ch=st.sampled_from([1, 3]),
+    max_side=st.integers(1, 40),
+)
+def test_resize_bounds_property(w, h, ch, max_side):
+    px = bytes((i * 7) & 0xFF for i in range(w * h * ch))
+    nw, nh, npx = ic.resize_nearest(w, h, ch, px, max_side)
+    assert max(nw, nh) <= max(max_side, 1) or (w <= max_side and h <= max_side)
+    assert len(npx) == nw * nh * ch
+    # every output sample exists somewhere in the input (nearest-neighbor)
+    if ch == 1:
+        assert set(npx) <= set(px)
+
+
+def test_luma_rejects_empty():
+    with pytest.raises(ic.ImageDecodeError):
+        ic.mean_luma(3, b"")
