@@ -1,0 +1,100 @@
+"""QA-pair quality filters — the Spark twin of the reference's dataset
+filter suite (/root/reference/prompture/dataset/filters.py:85-256).
+
+The reference composes three predicates over (question, answer) pairs with
+FIRST-FAILING-PREDICATE-WINS short-circuit (QualityFilter.evaluate,
+filters.py:228-234), emitting ``drop:<reason>`` tags:
+
+  shape_filter   (filters.py:150-166): empty_field, identical_q_and_a,
+                 not_a_question (no '?' AND no interrogative prefix);
+  length_filter  (filters.py:85-112):  short_question(<8), long_question
+                 (>800), short_answer(<1), long_answer(>4000) on STRIPPED
+                 text, None disables an upper bound;
+  refusal_filter (filters.py:115-140): answer scans as a refusal via the
+                 full marker-table detector (empty answers keep — already
+                 dropped by shape in the default trio).
+
+Here the whole cascade is ONE whens-chain Column over the pair frame — the
+short-circuit is the when-ordering, so filtering 10^12 pairs is a single
+scan projection plus the staged refusal-detection columns (no Python, no
+extra pass per predicate). Stats are one hash aggregation over the reason
+column, matching FilterStats.dropped_by_reason keys exactly.
+
+Case-matching note: the reference compares ``q.casefold() == a.casefold()``;
+SQL engines expose lower(), which differs from casefold only for a handful
+of Unicode expansions (ß→ss, ligatures) — lower() is used on BOTH sides of
+the parity tests and oracle so the comparison stays engine-consistent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from prompture_spark.operators import textquality as tq
+
+# filters.py:152-154 — interrogative prefixes that excuse a missing '?'
+INTERROGATIVE_RE = (
+    r"^\s*(?i)(?:who|what|when|where|why|how|which|list|name|describe|explain|define)\b"
+)
+
+KEEP = "keep"
+
+
+def _strip(c: Column) -> Column:
+    """Python str.strip() parity: trim ALL leading/trailing whitespace
+    (F.trim only removes spaces)."""
+    return F.regexp_replace(F.regexp_replace(c, r"^\s+", ""), r"\s+$", "")
+
+
+def with_qa_decisions(
+    df: DataFrame,
+    question_col: str = "question",
+    answer_col: str = "answer",
+    out: str = "reason",
+    min_question_chars: int = 8,
+    max_question_chars: int | None = 800,
+    min_answer_chars: int = 1,
+    max_answer_chars: int | None = 4000,
+) -> DataFrame:
+    """Add ``out``: 'keep' or the first-failing 'drop:<reason>' tag, with
+    the reference's exact predicate order (shape → length → refusal)."""
+    qs = _strip(F.coalesce(F.col(question_col), F.lit("")))
+    as_ = _strip(F.coalesce(F.col(answer_col), F.lit("")))
+    staged = tq.with_refusal_detect(
+        df.withColumn("_qa_q", qs).withColumn("_qa_a", as_), "_qa_a", "_qa_r"
+    )
+    q, a = F.col("_qa_q"), F.col("_qa_a")
+    reason = (
+        F.when((F.length(q) == 0) | (F.length(a) == 0), "drop:empty_field")
+        .when(F.lower(q) == F.lower(a), "drop:identical_q_and_a")
+        .when(
+            (F.instr(q, "?") == 0) & ~q.rlike(INTERROGATIVE_RE), "drop:not_a_question"
+        )
+        .when(F.length(q) < min_question_chars, "drop:short_question")
+    )
+    if max_question_chars is not None:
+        reason = reason.when(F.length(q) > max_question_chars, "drop:long_question")
+    reason = reason.when(F.length(a) < min_answer_chars, "drop:short_answer")
+    if max_answer_chars is not None:
+        reason = reason.when(F.length(a) > max_answer_chars, "drop:long_answer")
+    reason = reason.when(
+        F.col("_qa_r").getField("is_refusal"), "drop:refusal_in_answer"
+    ).otherwise(KEEP)
+    return staged.withColumn(out, reason).drop("_qa_q", "_qa_a", "_qa_r")
+
+
+def qa_quality_filter(df: DataFrame, **kw) -> DataFrame:
+    """Kept pairs only (QualityFilter.iter, filters.py:251-255)."""
+    return with_qa_decisions(df, **kw).filter(F.col("reason") == KEEP).drop("reason")
+
+
+def qa_quality_stats(df: DataFrame, **kw) -> DataFrame:
+    """(reason, n) including the 'keep' row — FilterStats.dropped_by_reason
+    plus total_out in one aggregation; total_in/drop_rate derive by summing.
+    One scan, one hash-agg shuffle at any scale."""
+    return (
+        with_qa_decisions(df, **kw)
+        .groupBy("reason")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

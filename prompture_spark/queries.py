@@ -2520,3 +2520,55 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(s["stage"], s["strategy"], s["removed"], s["remaining"]) for s in stats],
         "stage int, strategy string, removed bigint, remaining bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# Q: QA-pair quality filter (dataset/filters.py:85-256) — shape -> length ->
+# refusal cascade with first-failing-predicate-wins reasons, as one
+# whens-chain projection + the staged refusal detector over answers.
+# ---------------------------------------------------------------------------
+
+
+def _qa_filter_oracle() -> str:
+    from prompture_spark.functions import markers as mk
+
+    cte, _, _, flag = mk.detect_sql_ctes("refusal", "rsrc")
+    stripq = r"regexp_replace(regexp_replace(question, '^\s+', ''), '\s+$', '')"
+    stripa = r"regexp_replace(regexp_replace(answer, '^\s+', ''), '\s+$', '')"
+    interrog = (
+        r"^\s*(?i)(?:who|what|when|where|why|how|which|list|name|describe|explain|define)\b"
+    )
+    return (
+        ORACLE_TRANSCRIPTS_CTE
+        + _QA_PAIRS_SQL
+        + f"""
+, rsrc AS (SELECT question, answer, {stripq} AS qs, {stripa} AS t FROM qa)
+"""
+        + cte
+        + f"""
+SELECT reason, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT CASE
+    WHEN length(qs) = 0 OR length(t) = 0 THEN 'drop:empty_field'
+    WHEN lower(qs) = lower(t) THEN 'drop:identical_q_and_a'
+    WHEN strpos(qs, '?') = 0 AND NOT regexp_matches(qs, '{interrog}') THEN 'drop:not_a_question'
+    WHEN length(qs) < 8 THEN 'drop:short_question'
+    WHEN length(qs) > 800 THEN 'drop:long_question'
+    WHEN length(t) < 1 THEN 'drop:short_answer'
+    WHEN length(t) > 4000 THEN 'drop:long_answer'
+    WHEN {flag} THEN 'drop:refusal_in_answer'
+    ELSE 'keep' END AS reason
+  FROM _d_det) GROUP BY reason
+"""
+    )
+
+
+@register("qa_filter_stats", _qa_filter_oracle())
+def q_qa_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QualityFilter default trio (shape/length/refusal, filters.py:219-236)
+    over the user->assistant QA pairs of the transcript corpus: per-reason
+    drop counts + the kept row, FilterStats.dropped_by_reason key parity."""
+    from prompture_spark.operators import formats as fmt
+    from prompture_spark.operators import qafilters as qaf
+
+    qa = fmt.qa_pairs_from_transcripts(transcripts_from_events(spark, sf_dir))
+    return qaf.qa_quality_stats(qa)

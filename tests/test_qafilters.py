@@ -1,0 +1,124 @@
+"""QA-pair quality filter parity: the Spark cascade is run side-by-side
+against the REFERENCE's own QualityFilter (dataset/filters.py, executed from
+the read-only tree) on a corpus covering every drop reason, including
+refusal answers drawn from the reference's own marker tables."""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+import types
+
+import pytest
+from pyspark.sql import functions as F
+
+from prompture_spark.operators import qafilters as qaf
+
+_REF = "/root/reference/prompture"
+
+
+def _load(pkgname: str, base: str, mods: list[str]):
+    pkg = types.ModuleType(pkgname)
+    pkg.__path__ = [base]
+    sys.modules[pkgname] = pkg
+    out = {}
+    for m in mods:
+        spec = importlib.util.spec_from_file_location(f"{pkgname}.{m}", f"{base}/{m}.py")
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[f"{pkgname}.{m}"] = mod
+        spec.loader.exec_module(mod)
+        out[m] = mod
+    return out
+
+
+@pytest.fixture(scope="module")
+def ref():
+    refusal = _load("_ref_refusal_qaf", f"{_REF}/refusal", ["markers", "detector"])
+    dataset = _load("_ref_dataset_qaf", f"{_REF}/dataset", ["schemas", "filters"])
+    return {
+        "QAPair": dataset["schemas"].QAPair,
+        "QualityFilter": dataset["filters"].QualityFilter,
+        "detector": refusal["detector"].RefusalDetector(),
+        "markers": refusal["markers"],
+    }
+
+
+def _corpus(markers_mod) -> list[tuple[str, str]]:
+    pairs = [
+        # keeps
+        ("What is the boiling point of water?", "100 degrees Celsius at sea level."),
+        ("  Explain gradient descent  ", "An iterative optimizer that follows the negative gradient."),
+        ("list three prime numbers", "2, 3, and 5."),
+        ("How does TCP differ from UDP?", "TCP is connection-oriented; UDP is datagram-based."),
+        # empty_field
+        ("", "some answer text"),
+        ("a real question here?", "   "),
+        # identical_q_and_a (case-insensitive)
+        ("Define Osmosis", "define osmosis"),
+        # not_a_question (no '?' and no interrogative prefix)
+        ("the sky is blue today", "indeed it is."),
+        # short_question (has '?', stripped len < 8)
+        ("so..?", "an answer that is long enough."),
+        # long_question
+        ("why " * 250 + "?", "short."),
+        # long_answer
+        ("What happened next in the story?", "word " * 1000),
+    ]
+    # refusal_in_answer: real marker phrases from the reference's own tables
+    for bundle in list(markers_mod.DEFAULT_MARKERS.values())[:1]:
+        for phrases in list(bundle.values()):
+            for ph in list(phrases)[:2]:
+                pairs.append(
+                    ("Could you walk me through that request?", f"{ph} and that is final.")
+                )
+    return pairs
+
+
+def test_qa_filter_parity_with_reference(spark, ref):
+    pairs = _corpus(ref["markers"])
+    qf = ref["QualityFilter"](refusal_detector=ref["detector"])
+    expected = []
+    for q, a in pairs:
+        expected.append(qf.evaluate(ref["QAPair"](question=q, answer=a)).reason)
+
+    df = spark.createDataFrame(
+        [(i, q, a) for i, (q, a) in enumerate(pairs)],
+        "i int, question string, answer string",
+    )
+    got_rows = qaf.with_qa_decisions(df).orderBy("i").collect()
+    got = [r.reason for r in got_rows]
+    mismatches = [
+        (pairs[i], e, g) for i, (e, g) in enumerate(zip(expected, got)) if e != g
+    ]
+    assert not mismatches, mismatches[:5]
+
+    # stats parity: dropped_by_reason + total_out match the reference's
+    kept, stats = qf.filter([ref["QAPair"](question=q, answer=a) for q, a in pairs])
+    ours = {r.reason: r.n for r in qaf.qa_quality_stats(df).collect()}
+    assert ours.pop("keep", 0) == stats.total_out
+    assert ours == stats.dropped_by_reason
+
+    # kept frame drops the reason column and preserves pair content
+    kept_df = qaf.qa_quality_filter(df)
+    assert kept_df.count() == stats.total_out
+    assert set(kept_df.columns) == {"i", "question", "answer"}
+
+
+def test_predicate_order_short_circuits(spark):
+    # identical Q/A that is ALSO too short and lacks '?': shape wins (its
+    # identical check precedes not_a_question and all length checks)
+    df = spark.createDataFrame([("abc", "ABC")], "question string, answer string")
+    assert qaf.with_qa_decisions(df).collect()[0].reason == "drop:identical_q_and_a"
+    # not_a_question precedes short_question (reference runs shape first)
+    df2 = spark.createDataFrame([("abc", "xyz")], "question string, answer string")
+    assert qaf.with_qa_decisions(df2).collect()[0].reason == "drop:not_a_question"
+
+
+def test_upper_bounds_disableable(spark):
+    df = spark.createDataFrame(
+        [("What happened next in the long story?", "word " * 1000)],
+        "question string, answer string",
+    )
+    assert qaf.with_qa_decisions(df).collect()[0].reason == "drop:long_answer"
+    got = qaf.with_qa_decisions(df, max_answer_chars=None).collect()[0].reason
+    assert got == "keep"
