@@ -71,6 +71,19 @@ _DT_PATTERNS = (
     "yyyy-MM-dd'T'HH:mm:ss",
     "yyyy-MM-dd HH:mm:ss",
     "yyyy-MM-dd",
+    # month-name and compact forms dateutil accepts (tools.py:181-199);
+    # unambiguous, so appended after the ISO family — they can only win on
+    # inputs every earlier pattern nulls on
+    "MMM d yyyy HH:mm:ss",
+    "MMM d yyyy HH:mm",
+    "MMM d yyyy",
+    "MMM d, yyyy",
+    "d MMM yyyy HH:mm:ss",
+    "d MMM yyyy HH:mm",
+    "d MMM yyyy",
+    "MMMM d yyyy",
+    "d MMMM yyyy",
+    "yyyyMMdd",
 )
 
 # Ambiguous numeric-triple patterns, resolved by the dayfirst/yearfirst

@@ -1,0 +1,117 @@
+"""Coercion parity: Spark coercion functions run side-by-side against the
+REFERENCE's own extraction/tools.py implementations (loaded standalone from
+the read-only tree) — expected values come from executing the reference, so
+drift in word tables, delimiter handling, or datetime acceptance fails
+loudly, the same pattern as test_marker_parity.
+
+parse_shorthand_number is excluded: the reference delegates it to the
+third-party `tukuy` package, absent from this container — its parity is
+pinned by the hand-derived cases in test_functions plus the DuckDB oracle
+(coerce_shorthand_numbers). Datetime parity is asserted on the engine's
+documented pattern-table subset of dateutil (all formats below) plus
+error cases; time-only strings (dateutil fills in TODAY's date) are
+excluded as non-deterministic."""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+from datetime import timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from prompture_spark.functions import coercion as co
+
+
+@pytest.fixture(scope="module")
+def ref_tools():
+    spec = importlib.util.spec_from_file_location(
+        "_ref_tools", "/root/reference/prompture/extraction/tools.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["_ref_tools"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+BOOLS = [
+    "yes", "No", "si", "", "  ", "oui", "2", "0", "-1.5", "maybe", "x",
+    "TRUE", "falso", "nein", "ja", "1", "0.0", "off", "on", "n", "y",
+    "verdadero", "faux", "да", "нет", "0.00", "1e0", "YES ", " no",
+]
+
+DATETIMES = [
+    "2024-01-02 03:04:05", "02/03/2024", "2024-02-03T04:05:06Z",
+    "Jan 5 2021", "Jan 5, 2021", "January 5 2021", "5 Jan 2021 14:00",
+    "5 January 2021", "20240102", "2021-12-31", "12/31/2021",
+    "garbage", "", "Jan 5 2021 14:00:05", "5 Jan 2021",
+    "2024-02-03T04:05:06+02:00", "31.12.2021",
+]
+
+LISTS = ["a, b; c|d", "  one  ", "", "x,,y", "a|b|", " ; ; ", "solo"]
+
+JSONS = [
+    '<think>reasoning</think>{"a":1}',
+    '```json\n{"a": 2}\n```',
+    'noise {"k": [1,2]} trailing',
+    "plain",
+    "```\n[1,2]\n```",
+    '<think>a</think>```json\n{"nested": {"x": 1}}\n```',
+]
+
+
+def test_parse_boolean_parity(spark, ref_tools):
+    df = spark.createDataFrame([(s,) for s in BOOLS], "s string")
+    got = [r[0] for r in df.select(co.parse_boolean("s")).collect()]
+    for s, g in zip(BOOLS, got):
+        try:
+            e = ref_tools.parse_boolean(s)
+        except ValueError:
+            e = None  # reference raises; engine yields null (nullable slot)
+        assert e == g, (s, e, g)
+
+
+def test_parse_datetime_parity(spark, ref_tools):
+    df = spark.createDataFrame([(s,) for s in DATETIMES], "s string")
+    got = [r[0] for r in df.select(co.parse_datetime("s", default_tz="UTC")).collect()]
+    for s, g in zip(DATETIMES, got):
+        try:
+            e = (
+                ref_tools.parse_datetime(s, default_tz=timezone.utc)
+                .astimezone(timezone.utc)
+                .replace(tzinfo=None)
+            )
+        except Exception:
+            e = None
+        assert e == g, (s, e, g)
+
+
+def test_parse_datetime_dayfirst_parity(spark, ref_tools):
+    cases = ["03/04/2025", "04/03/2025 10:20:30", "13/04/2025"]
+    df = spark.createDataFrame([(s,) for s in cases], "s string")
+    got = [
+        r[0]
+        for r in df.select(co.parse_datetime("s", dayfirst=True, default_tz="UTC")).collect()
+    ]
+    for s, g in zip(cases, got):
+        e = (
+            ref_tools.parse_datetime(s, dayfirst=True, default_tz=timezone.utc)
+            .astimezone(timezone.utc)
+            .replace(tzinfo=None)
+        )
+        assert e == g, (s, e, g)
+
+
+def test_as_list_parity(spark, ref_tools):
+    df = spark.createDataFrame([(s,) for s in LISTS], "s string")
+    got = [list(r[0]) for r in df.select(co.as_list("s")).collect()]
+    for s, g in zip(LISTS, got):
+        assert ref_tools.as_list(s) == g, (s, g)
+
+
+def test_clean_json_text_parity(spark, ref_tools):
+    df = spark.createDataFrame([(s,) for s in JSONS], "s string")
+    got = [r[0] for r in df.select(co.clean_json_text("s")).collect()]
+    for s, g in zip(JSONS, got):
+        assert ref_tools.clean_json_text(s) == g, (s, g)
