@@ -271,3 +271,41 @@ def test_stream_sessionize_seq_monotone_after_timeout(spark, tmp_path):
     # timeout boundary: session 0 (2 events) then session 1 (1 event)
     assert len(rows) == len(got)
     assert got == {(1, 0): 2, (1, 1): 1}
+
+
+def test_stream_redaction_and_refusal_stateless(spark, tmp_path, landed):
+    """PII redaction + refusal detection are stateless Column pipelines, so
+    they must compose onto a stream unchanged (the pushdown-guard expression
+    in the detector must not trip streaming's nondeterminism checks).
+    Stream output is compared row-for-row against the batch projection."""
+    src, df = landed
+    sink = str(tmp_path / "redacted")
+    ckpt = str(tmp_path / "ckpt_red")
+    from prompture_spark.operators import textquality as tq
+
+    def project(frame):
+        staged = tq.with_refusal_detect(frame, "text", "_r")
+        return staged.select(
+            "conv_id",
+            "turn_idx",
+            tq.pii_redact(F.coalesce(F.col("text"), F.lit("")))
+            .getField("text_redacted")
+            .alias("text_redacted"),
+            F.col("_r").getField("is_refusal").alias("is_refusal"),
+        )
+
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(src)
+    q = (
+        project(stream)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(sink)
+    expected = project(df)
+    assert got.count() == expected.count() > 0
+    assert got.exceptAll(expected).count() == 0
