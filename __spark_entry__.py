@@ -46,7 +46,10 @@ def _driver_window_order() -> list[str]:
             continue
         for name, row in data.items():
             if isinstance(row, dict) and row.get("hash_match") and row.get("err") is None:
-                attested.setdefault(name, rnd)
+                # Latest green round wins: bucket 1 below sorts ascending on
+                # this, i.e. least-recently-attested first (true LRU), so a
+                # query re-attested last round doesn't crowd out stale ones.
+                attested[name] = max(attested.get(name, 0), rnd)
 
     names = list(Q.QUERIES)
 

@@ -1689,10 +1689,15 @@ WITH styled AS (
   FROM events
 )
 SELECT event_id,
-       CASE WHEN raw IS NULL THEN []
-            ELSE list_filter(list_transform(string_split_regex(raw, '[,;|]'),
-                                            x -> trim(x)), x -> x <> '')
-       END AS items
+       coalesce(array_to_string(
+         CASE WHEN raw IS NULL THEN []
+              ELSE list_filter(list_transform(string_split_regex(raw, '[,;|]'),
+                                              x -> trim(x)), x -> x <> '')
+         END, '|'), '') AS items_joined,
+       len(CASE WHEN raw IS NULL THEN []
+                ELSE list_filter(list_transform(string_split_regex(raw, '[,;|]'),
+                                                x -> trim(x)), x -> x <> '')
+           END) AS n_items
 FROM styled
 """
 
@@ -1700,7 +1705,17 @@ FROM styled
 @register("coerce_as_list", _AS_LIST_ORACLE)
 def q_coerce_as_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """as_list (C2, tools.py:159-178): delimiter split on , ; | with trim,
-    blank-drop, and None→[]."""
+    blank-drop, and None→[].
+
+    The query output is the SCALAR rendering ``array_join(items, '|')`` plus
+    ``size(items)`` rather than the raw ``array<string>`` column: the driver
+    harness canonicalizes results with a pandas sort, which cannot order
+    unhashable list cells (r03 ``err`` row). The join is lossless here — the
+    elements were split on ``[,;|]`` so they can never contain the join
+    delimiter, and ``as_list`` never yields NULL (None→[]), so '' uniquely
+    means the empty list once paired with n_items. The array-typed API
+    surface itself lives in ``coercion.as_list`` and keeps its own pytest
+    coverage."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     m = F.col("event_id") % 4
     raw = (
@@ -1709,7 +1724,12 @@ def q_coerce_as_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(m == 2, F.concat(F.lit("solo|"), F.col("user_id").cast("string"), F.lit("|  ")))
         .otherwise(F.lit(None).cast("string"))
     )
-    return ev.select("event_id", coercion.as_list(raw).alias("items"))
+    items = coercion.as_list(raw)
+    return ev.select(
+        "event_id",
+        F.array_join(items, "|").alias("items_joined"),
+        F.size(items).cast("bigint").alias("n_items"),
+    )
 
 
 # ---------------------------------------------------------------------------
