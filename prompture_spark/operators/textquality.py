@@ -62,12 +62,31 @@ def refusal_normalize(col: Column | str) -> Column:
     """detector.py:135-151 ``_normalize``: quote/dash fold, markdown-emphasis
     strip, lowercase, whitespace collapse, leading-filler strip. (NFKC is not
     expressible as a built-in Column function; the explicit quote/dash folds
-    cover the forms the marker tables rely on.)"""
+    cover the forms the marker tables rely on.)
+
+    The two regex-heavy steps are gated behind cheap identity checks — both
+    are exact no-ops on the rows they skip, so output is bit-identical
+    (pinned by test_marker_parity against the reference and by the oracle
+    rows against DuckDB's ungated SQL restatement):
+      * emphasis strip: every pattern requires a ``*`` or ``_``; texts
+        containing neither pass through all four regexes unchanged.
+      * whitespace collapse: replacing single spaces with single spaces is
+        the identity, so rows with no run of ≥2 whitespace and no
+        non-space whitespace char can skip the scan — UNLESS the emphasis
+        strip ran, which can itself manufacture double spaces
+        (``'a * * c'`` → ``'a   c'``)."""
     c = F.col(col) if isinstance(col, str) else col
     c = _fold_quotes(c)
+    has_markup = c.rlike(r"[*_]")
+    stripped = c
     for pat, repl in _EMPHASIS_STEPS:
-        c = F.regexp_replace(c, pat, repl)
-    c = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+        stripped = F.regexp_replace(stripped, pat, repl)
+    c = F.when(has_markup, stripped).otherwise(c)
+    lowered = F.lower(c)
+    needs_collapse = has_markup | lowered.rlike(r"\s\s|[^\S ]")
+    c = F.trim(
+        F.when(needs_collapse, F.regexp_replace(lowered, r"\s+", " ")).otherwise(lowered)
+    )
     return F.regexp_replace(c, _FILLER_RE, "")
 
 
@@ -75,7 +94,13 @@ def injection_normalize(col: Column | str) -> Column:
     """injection.py:40-58: lighter than the refusal normalizer — keeps
     markdown intact so chat-template delimiters survive."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.trim(F.regexp_replace(F.lower(_fold_quotes(c)), r"\s+", " "))
+    lowered = F.lower(_fold_quotes(c))
+    # same identity gate as refusal_normalize's collapse (no emphasis strip
+    # here, so the whitespace check alone is sufficient)
+    needs_collapse = lowered.rlike(r"\s\s|[^\S ]")
+    return F.trim(
+        F.when(needs_collapse, F.regexp_replace(lowered, r"\s+", " ")).otherwise(lowered)
+    )
 
 
 def _position_score(
@@ -94,6 +119,74 @@ def _position_score(
         )
     )
     return F.lit(base) * factor
+
+
+# ------------------------------------------------------- prefilter gates
+#
+# The full marker battery runs ~470 phrases in 9 category alternations per
+# row; on clean corpora >95% of rows contain no marker at all, so a cheap
+# combined `rlike` short-circuit gates the battery: positions are forced to
+# -1 (no match) without evaluating any category regex when the gate cannot
+# fire. SOUNDNESS BY CONSTRUCTION: the gate alternation is a curated list of
+# high-selectivity substrings PLUS every marker phrase not covered by a
+# curated token, appended verbatim — so any text containing a marker phrase
+# (even without word boundaries) necessarily contains a gate token, and
+# gate=false implies no category could match. A gate that fires spuriously
+# only costs the battery run, never changes output. test_marker_gate pins
+# (a) phrase coverage and (b) output equality gated vs ungated.
+
+_REFUSAL_GATE_CURATED = (
+    "can't", "cannot", "unable", "refuse", "declin", "sorry",
+    "won't help", "will not help", "not able to help", "not something i can",
+    "no puedo", "no estoy", "no soy capaz", "me niego", "lo siento",
+    "rechazar",
+    "as an", "as a ", "just an ai", "only an ai", "an ai assistant",
+    "against my", "violates my", "ethical", "polic", "responsible",
+    "como un", "como una", "como modelo", "soy un", "soy una",
+    "directrices", "programación", "entrenamiento", "ético", "política",
+    "rather not", "prefer not", "not comfortable", "appropriate",
+    "i should", "hesitant", "preferiría", "prefiero no", "no me siento",
+    "apropiado", "no debería", "no me corresponde",
+    "something else", "change the topic", "instead,", "may i ",
+    "perhaps i can", "let's talk", "let's discuss",
+    "caution", "emphasize", "important to", "advise against",
+    "recommend against", "consequences", "safety", "harmful", "dangerous",
+    "illegal", "advertir", "señalar", "recordar", "encarecidamente",
+    "seguridad", "peligroso", "ilegal",
+)
+
+_INJECTION_GATE_CURATED = (
+    "ignore", "disregard", "forget", "do not follow", "override",
+    "instructions", "instrucciones", "directives",
+    "you are", "you have no", "act as if", "pretend", "roleplay",
+    "role-play", "jailbr", "developer mode", "confidant", "in character",
+    "do anything now",
+    "system prompt", "your prompt", "text above", "your context",
+    "above this message", "what instructions", "initial instructions",
+    "<|", "[inst]", "[/inst]", "<<sys>>", "<</sys>>", "### ", "system:",
+    "[system]", "<system>", "</system>", "[start_of_turn]", "[end_of_turn]",
+    "ignora", "olvida", "no sigas", "anula", "sobrescribe",
+    "ahora eres", "a partir de ahora", "finge", "actua como", "actúa como",
+    "no tienes", "modo ",
+    "muéstrame", "muestrame", "cuál es tu", "cual es tu", "revela",
+    "imprime", "repite", "recibiste", "dime tu prompt",
+)
+
+
+def _gate_pattern(curated: tuple[str, ...], table: dict[str, tuple[str, ...]]) -> str:
+    """Combined substring alternation: curated tokens + verbatim fallback for
+    any phrase no token covers (keeps coverage total even if the marker
+    tables grow). Longest-first so the regex engine prefers selective alts."""
+    phrases = [p for marks in table.values() for p in marks]
+    toks = list(curated) + [
+        p for p in dict.fromkeys(phrases) if not any(t in p for t in curated)
+    ]
+    ordered = sorted(dict.fromkeys(toks), key=len, reverse=True)
+    return "|".join(mk.rx_escape(t) for t in ordered)
+
+
+REFUSAL_GATE_PATTERN = _gate_pattern(_REFUSAL_GATE_CURATED, mk.REFUSAL_MARKERS)
+INJECTION_GATE_PATTERN = _gate_pattern(_INJECTION_GATE_CURATED, mk.INJECTION_MARKERS)
 
 
 def _category_positions(
@@ -205,7 +298,8 @@ def _refusal_struct_from(positions: dict[str, Column], empty: Column) -> Column:
 
 
 def with_refusal_detect(
-    df: DataFrame, text_col: str = "text", out_col: str = "refusal"
+    df: DataFrame, text_col: str = "text", out_col: str = "refusal",
+    prefilter: bool = True,
 ) -> DataFrame:
     """Staged form of :func:`refusal_detect` for table-scale paths: the
     normalized text and the five per-category match positions are
@@ -215,11 +309,28 @@ def with_refusal_detect(
     normalization subtree into every category scan). Catalyst keeps the
     stages separate because the intermediates are non-cheap and multiply
     referenced. Appends ``out_col`` struct<category, confidence, is_refusal,
-    position> and drops the intermediates."""
+    position> and drops the intermediates.
+
+    With ``prefilter`` (default), a combined high-selectivity ``rlike`` gate
+    (REFUSAL_GATE_PATTERN, sound by construction — see the gate section)
+    short-circuits all five category scans to position -1 on rows that
+    cannot contain any marker phrase; at 100 TB this skips the battery on
+    the >95% of rows with no refusal language."""
     norm_c = "__refnorm"
+    gate_c = "__refgate"
     staged = df.withColumn(norm_c, refusal_normalize(text_col))
     pos_names = {cat: f"__refpos_{cat}" for cat in mk.REFUSAL_MARKERS}
     pos_exprs = _category_positions(F.col(norm_c), mk.REFUSAL_MARKERS)
+    if prefilter:
+        staged = staged.withColumn(
+            gate_c, F.col(norm_c).rlike(REFUSAL_GATE_PATTERN)
+        )
+        # gate null (null text) takes the otherwise(-1) branch — identical
+        # to the ungated pipeline, which also yields -1 on null text.
+        pos_exprs = {
+            c: F.when(F.col(gate_c), e).otherwise(F.lit(-1))
+            for c, e in pos_exprs.items()
+        }
     staged = staged.withColumns(
         {pos_names[c]: _pushdown_barrier(e) for c, e in pos_exprs.items()}
     )
@@ -227,7 +338,9 @@ def with_refusal_detect(
     struct = _refusal_struct_from(
         {cat: F.col(n) for cat, n in pos_names.items()}, empty
     )
-    return staged.withColumn(out_col, struct).drop(norm_c, *pos_names.values())
+    return staged.withColumn(out_col, struct).drop(
+        norm_c, gate_c, *pos_names.values()
+    )
 
 
 def _pushdown_barrier(expr: Column) -> Column:
@@ -318,15 +431,27 @@ def _injection_struct_from(positions: dict[str, Column], empty: Column) -> Colum
 
 
 def with_injection_detect(
-    df: DataFrame, text_col: str = "text", out_col: str = "injection"
+    df: DataFrame, text_col: str = "text", out_col: str = "injection",
+    prefilter: bool = True,
 ) -> DataFrame:
     """Staged form of :func:`injection_detect` — same rationale as
-    :func:`with_refusal_detect`."""
+    :func:`with_refusal_detect`. The prefilter gates only the four phrase
+    categories; the encoded-payload scan (2 cheap run-regexes over the raw
+    text) stays ungated since no substring gate can soundly cover it."""
     norm_c = "__injnorm"
+    gate_c = "__injgate"
     staged = df.withColumn(norm_c, injection_normalize(text_col))
     pos_names = {cat: f"__injpos_{cat}" for cat in mk.INJECTION_MARKERS}
     pos_names["encoded_payload"] = "__injpos_encoded_payload"
     pos_exprs = _category_positions(F.col(norm_c), mk.INJECTION_MARKERS)
+    if prefilter:
+        staged = staged.withColumn(
+            gate_c, F.col(norm_c).rlike(INJECTION_GATE_PATTERN)
+        )
+        pos_exprs = {
+            c: F.when(F.col(gate_c), e).otherwise(F.lit(-1))
+            for c, e in pos_exprs.items()
+        }
     pos_exprs["encoded_payload"] = _encoded_payload_position(
         F.col(text_col) if isinstance(text_col, str) else text_col
     )
@@ -338,7 +463,9 @@ def with_injection_detect(
     struct = _injection_struct_from(
         {cat: F.col(n) for cat, n in pos_names.items()}, empty
     )
-    return staged.withColumn(out_col, struct).drop(norm_c, *pos_names.values())
+    return staged.withColumn(out_col, struct).drop(
+        norm_c, gate_c, *pos_names.values()
+    )
 
 
 def injection_flags(col: Column | str) -> Column:

@@ -1,0 +1,74 @@
+"""Soundness of the marker-battery prefilter gates: the combined rlike
+short-circuit (REFUSAL_GATE_PATTERN / INJECTION_GATE_PATTERN) must NEVER
+change detector output — it may only skip rows that cannot contain a marker.
+
+Two pins:
+  1. coverage: every phrase in both marker tables matches its gate pattern
+     (the by-construction guarantee, re-verified against the live tables);
+  2. behavior: struct-for-struct equality of the gated vs ungated staged
+     detectors on a corpus of every marker phrase (embedded early and late,
+     plus boundary-embedded negatives), marker-free text, empties, and nulls.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from prompture_spark.functions import markers as mk
+from prompture_spark.operators import textquality as tq
+
+
+def test_gate_covers_every_marker_phrase():
+    for pattern, table in [
+        (tq.REFUSAL_GATE_PATTERN, mk.REFUSAL_MARKERS),
+        (tq.INJECTION_GATE_PATTERN, mk.INJECTION_MARKERS),
+    ]:
+        rx = re.compile(pattern)
+        misses = [p for marks in table.values() for p in marks if not rx.search(p)]
+        assert misses == [], f"gate does not cover: {misses}"
+
+
+def _corpus(table: dict[str, tuple[str, ...]]) -> list[str | None]:
+    cases: list[str | None] = []
+    for marks in table.values():
+        for ph in marks:
+            cases.append(f"{ph} and further prose")
+            cases.append(("pad word " * 30) + ph)  # match past decay threshold
+            cases.append(f"xx{ph}zz")  # embedded, boundary check must reject
+    cases += [
+        None,
+        "",
+        "   ",
+        "The quarterly report shows steady growth across regions.",
+        "La reunión de mañana queda confirmada para las diez.",
+        "def main():\n    return sorted(values, key=len)",
+        "Sure, here's the recipe you asked for: flour, water, salt.",
+    ]
+    return cases
+
+
+def _assert_gate_transparent(spark, cases, staged_fn, out_col):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(cases)], "id long, text string")
+    gated = staged_fn(df, "text", out_col, prefilter=True)
+    plain = staged_fn(df, "text", out_col, prefilter=False)
+    j = gated.alias("g").join(plain.alias("p"), "id")
+    diffs = j.filter(
+        ~(F.col(f"g.{out_col}").eqNullSafe(F.col(f"p.{out_col}")))
+    ).select("id", f"g.{out_col}", f"p.{out_col}").collect()
+    assert diffs == [], f"gate changed detector output: {diffs[:5]}"
+
+
+def test_refusal_gate_transparent(spark):
+    _assert_gate_transparent(
+        spark, _corpus(mk.REFUSAL_MARKERS), tq.with_refusal_detect, "r"
+    )
+
+
+def test_injection_gate_transparent(spark):
+    cases = _corpus(mk.INJECTION_MARKERS)
+    # encoded-payload rows exercise the ungated scan alongside the gate
+    cases.append("payload: " + "QmFzZTY0RGF0YQ==" * 5)
+    cases.append("hexdump " + "de ad be ef " * 12)
+    _assert_gate_transparent(spark, cases, tq.with_injection_detect, "d")
