@@ -767,6 +767,127 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", tq.fingerprint64("text").alias("fp64"))
 
 
+_FP_MD5_ORACLE = r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', ' ', 'g'),
+                               '\s+', ' ', 'g'))) AS fp_md5
+FROM documents
+"""
+
+
+@register("doc_fingerprints_md5", _FP_MD5_ORACLE)
+def q_fingerprints_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable document fingerprint: md5 over the C11-normalized
+    text. The production dedup key stays xxhash64 (cheaper, 8 bytes,
+    `doc_fingerprints`); this md5 twin exists because DuckDB ships md5 but
+    not xxhash64, so the normalization+fingerprint pipeline gets a hard
+    value-level oracle row instead of a stability-only pytest."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from prompture_spark.functions.coercion import normalize_text
+
+    return docs.select("doc_id", F.md5(normalize_text("text")).alias("fp_md5"))
+
+
+# ---------------------------------------------------------------------------
+# Q: model-usage ledger rollups (infra/ledger.py:25-154)
+# ---------------------------------------------------------------------------
+
+# Dialect-neutral usage-event derivation (runs verbatim under Spark SQL and
+# DuckDB): model/key/tokens/cost/status are pure functions of the events row.
+_LEDGER_USAGE_CTE = """
+WITH usage AS (
+  SELECT 'm-' || event_type AS model_name,
+         'k' || CAST(user_id % 3 AS STRING) AS api_key_hash,
+         CAST(event_id % 1000 AS BIGINT) AS tokens,
+         value * 0.001 AS cost,
+         CASE WHEN event_id % 7 = 0 THEN 'error' ELSE 'success' END AS status,
+         ts, event_id
+  FROM events
+)
+"""
+
+_LEDGER_ROLL_SQL = """
+SELECT model_name, api_key_hash,
+       CAST(count(*) AS BIGINT) AS use_count,
+       CAST(sum(tokens) AS BIGINT) AS total_tokens,
+       round(sum(cost), 4) AS total_cost,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_used,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_used,
+       arg_max(status, strftime(ts, '%Y-%m-%d %H:%M:%S.%f')
+                       || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS last_status
+FROM usage GROUP BY model_name, api_key_hash
+"""
+
+_LEDGER_STATS_ORACLE = _LEDGER_USAGE_CTE + _LEDGER_ROLL_SQL
+
+_LEDGER_RECENT_ORACLE = (
+    _LEDGER_USAGE_CTE
+    + ", roll AS ("
+    + _LEDGER_ROLL_SQL
+    + """)
+SELECT model_name, api_key_hash, use_count, total_tokens, total_cost,
+       first_used, last_used, last_status,
+       (last_status = 'success') AS verified
+FROM roll
+ORDER BY last_used DESC, model_name, api_key_hash
+LIMIT 10
+"""
+)
+
+
+def _ledger_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    usage = ev.select(
+        F.concat(F.lit("m-"), F.col("event_type")).alias("model_name"),
+        F.concat(F.lit("k"), (F.col("user_id") % 3).cast("string")).alias("api_key_hash"),
+        (F.col("event_id") % 1000).cast("bigint").alias("tokens"),
+        (F.col("value") * 0.001).alias("cost"),
+        F.when(F.col("event_id") % 7 == 0, F.lit("error"))
+        .otherwise(F.lit("success"))
+        .alias("status"),
+        "ts",
+        "event_id",
+    )
+    return usage.groupBy("model_name", "api_key_hash").agg(
+        F.count(F.lit(1)).alias("use_count"),
+        F.sum("tokens").alias("total_tokens"),
+        F.round(F.sum("cost"), 4).alias("total_cost"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_used"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_used"),
+        F.max_by("status", F.struct("ts", "event_id")).alias("last_status"),
+    )
+
+
+@register("ledger_model_stats", _LEDGER_STATS_ORACLE)
+def q_ledger_model_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ModelUsageLedger rollup (infra/ledger.py:25-112 ``record_usage`` /
+    :114-127 ``get_model_stats``): the reference maintains per
+    (model_name, api_key_hash) upsert counters — use_count, total_tokens,
+    total_cost, first/last_used, last_status. Over an immutable event log
+    the same table is one two-stage hash aggregation; ``last_status`` is
+    the status at max (ts, event_id), computed with ``max_by`` over a
+    struct key — no window, no second shuffle. Grouping keys are
+    low-cardinality (models × keys), so no skew handling is needed: the
+    map-side partial agg collapses each partition to a handful of rows."""
+    return _ledger_rollup(spark, sf_dir)
+
+
+@register("ledger_recently_used", _LEDGER_RECENT_ORACLE)
+def q_ledger_recently_used(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ledger.py:130-154 ``get_verified_models`` + ``get_recently_used``:
+    the 10 most-recently-used (model, key) rows, newest first, each tagged
+    ``verified`` (last_status = 'success' — the verified-models set is
+    exactly the distinct model_name where verified). Deterministic
+    tie-break on (model_name, api_key_hash); Spark plans the limit as
+    TakeOrderedAndProject over the tiny rollup."""
+    roll = _ledger_rollup(spark, sf_dir)
+    return (
+        roll.withColumn("verified", F.col("last_status") == "success")
+        .orderBy(F.desc("last_used"), "model_name", "api_key_hash")
+        .limit(10)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Q: general OLAP breadth over the star schema (joins + agg + top-k)
 # ---------------------------------------------------------------------------
