@@ -289,7 +289,15 @@ def category_pattern(markers: tuple[str, ...]) -> str:
     ``boundary(?:m1|m2|...)boundary``. Longest-first ordering mirrors the
     reference's tie-handling (detector.py:243-245); for the (category,
     position) outcome the order is immaterial, but it keeps the matched
-    span maximal for debugging."""
+    span maximal for debugging.
+
+    PINNED DEVIATION (test_marker_parity.test_repeated_occurrence_boundary_
+    divergence): the reference boundary-checks only a phrase's FIRST
+    substring occurrence (str.find + detector.py:342-360) and skips the
+    phrase when that occurrence is embedded, even if a properly bounded
+    occurrence follows; this alternation matches the earliest BOUNDED
+    occurrence instead — strictly more correct, and the behavior a regex
+    restatement gets naturally."""
     ordered = sorted(dict.fromkeys(markers), key=len, reverse=True)
     alts = "|".join(rx_escape(m) for m in ordered)
     return f"{BOUNDARY_CLASS}(?:{alts}){BOUNDARY_CLASS}"
@@ -401,12 +409,23 @@ def detect_sql_ctes(
         if c in table
     ]
     if kind == "injection":
-        # encoded payload: earliest base64/hex run over the ORIGINAL text
-        pb = _pos_sql(text_expr, B64_RUN_PATTERN)
-        ph = _pos_sql(text_expr, HEX_RUN_PATTERN)
+        # encoded payload: position of the LONGEST base64/hex run over the
+        # ORIGINAL text (injection.py:292-305 _looks_encoded) — base64 runs
+        # scanned first, hex replaces only when strictly longer; the fold
+        # keeps the earliest of the longest, strpos recovers its offset.
+        def _longest_run(pat: str) -> str:
+            p = sql_quote(pat)
+            return (
+                f"list_reduce(list_prepend('', regexp_extract_all({text_expr}, '{p}')), "
+                f"(acc, x) -> CASE WHEN length(x) > length(acc) THEN x ELSE acc END)"
+            )
+
+        lb = _longest_run(B64_RUN_PATTERN)
+        lh = _longest_run(HEX_RUN_PATTERN)
+        chosen = f"(CASE WHEN length({lh}) > length({lb}) THEN {lh} ELSE {lb} END)"
         pos_exprs.append(
-            f"CASE WHEN ({pb}) >= 0 AND (({ph}) < 0 OR ({pb}) <= ({ph})) THEN ({pb}) "
-            f"WHEN ({ph}) >= 0 THEN ({ph}) ELSE -1 END AS {pos_cols['encoded_payload']}"
+            f"CASE WHEN {text_expr} IS NULL OR length({chosen}) = 0 THEN -1 "
+            f"ELSE strpos({text_expr}, {chosen}) - 1 END AS {pos_cols['encoded_payload']}"
         )
 
     sc_exprs = [

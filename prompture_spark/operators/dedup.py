@@ -578,9 +578,22 @@ def greedy_first_wins_drops(pairs: DataFrame, max_iterations: int = 64) -> DataF
     )
     kept = undecided.filter(F.lit(False)).localCheckpoint()
     dropped = undecided.filter(F.lit(False)).localCheckpoint()
-    for _ in range(max_iterations):
-        if undecided.isEmpty():
-            break
+    rounds = 0
+    while not undecided.isEmpty():
+        # Every round decides at least the minimum undecided node, so the
+        # round count is bounded by the longest similarity chain. Exceeding
+        # the cap therefore signals a pathological chain (or a broken
+        # invariant) — FAIL LOUDLY rather than silently treating the
+        # still-undecided ids as kept, which would under-drop relative to
+        # the reference's sequential scan and the recursive-CTE oracle.
+        if rounds >= max_iterations:
+            n = undecided.count()
+            raise RuntimeError(
+                f"greedy_first_wins_drops did not converge after "
+                f"{max_iterations} rounds; {n} ids undecided (similarity "
+                f"chain longer than the cap — raise max_iterations)"
+            )
+        rounds += 1
         # 1. an earlier KEPT neighbor kills x
         newly_dropped = undecided.join(
             edges.join(kept, edges["e"] == kept["id"], "left_semi"),

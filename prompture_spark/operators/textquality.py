@@ -390,10 +390,8 @@ def injection_detect(col: Column | str) -> Column:
     (instruction_override, role_hijack, prompt_extraction, delimiter_attack)
     plus the encoded-payload heuristic: struct<category, confidence,
     is_injection, position>. Mirrors PromptInjectionDetector.detect
-    (injection.py:375-449). Deviation: the encoded-payload position is the
-    FIRST suspicious run, not the longest one (injection.py:292-305) — the
-    position only modulates score decay, and first <= longest keeps the
-    score conservative-high."""
+    (injection.py:375-449), including the longest-run encoded-payload
+    position semantics (injection.py:292-305)."""
     c = F.col(col) if isinstance(col, str) else col
     norm = injection_normalize(c)
     empty = c.isNull() | (F.length(norm) < 1)
@@ -403,15 +401,32 @@ def injection_detect(col: Column | str) -> Column:
 
 
 def _encoded_payload_position(c: Column) -> Column:
-    """Earliest suspicious base64/hex run — scans the ORIGINAL text
-    (injection.py:414-417): the refusal-style normalization would mangle
-    base64 case information."""
-    b64p = F.regexp_instr(c, F.lit(_B64_RUN))
-    hexp = F.regexp_instr(c, F.lit(_HEX_RUN))
+    """Position of the LONGEST suspicious base64/hex run over the original
+    text, matching ``_looks_encoded`` (injection.py:292-305): all base64
+    runs are scanned first, then hex runs, each replacing the best only when
+    STRICTLY longer — so the winner is the earliest of the longest runs,
+    with base64 beating hex on length ties. The fold over
+    ``regexp_extract_all`` keeps the first maximum (strict ``>``), and
+    ``instr`` then recovers its offset: any earlier occurrence of the chosen
+    string would sit inside a maximal run at least as long, which the scan
+    would itself have chosen. (Deviation retained: the reference NFKC-folds
+    first, which no built-in Column expresses; identical on ASCII payloads.)
+    """
+    def longest(pattern: str) -> Column:
+        runs = F.regexp_extract_all(c, F.lit(pattern), 0)
+        return F.aggregate(
+            runs,
+            F.lit(""),
+            lambda acc, x: F.when(F.length(x) > F.length(acc), x).otherwise(acc),
+        )
+
+    b64 = longest(_B64_RUN)
+    hx = longest(_HEX_RUN)
+    chosen = F.when(F.length(hx) > F.length(b64), hx).otherwise(b64)
     return (
-        F.when((b64p > 0) & ((hexp <= 0) | (b64p <= hexp)), (b64p - 1).cast("int"))
-        .when(hexp > 0, (hexp - 1).cast("int"))
-        .otherwise(F.lit(-1))
+        F.when(c.isNull() | (F.length(chosen) == 0), F.lit(-1))
+        .otherwise(F.instr(c, chosen) - 1)
+        .cast("int")
     )
 
 

@@ -78,9 +78,26 @@ def _make_session_fn(gap_s: int):
             seq, start, last, n = 0, None, None, 0
         if not ts:
             # Every timestamp in the batch was null/NaT. Nothing to extend or
-            # close; re-arm the timeout only when an open session exists.
-            if state.exists and last is not None:
-                state.setTimeoutTimestamp((last + gap_s) * 1000)
+            # close. The timeout was cleared by this invocation, so BOTH state
+            # shapes must re-arm or their state leaks:
+            #   * open session -> last + gap, clamped above the current
+            #     watermark (other keys may have advanced it past last + gap
+            #     while this key saw only null-ts rows; an unclamped value
+            #     throws IllegalArgumentException and kills the query). The
+            #     clamp is semantically exact: wm >= last + gap means no
+            #     on-time event can extend the session, it is already dead.
+            #   * tombstone (last is None) -> one gap past the watermark,
+            #     mirroring the hasTimedOut branch's expiry schedule.
+            if state.exists:
+                if last is not None:
+                    state.setTimeoutTimestamp(
+                        max((last + gap_s) * 1000,
+                            state.getCurrentWatermarkMs() + 1)
+                    )
+                else:
+                    state.setTimeoutTimestamp(
+                        state.getCurrentWatermarkMs() + gap_s * 1000
+                    )
             return
         closed = []
         for t in ts:
@@ -92,8 +109,13 @@ def _make_session_fn(gap_s: int):
             else:
                 last, n = max(last, t), n + 1
         state.update((seq, start, last, n))
-        # close via event time once the watermark passes last + gap
-        state.setTimeoutTimestamp((last + gap_s) * 1000)
+        # close via event time once the watermark passes last + gap; the
+        # watermark clamp is normally a no-op here (on-time events satisfy
+        # last >= wm, so last + gap > wm) but guards the equality edge and
+        # any engine change to late-row filtering
+        state.setTimeoutTimestamp(
+            max((last + gap_s) * 1000, state.getCurrentWatermarkMs() + 1)
+        )
         yield pd.DataFrame(closed, columns=cols)
 
     return fn

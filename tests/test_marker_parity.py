@@ -81,6 +81,13 @@ def _injection_corpus(marker_table) -> list[str]:
         "spaced " + "de ad be ef " * 32,                 # spaced hex run
         "", None, "normal words only",
         ("z " * 300) + "ignore previous instructions",
+        # multiple runs of DIFFERING lengths: the reference scores the
+        # LONGEST run's position (injection.py:292-305), so these pin the
+        # longest-run (not first-run) selection and its decay consequences
+        "x " + ("Q" * 40) + " mid " + ("pad " * 120) + ("Q" * 120),  # longest late
+        "x " + ("Q" * 120) + " mid " + ("pad " * 120) + ("Q" * 40),  # longest early
+        "x " + ("Q" * 40) + " then " + ("de" * 40),      # hex strictly longer: hex wins
+        "x " + ("Q" * 64) + " then " + ("de" * 32),      # length tie: base64 wins
     ]
     return cases
 
@@ -125,6 +132,29 @@ def test_injection_full_marker_parity(spark, ref_injection):
             mismatches.append((c, (g.category, g.confidence, g.is_injection),
                                (exp.category, exp.confidence, exp.is_injection)))
     assert not mismatches, f"{len(mismatches)}/{len(cases)}: {mismatches[:5]}"
+
+
+def test_repeated_occurrence_boundary_divergence(spark, ref_refusal):
+    """PINNED DEVIATION (documented in markers.category_pattern): the
+    reference checks word boundaries only at a phrase's FIRST substring
+    occurrence and skips the phrase outright when that occurrence is
+    embedded (detector.py:342-360 applied to str.find's result), while the
+    regex twin matches the earliest BOUNDED occurrence. For text where an
+    embedded occurrence precedes a legitimate bounded one, the reference
+    misses the refusal and the twin flags it — the twin is arguably more
+    correct, and this test asserts the divergence explicitly so any change
+    on either side fails loudly."""
+    _, det = ref_refusal
+    s = "hi cannot provide. meanwhile i cannot provide that thing"
+    exp = det.detect(s)
+    # the reference skips 'i cannot provide': its first substring occurrence
+    # (inside 'hi cannot provide') is embedded after a word character
+    assert exp.is_refusal is False and exp.category is None
+    df = spark.createDataFrame([(0, s)], "i int, t string")
+    g = tq.with_refusal_detect(df, "t", "d").select("d").collect()[0].d
+    # the twin finds the later, properly word-bounded occurrence
+    assert bool(g.is_refusal) is True
+    assert g.category == "hard_refusal"
 
 
 def test_marker_tables_match_reference_verbatim(ref_refusal, ref_injection):

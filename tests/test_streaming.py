@@ -273,6 +273,57 @@ def test_stream_sessionize_seq_monotone_after_timeout(spark, tmp_path):
     assert got == {(1, 0): 2, (1, 1): 1}
 
 
+def test_stream_sessionize_null_ts_after_watermark_advance(spark, tmp_path):
+    """Regression: an OPEN session key that receives an all-null-ts batch
+    AFTER other keys advanced the watermark past its last+gap must clamp the
+    re-armed timeout against the watermark. Unclamped, setTimeoutTimestamp
+    throws IllegalArgumentException (timeout < watermark) and kills the
+    query. Also exercises the tombstone all-null-ts re-arm (state would
+    otherwise leak with its timeout permanently cleared)."""
+    import datetime as dt
+
+    from prompture_spark.streaming.stateful import stream_sessionize
+
+    b = dt.datetime(2024, 1, 1, 0, 0, 0)
+    m = lambda x: b + dt.timedelta(minutes=x)
+    src = str(tmp_path / "landing")
+    schema = "user_id bigint, ts timestamp"
+    for rows in (
+        [(1, m(0)), (1, m(5))],     # u1 opens session 0, timeout arms at m35
+        [(9, m(300))],              # watermark -> m270, far past m35
+        [(1, None), (1, None)],     # u1 all-null batch: re-arm MUST clamp to wm
+        [(9, m(700))],              # advance wm past the clamped timeout
+        [(1, None)],                # u1 all-null again (open or tombstone state)
+        [(9, m(1200))],             # fire the pending close if not yet fired
+        [(1, m(1210))],             # u1 returns: tombstone numbering -> seq 1
+        [(9, m(1700))],             # advance wm
+        [(9, m(1800))],             # one more batch so the timeout can fire
+    ):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        stream_sessionize(stream, gap_s=30 * 60, watermark="30 minutes")
+        .writeStream.format("memory")
+        .queryName("clamp_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    assert q.exception() is None, f"stream died: {q.exception()}"
+    rows = spark.sql("SELECT * FROM clamp_sessions WHERE user_id = 1").collect()
+    got = {(r.user_id, r.session_seq): r.n_events for r in rows}
+    assert len(rows) == len(got)
+    # session 0 (2 real events) closed by timeout despite the null batches;
+    # the return visit continues cumulative numbering as session 1
+    assert got.get((1, 0)) == 2
+    assert set(got) <= {(1, 0), (1, 1)}
+
+
 def test_stream_redaction_and_refusal_stateless(spark, tmp_path, landed):
     """PII redaction + refusal detection are stateless Column pipelines, so
     they must compose onto a stream unchanged (the pushdown-guard expression
