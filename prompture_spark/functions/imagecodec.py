@@ -16,14 +16,26 @@ the standard library alone:
     decoder. Independent third-party PNG bytes are decoded in the tests as
     well, so the pair is not self-certifying.
   * ``parse_jpeg_header`` — JFIF/EXIF segment walk to the SOF0/1/2 frame
-    header for true width/height/components. Full baseline-JPEG entropy
-    decode (Huffman+IDCT) is genuinely out of scope without a codec
-    library; dimension/channel extraction is what the feature stage needs
-    and it reads the real bitstream structure, not a fake.
+    header for true width/height/components.
+  * ``decode_jpeg_dc`` — baseline-JPEG DC-only luma decode: full Huffman
+    entropy decode of the scan (DC values kept, AC coefficients decoded
+    and discarded — no IDCT), restart-marker aware. The DC coefficient of
+    an 8×8 DCT block is 8× the block's level-shifted mean, so the
+    pixel-coverage-weighted block means give the image's exact mean
+    luminance for blockwise-constant images and a DC-grade approximation
+    otherwise. Progressive/arithmetic streams raise (the feature stage
+    falls back to header-only dims with null luma).
+  * ``encode_gray_jpeg`` — minimal matching encoder: blocky baseline
+    grayscale (each 8×8 block encoded as its mean, DC + EOB only) with
+    the JPEG Annex K luminance quant/Huffman tables — real standard
+    bitstreams for fixtures, round-trip proof, and synthetic media.
+  * ``demux_avi_mjpeg`` / ``encode_avi_mjpeg`` — RIFF/AVI container walk
+    extracting the ``movi`` list's ``##dc``/``##db`` MJPEG frame chunks
+    (including ``rec `` groupings), and the matching minimal writer.
 
-Video remains a stub in operators/multimodal.py (frame extraction requires
-a container demuxer); the reference keeps media handling driver-side
-(prompture/media/*) and never decodes video either.
+The reference keeps media handling driver-side via PIL/ffmpeg
+(prompture/media/*); these codecs make the Spark-side plumbing real in a
+container that ships neither.
 
 Everything here is per-payload pure-Python and only ever runs inside
 Arrow-batched ``mapInPandas`` workers — never on the driver, never row-at-a-
@@ -268,3 +280,465 @@ def resize_nearest(
             dst = (y * nw + x) * channels
             out[dst : dst + channels] = pixels[src : src + channels]
     return nw, nh, bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG: DC-only luma decode + minimal blocky encoder
+# ---------------------------------------------------------------------------
+
+# JPEG Annex K.1 luminance quantization table, zigzag order index 0 first.
+# Only q[0] (the DC quantizer) feeds the luma math; the full table is
+# embedded by the encoder so its output is a perfectly ordinary JPEG.
+JPEG_STD_LUMA_QUANT = (
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+)
+
+# Annex K.3.1: luminance DC Huffman spec (counts per code length 1..16,
+# then symbols in order).
+JPEG_STD_DC_COUNTS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+JPEG_STD_DC_SYMBOLS = tuple(range(12))
+
+# Annex K.3.2: luminance AC Huffman spec.
+JPEG_STD_AC_COUNTS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+JPEG_STD_AC_SYMBOLS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+)
+
+
+def _huffman_codes(counts, symbols):
+    """Canonical Huffman assignment (ITU-T T.81 Annex C): returns
+    {symbol: (code, length)}."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            out[symbols[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huffman_decode_table(counts, symbols):
+    """{(length, code): symbol} for the decoder."""
+    return {
+        (length, code): sym for sym, (code, length) in _huffman_codes(counts, symbols).items()
+    }
+
+
+class _BitReader:
+    """MSB-first bit reader over JPEG entropy-coded data with 0xFF00
+    unstuffing; stops at any real marker and reports it."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker = None  # marker byte encountered (e.g. 0xD0..0xD7, 0xD9)
+
+    def _fill(self):
+        d = self.data
+        if self.pos >= len(d):
+            raise ImageDecodeError("truncated entropy stream")
+        b = d[self.pos]
+        if b == 0xFF:
+            if self.pos + 1 >= len(d):
+                raise ImageDecodeError("truncated at 0xFF")
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:  # stuffed literal 0xFF
+                self.pos += 2
+            else:
+                self.marker = nxt
+                raise ImageDecodeError(f"marker 0xFF{nxt:02X} inside scan")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_symbol(self, table) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ImageDecodeError("invalid Huffman code")
+
+    def sync_restart(self) -> None:
+        """Consume a restart marker at the current (byte-aligned) position."""
+        self.acc = 0
+        self.nbits = 0
+        self.marker = None
+        d = self.data
+        # skip any fill bytes (0xFF) preceding the marker byte
+        while self.pos + 1 < len(d) and d[self.pos] == 0xFF and d[self.pos + 1] == 0xFF:
+            self.pos += 1
+        if self.pos + 1 >= len(d) or d[self.pos] != 0xFF:
+            raise ImageDecodeError("expected restart marker")
+        m = d[self.pos + 1]
+        if not (0xD0 <= m <= 0xD7):
+            raise ImageDecodeError(f"expected RSTn, got 0xFF{m:02X}")
+        self.pos += 2
+
+
+def _extend(v: int, t: int) -> int:
+    """ITU-T T.81 F.2.2.1 EXTEND: map t magnitude bits to a signed value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg_dc(payload: bytes) -> tuple[int, int, int, float]:
+    """Baseline-sequential JPEG DC-only decode: full Huffman entropy pass
+    (AC coefficients are Huffman-decoded to advance the stream, then
+    discarded — no IDCT), restart-interval aware. Returns (width, height,
+    components, mean_luma) where mean_luma is the pixel-coverage-weighted
+    mean of per-block DC means of the FIRST (luma) component:
+    block_mean = DC*q/8 + 128 (the DCT DC coefficient is 8× the block's
+    level-shifted mean). Exact for blockwise-constant images; a DC-grade
+    approximation otherwise. Raises ImageDecodeError for progressive
+    (SOF2+), arithmetic, lossless, and hierarchical streams — and for ANY
+    malformed bitstream (segment-parser slips are normalized so the
+    mapInPandas error-routing contract sees a single exception type)."""
+    try:
+        return _decode_jpeg_dc_inner(payload)
+    except ImageDecodeError:
+        raise
+    except (IndexError, ValueError, KeyError, struct.error) as e:
+        raise ImageDecodeError(f"malformed JPEG: {e!r}") from e
+
+
+def _decode_jpeg_dc_inner(payload: bytes) -> tuple[int, int, int, float]:
+    if not payload or payload[:2] != b"\xff\xd8":
+        raise ImageDecodeError("not a JPEG (missing SOI)")
+    quant: dict[int, tuple] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None  # (w, h, comps) comps: list of (cid, hsamp, vsamp, tq)
+    restart_interval = 0
+    pos = 2
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ImageDecodeError(f"bad marker alignment at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        seg = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                i += 1
+                if pq == 0:
+                    quant[tq] = tuple(seg[i : i + 64])
+                    i += 64
+                else:
+                    quant[tq] = tuple(
+                        struct.unpack(">64H", seg[i : i + 128])
+                    )
+                    i += 128
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                counts = tuple(seg[i + 1 : i + 17])
+                nsym = sum(counts)
+                symbols = tuple(seg[i + 17 : i + 17 + nsym])
+                table = _huffman_decode_table(counts, symbols)
+                (huff_dc if tc == 0 else huff_ac)[th] = table
+                i += 17 + nsym
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline/extended sequential
+            _prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
+            comps = []
+            for ci in range(ncomp):
+                cid, hv, tq = seg[6 + ci * 3 : 9 + ci * 3]
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            frame = (w, h, comps)
+        elif marker in _SOF_MARKERS:  # progressive/arithmetic/lossless/...
+            raise ImageDecodeError(
+                f"unsupported JPEG frame type 0xFF{marker:02X} (DC decode "
+                "handles baseline/extended sequential only)"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ImageDecodeError("SOS before SOF")
+            ns = seg[0]
+            scan = []  # (component index in frame order, dc table, ac table)
+            w, h, comps = frame
+            for si in range(ns):
+                cs, tda = seg[1 + si * 2], seg[2 + si * 2]
+                idx = next(
+                    (k for k, c in enumerate(comps) if c[0] == cs), None
+                )
+                if idx is None:
+                    raise ImageDecodeError("SOS references unknown component")
+                td, ta = tda >> 4, tda & 15
+                if td not in huff_dc or ta not in huff_ac:
+                    raise ImageDecodeError("SOS references missing Huffman table")
+                scan.append((idx, huff_dc[td], huff_ac[ta]))
+            if len(scan) != len(comps):
+                raise ImageDecodeError("non-interleaved scans unsupported")
+            data_start = pos + 2 + seglen
+            return _decode_scan_dc(
+                payload, data_start, frame, scan, quant, restart_interval
+            )
+        pos += 2 + seglen
+    raise ImageDecodeError("no SOS scan found")
+
+
+def _decode_scan_dc(payload, data_start, frame, scan, quant, restart_interval):
+    w, h, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax < 1 or vmax < 1:
+        raise ImageDecodeError("bad sampling factors")
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    luma_idx = 0  # first frame component is Y (or the only gray component)
+    ltq = comps[luma_idx][3]
+    if ltq not in quant:
+        raise ImageDecodeError("missing quantization table")
+    qdc = quant[ltq][0]
+    lh, lv = comps[luma_idx][1], comps[luma_idx][2]
+    # luma component's own pixel dims (T.81 A.1.1)
+    comp_w = -(-w * lh // hmax)
+    comp_h = -(-h * lv // vmax)
+    reader = _BitReader(payload, data_start)
+    preds = [0] * len(comps)
+    luma_sum = 0.0
+    luma_weight = 0
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.sync_restart()
+                preds = [0] * len(comps)
+            for idx, dct, act in scan:
+                _, ch, cv, _tq = comps[idx]
+                for bv in range(cv):
+                    for bh in range(ch):
+                        t = reader.read_symbol(dct)
+                        diff = _extend(reader.read_bits(t), t) if t else 0
+                        preds[idx] += diff
+                        if idx == luma_idx:
+                            bx, by = mx * ch + bh, my * cv + bv
+                            cw = min(8, comp_w - bx * 8)
+                            chh = min(8, comp_h - by * 8)
+                            if cw > 0 and chh > 0:
+                                mean = preds[idx] * qdc / 8.0 + 128.0
+                                mean = min(255.0, max(0.0, mean))
+                                luma_sum += mean * cw * chh
+                                luma_weight += cw * chh
+                        # AC pass: decode run/size symbols to advance
+                        k = 1
+                        while k < 64:
+                            rs = reader.read_symbol(act)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            reader.read_bits(s)
+                            k += 1
+            mcu_count += 1
+    if not luma_weight:
+        raise ImageDecodeError("no luma blocks decoded")
+    return w, h, len(comps), luma_sum / luma_weight
+
+
+def encode_gray_jpeg(width: int, height: int, pixels: bytes) -> bytes:
+    """Minimal baseline grayscale JPEG encoder: each 8×8 block is encoded
+    as its mean (DC coefficient + EOB — AC all zero), with the Annex K
+    luminance quant table and standard DC/AC Huffman tables, so the output
+    is an ordinary JPEG any decoder accepts. Deliberately 'blocky': it
+    exists to fixture the DC decoder (for blockwise-constant inputs the
+    round trip is exact up to DC quantization) and to synthesize real
+    MJPEG/AVI media."""
+    if len(pixels) != width * height:
+        raise ImageDecodeError("pixel buffer does not match dimensions")
+    dc_codes = _huffman_codes(JPEG_STD_DC_COUNTS, JPEG_STD_DC_SYMBOLS)
+    ac_codes = _huffman_codes(JPEG_STD_AC_COUNTS, JPEG_STD_AC_SYMBOLS)
+    eob_code, eob_len = ac_codes[0x00]
+    qdc = JPEG_STD_LUMA_QUANT[0]
+    out = bytearray(b"\xff\xd8")
+    # DQT
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(JPEG_STD_LUMA_QUANT)
+    # SOF0: 8-bit, 1 component id=1 sampling 1x1 quant 0
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, height, width, 1) + b"\x01\x11\x00"
+    # DHT DC0 + AC0
+    out += (
+        b"\xff\xc4"
+        + struct.pack(">H", 19 + len(JPEG_STD_DC_SYMBOLS))
+        + b"\x00" + bytes(JPEG_STD_DC_COUNTS) + bytes(JPEG_STD_DC_SYMBOLS)
+    )
+    out += (
+        b"\xff\xc4"
+        + struct.pack(">H", 19 + len(JPEG_STD_AC_SYMBOLS))
+        + b"\x10" + bytes(JPEG_STD_AC_COUNTS) + bytes(JPEG_STD_AC_SYMBOLS)
+    )
+    # SOS
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + b"\x01\x00" + b"\x00\x3f\x00"
+    acc = 0
+    nbits = 0
+    entropy = bytearray()
+
+    def emit(code: int, length: int):
+        nonlocal acc, nbits
+        acc = (acc << length) | code
+        nbits += length
+        while nbits >= 8:
+            nbits -= 8
+            b = (acc >> nbits) & 0xFF
+            entropy.append(b)
+            if b == 0xFF:
+                entropy.append(0x00)
+
+    pred = 0
+    for by in range(-(-height // 8)):
+        for bx in range(-(-width // 8)):
+            x0, y0 = bx * 8, by * 8
+            cw, chh = min(8, width - x0), min(8, height - y0)
+            total = 0
+            for y in range(chh):
+                row0 = (y0 + y) * width + x0
+                total += sum(pixels[row0 : row0 + cw])
+            mean = total / (cw * chh)
+            dc = round(8.0 * (mean - 128.0) / qdc)
+            diff = dc - pred
+            pred = dc
+            mag = abs(diff)
+            t = mag.bit_length()
+            code, length = dc_codes[t]
+            emit(code, length)
+            if t:
+                bits = diff if diff >= 0 else diff + (1 << t) - 1
+                emit(bits, t)
+            emit(eob_code, eob_len)
+    if nbits:  # pad final byte with 1s (T.81 F.1.2.3)
+        pad = 8 - nbits
+        emit((1 << pad) - 1, pad)
+    out += entropy + b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# RIFF/AVI MJPEG container: demux + minimal writer
+# ---------------------------------------------------------------------------
+
+
+def demux_avi_mjpeg(payload: bytes) -> list[bytes]:
+    """Extract MJPEG frame chunks from a RIFF/AVI container: walks the
+    top-level chunk list to the ``movi`` LIST and collects every
+    ``##dc``/``##db`` chunk (descending into ``rec `` grouping LISTs).
+    Returns frame payloads in stream order. Raises ImageDecodeError when
+    the payload is not an AVI or carries no movi list."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ImageDecodeError("not a RIFF/AVI container")
+    (riff_size,) = struct.unpack("<I", payload[4:8])
+    end = min(len(payload), 8 + riff_size)
+    frames: list[bytes] = []
+
+    def walk(pos: int, stop: int, in_movi: bool) -> None:
+        while pos + 8 <= stop:
+            cid = payload[pos : pos + 4]
+            (csize,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            body_start = pos + 8
+            body_end = min(stop, body_start + csize)
+            if cid == b"LIST" and body_end - body_start >= 4:
+                ltype = payload[body_start : body_start + 4]
+                if ltype == b"movi":
+                    walk(body_start + 4, body_end, True)
+                elif in_movi and ltype == b"rec ":
+                    walk(body_start + 4, body_end, True)
+                elif not in_movi:
+                    walk(body_start + 4, body_end, False)
+            elif in_movi and len(cid) == 4 and cid[2:4] in (b"dc", b"db"):
+                frames.append(payload[body_start:body_end])
+            pos = body_end + (csize & 1)  # chunks are word-aligned
+
+    walk(12, end, False)
+    if not frames:
+        raise ImageDecodeError("no MJPEG frame chunks in AVI")
+    return frames
+
+
+def encode_avi_mjpeg(
+    frames: list[bytes], width: int, height: int, fps: int = 10
+) -> bytes:
+    """Minimal RIFF/AVI wrapper around MJPEG frames: hdrl (avih + one vids
+    strl with an MJPG BITMAPINFOHEADER) + movi with one ``00dc`` chunk per
+    frame. Enough structure for any RIFF walker; used to synthesize real
+    video payloads for tests and synth_media."""
+    if not frames:
+        raise ImageDecodeError("no frames")
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    max_bytes = max(len(f) for f in frames)
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, max_bytes * fps, 0, 0x10, len(frames), 0, 1,
+        max_bytes, width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vidsMJPG"
+        + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames),
+                      max_bytes, 0, 0xFFFFFFFF, 0)
+        + struct.pack("<hhhh", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body

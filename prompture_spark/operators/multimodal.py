@@ -6,14 +6,17 @@ at 100 TB instead carries media as columns: ``content: binary`` plus typed
 metadata, processed by Arrow-batched ``mapInPandas`` stages.
 
 Image decode is REAL: a complete pure-stdlib PNG decoder (zlib inflate +
-all five scanline filters) and a JPEG frame-header parser live in
-``functions/imagecodec.py`` — features report true width/height/channels,
-and PNG features include mean luminance computed over the actual decoded
-samples. Resize operates on real pixels (nearest-neighbor) and re-encodes
-a valid PNG. Video frame *extraction* remains a stub (no container demuxer
-exists without ffmpeg): the sampler is a deterministic byte-stride slicer
-over the payload with the exact long-form output shape a real demuxer
-stage would produce.
+all five scanline filters), a baseline-JPEG DC-only entropy decoder, and a
+RIFF/AVI MJPEG demuxer live in ``functions/imagecodec.py`` — features
+report true width/height/channels; PNG mean luminance is computed over the
+actual decoded samples and JPEG mean luminance from the Huffman-decoded DC
+coefficients (exact for blockwise-constant content, DC-grade otherwise;
+progressive streams fall back to header-only dims with null luma). Resize
+operates on real pixels (nearest-neighbor) and re-encodes a valid PNG.
+Video frame extraction demuxes RIFF/AVI MJPEG containers into true frames
+with per-frame SOF dimensions; non-AVI payloads route to error rows.
+(JPEG full-pixel decode and non-AVI containers remain out of scope without
+a codec library; the reference handles media driver-side via PIL/ffmpeg.)
 
 Design points that matter at scale:
   * media rows are fat (KB..MB) — ``media_repartition`` targets a byte
@@ -74,6 +77,9 @@ FRAME_SAMPLE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
         T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),  # container total
+        T.StructField("width", T.IntegerType()),     # per-frame SOF dims
+        T.StructField("height", T.IntegerType()),
         T.StructField("frame_sha256", T.StringType()),
         T.StructField("error", T.StringType()),
     ]
@@ -83,9 +89,12 @@ FRAME_SAMPLE_SCHEMA = T.StructType(
 def _synth_payload(mid: int) -> tuple[str, bytes | None, str]:
     """Deterministic (kind, payload, mime) for one media id. Image rows are
     REAL bitstreams: even image ids a gradient PNG (filter 0/2 alternating,
-    gray/RGB/RGBA), odd image ids a JPEG header stream (SOI+APP0+SOF0+EOI).
-    ~6% of payloads are null and a further slice are truncated PNGs, so the
-    error-routing path is exercised by genuinely corrupt bytes."""
+    gray/RGB/RGBA), odd image ids a baseline grayscale JPEG with a full
+    entropy scan (a slice stay header-only SOI+SOF streams to exercise the
+    null-luma fallback). Most video ids are real RIFF/AVI MJPEG containers;
+    the rest are opaque bytes (demux error routing). ~6% of payloads are
+    null and a further slice are truncated PNGs, so the error-routing path
+    is exercised by genuinely corrupt bytes."""
     h = hashlib.sha256(f"media-{mid}".encode()).digest()
     kind = ("image", "audio", "video")[h[3] % 3]
     if h[4] % 17 == 0:
@@ -103,18 +112,44 @@ def _synth_payload(mid: int) -> tuple[str, bytes | None, str]:
             if h[6] % 13 == 0:  # truncated file -> decode error row
                 payload = payload[: len(payload) // 2]
             return kind, payload, "image/png"
-        w, hh = 8 + h[0] % 120, 8 + h[1] % 120
-        ncomp = 1 if h[2] % 4 == 0 else 3
-        sof = struct.pack(">BHHB", 8, hh, w, ncomp)
-        comps = b"".join(bytes([i + 1, 0x11, 0]) for i in range(ncomp))
-        payload = (
-            b"\xff\xd8"
-            + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-            + b"\xff\xc0" + struct.pack(">H", 8 + 3 * ncomp) + sof + comps
-            + b"\xff\xd9"
+        if h[6] % 5 == 0:
+            # header-only JPEG stream (SOI+APP0+SOF0+EOI, no scan): true
+            # dims parse but the DC decoder rejects it -> exercises the
+            # null-luma fallback contract
+            w, hh = 8 + h[0] % 120, 8 + h[1] % 120
+            ncomp = 1 if h[2] % 4 == 0 else 3
+            sof = struct.pack(">BHHB", 8, hh, w, ncomp)
+            comps = b"".join(bytes([i + 1, 0x11, 0]) for i in range(ncomp))
+            payload = (
+                b"\xff\xd8"
+                + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+                + b"\xff\xc0" + struct.pack(">H", 8 + 3 * ncomp) + sof + comps
+                + b"\xff\xd9"
+            )
+            return kind, payload, "image/jpeg"
+        # real baseline grayscale JPEG (blocky content, full entropy scan)
+        w, hh = 8 + h[0] % 56, 8 + h[1] % 56
+        px = bytes(
+            (h[2] + 37 * (x // 8) + 61 * (y // 8)) & 0xFF
+            for y in range(hh)
+            for x in range(w)
         )
-        return kind, payload, "image/jpeg"
-    # audio/video: opaque deterministic bytes, length varies (skew-realistic)
+        return kind, ic.encode_gray_jpeg(w, hh, px), "image/jpeg"
+    if kind == "video" and h[4] % 3:
+        # real RIFF/AVI MJPEG container: 2-5 blocky grayscale frames
+        nf = 2 + h[5] % 4
+        w, hh = 16 + 8 * (h[0] % 4), 16 + 8 * (h[1] % 3)
+        frames = [
+            ic.encode_gray_jpeg(
+                w, hh,
+                bytes((h[2] + 17 * fi + 29 * (x // 8) + 43 * (y // 8)) & 0xFF
+                      for y in range(hh) for x in range(w)),
+            )
+            for fi in range(nf)
+        ]
+        return kind, ic.encode_avi_mjpeg(frames, w, hh), "video/x-msvideo"
+    # audio + remaining video: opaque deterministic bytes (error-routing
+    # path for the demuxer), length varies (skew-realistic)
     n = 64 + (h[0] | (h[1] << 8)) % 4096
     payload = (h * (n // len(h) + 1))[:n]
     return kind, payload, "application/octet-stream"
@@ -180,7 +215,18 @@ def extract_image_features(df: DataFrame, batch_size: int = 512) -> DataFrame:
                 try:
                     b = bytes(payload) if payload is not None else b""
                     w, h, c, px = ic.decode_image(b)
-                    luma = round(ic.mean_luma(c, px), 6) if px is not None else None
+                    if px is not None:
+                        luma = round(ic.mean_luma(c, px), 6)
+                    else:
+                        # JPEG: DC-only entropy decode for the luma; streams
+                        # the DC decoder rejects (progressive, header-only)
+                        # keep their true header dims with luma null — the
+                        # documented contract for non-baseline JPEGs.
+                        try:
+                            _, _, _, dcl = ic.decode_jpeg_dc(b)
+                            luma = round(dcl, 6)
+                        except Exception:
+                            luma = None
                     out.append(
                         (mid, w, h, c, luma, hashlib.sha256(b).hexdigest(), None)
                     )
@@ -227,32 +273,43 @@ def resize_images(df: DataFrame, max_side: int = 256) -> DataFrame:
 
 
 def sample_video_frames(df: DataFrame, every_n: int = 10, max_frames: int = 8) -> DataFrame:
-    """STUB frame sampler (no demuxer without ffmpeg): deterministic
-    byte-stride slicing — frame i is the payload window starting at byte
-    ``i * every_n * stride_bytes``, hashed. Output is long-form (media_id,
-    frame_idx, hash) — the exact shape a caption/embedding stage joins on;
-    a real implementation swaps the slicer for container seeks and nothing
-    else changes."""
-    stride_bytes = 32
+    """REAL frame sampler for RIFF/AVI MJPEG containers: demux the movi
+    list, take every ``every_n``-th frame up to ``max_frames``, and emit
+    each frame's true SOF dimensions, the container's total frame count,
+    and the frame-payload hash. Long-form output (media_id, frame_idx, ...)
+    — the exact shape a caption/embedding stage joins on. Non-AVI,
+    empty, and corrupt payloads route to error rows (a production swap-in
+    for more containers replaces only the demux call)."""
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["content"]):
                 if payload is None or len(bytes(payload)) == 0:
-                    rows.append((mid, None, None, "empty payload"))
+                    rows.append((mid, None, None, None, None, None, "empty payload"))
                     continue
-                b = bytes(payload)
-                for i in range(max_frames):
-                    start = i * every_n * stride_bytes
-                    if start >= len(b):
-                        break
-                    window = b[start : start + stride_bytes]
+                try:
+                    frames = ic.demux_avi_mjpeg(bytes(payload))
+                except Exception as e:
+                    rows.append((mid, None, None, None, None, None, str(e)))
+                    continue
+                n_frames = len(frames)
+                for i in range(0, min(n_frames, every_n * max_frames), every_n):
+                    fb = frames[i]
+                    try:
+                        w, h, _c = ic.parse_jpeg_header(fb)
+                    except Exception:
+                        w = h = None
                     rows.append(
-                        (mid, i * every_n, hashlib.sha256(window).hexdigest(), None)
+                        (mid, i, n_frames, w, h,
+                         hashlib.sha256(fb).hexdigest(), None)
                     )
             yield pd.DataFrame(
-                rows, columns=["media_id", "frame_idx", "frame_sha256", "error"]
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "n_frames", "width", "height",
+                    "frame_sha256", "error",
+                ],
             )
 
     return df.filter(F.col("kind") == "video").mapInPandas(_sample, FRAME_SAMPLE_SCHEMA)

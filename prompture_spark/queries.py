@@ -1406,16 +1406,18 @@ def q_unanimous(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("multimodal_image_features")  # binary payloads — rows-only + pytest
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal: synthetic real-bitstream media (PNG/JPEG) -> mapInPandas
-    REAL decode (pure-stdlib PNG codec + JPEG SOF parse, functions/
-    imagecodec.py) with corrupt-payload error routing."""
+    REAL decode (pure-stdlib PNG codec + baseline-JPEG DC entropy decode,
+    functions/imagecodec.py) with corrupt-payload error routing."""
     from prompture_spark.operators import multimodal as mm
 
     media = mm.synth_media(spark, 512)
     return mm.extract_image_features(mm.media_repartition(media))
 
 
-@register("multimodal_frame_samples")  # stubbed decode — rows-only + pytest
+@register("multimodal_frame_samples")  # binary payloads — rows-only + pytest
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: RIFF/AVI MJPEG demux -> true frame count, per-frame SOF
+    dims, frame hashes; non-AVI payloads route to error rows."""
     from prompture_spark.operators import multimodal as mm
 
     media = mm.synth_media(spark, 512)

@@ -87,3 +87,45 @@ def test_resize_bounds_property(w, h, ch, max_side):
 def test_luma_rejects_empty():
     with pytest.raises(ic.ImageDecodeError):
         ic.mean_luma(3, b"")
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    data=st.data(),
+)
+def test_jpeg_dc_mean_luma_bound_property(w, h, data):
+    """encode_gray_jpeg -> decode_jpeg_dc recovers dims exactly and the mean
+    within the DC-quantization bound: each block mean is quantized to steps
+    of q0/8 = 2, so the recovered image mean can deviate by at most half a
+    step (plus edge-block clipping, which the level range avoids)."""
+    px = bytes(
+        data.draw(st.lists(st.integers(8, 247), min_size=w * h, max_size=w * h))
+    )
+    gw, gh, gc, luma = ic.decode_jpeg_dc(ic.encode_gray_jpeg(w, h, px))
+    assert (gw, gh, gc) == (w, h, 1)
+    assert abs(luma - sum(px) / len(px)) <= ic.JPEG_STD_LUMA_QUANT[0] / 16.0
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.data())
+def test_jpeg_dc_corruption_raises_only_decode_error(data):
+    """Truncations and byte flips must surface as ImageDecodeError (the
+    mapInPandas error-routing contract), never IndexError/struct.error —
+    or, for flips the entropy decoder cannot distinguish, still decode to
+    SOME value without crashing the worker."""
+    good = ic.encode_gray_jpeg(16, 16, bytes(range(0, 256)))
+    mode = data.draw(st.sampled_from(["truncate", "flip"]))
+    b = bytearray(good)
+    if mode in ("truncate",):
+        b = b[: data.draw(st.integers(0, len(b) - 1))]
+    else:
+        for _ in range(data.draw(st.integers(1, 4))):
+            i = data.draw(st.integers(2, len(b) - 1))
+            b[i] ^= data.draw(st.integers(1, 255))
+    try:
+        _, _, _, luma = ic.decode_jpeg_dc(bytes(b))
+        assert 0.0 <= luma <= 255.0  # flipped-but-decodable: sane output
+    except ic.ImageDecodeError:
+        pass

@@ -1,6 +1,6 @@
-"""Multimodal tests: REAL PNG decode (pure-stdlib codec), JPEG header parse,
-Arrow batch shape, byte-budget partitioning, error routing. Video frame
-extraction stays a documented byte-stride stub."""
+"""Multimodal tests: REAL PNG decode (pure-stdlib codec), baseline-JPEG
+DC-only luma decode, RIFF/AVI MJPEG demux with true per-frame dims, Arrow
+batch shape, byte-budget partitioning, error routing."""
 
 from __future__ import annotations
 
@@ -96,15 +96,27 @@ def test_image_features_real_decode_and_error_routing(spark):
         r.media_id: bytes(r.content)
         for r in media.filter(F.col("content").isNotNull()).collect()
     }
+    jpeg_dc_lumas = 0
+    header_only = 0
     for r in ok:
-        w, h, c, px = ic.decode_image(payloads[r.media_id])
+        b = payloads[r.media_id]
+        w, h, c, px = ic.decode_image(b)
         assert (r.width, r.height, r.channels) == (w, h, c)
-        assert r.sha256 == hashlib.sha256(payloads[r.media_id]).hexdigest()
+        assert r.sha256 == hashlib.sha256(b).hexdigest()
         if px is not None:  # PNG: luma computed over real decoded samples
             assert abs(r.mean_luma - ic.mean_luma(c, px)) < 1e-4
-        else:  # JPEG header-only parse
-            assert r.mean_luma is None
+        else:  # JPEG: DC-entropy luma, or null for scan-less streams
+            try:
+                _, _, _, dcl = ic.decode_jpeg_dc(b)
+            except ic.ImageDecodeError:
+                assert r.mean_luma is None  # documented fallback contract
+                header_only += 1
+            else:
+                assert abs(r.mean_luma - dcl) < 1e-4
+                jpeg_dc_lumas += 1
     assert any(r.mean_luma is not None for r in ok)
+    assert jpeg_dc_lumas > 0  # real entropy-decoded JPEG lumas present
+    assert header_only > 0  # and the null-luma fallback path is exercised
 
 
 def test_resize_real_pixels_reencoded(spark):
@@ -122,24 +134,95 @@ def test_resize_real_pixels_reencoded(spark):
     assert any("PNG" in e for e in errs)
 
 
-def test_frame_sampling_byte_stride(spark):
+def test_jpeg_dc_roundtrip_exact_on_blocky_images():
+    """Blockwise-constant content survives encode->DC-decode with the exact
+    mean (DC quantization is the only loss; chosen values are multiples of
+    the q=16 DC step around 128 so even that cancels)."""
+    w, h = 24, 16
+    px = bytes(
+        64 if (x // 8 + y // 8) % 2 == 0 else 192
+        for y in range(h)
+        for x in range(w)
+    )
+    j = ic.encode_gray_jpeg(w, h, px)
+    gw, gh, gc, luma = ic.decode_jpeg_dc(j)
+    assert (gw, gh, gc) == (w, h, 1)
+    assert abs(luma - sum(px) / len(px)) < 1e-9
+    # header parser agrees on dims
+    assert ic.parse_jpeg_header(j) == (w, h, 1)
+
+
+def test_jpeg_dc_non_multiple_of_8_weighting():
+    """Edge blocks are weighted by the pixels they actually cover, so a
+    non-8-aligned solid image still reports its exact level."""
+    w, h = 13, 9
+    px = bytes([96] * (w * h))
+    j = ic.encode_gray_jpeg(w, h, px)
+    _, _, _, luma = ic.decode_jpeg_dc(j)
+    assert abs(luma - 96) < 1e-9
+
+
+def test_jpeg_dc_rejects_scanless_and_corrupt():
+    import struct
+
+    import pytest
+
+    headeronly = (
+        b"\xff\xd8"
+        + b"\xff\xc0" + struct.pack(">H", 11) + struct.pack(">BHHB", 8, 8, 8, 1)
+        + b"\x01\x11\x00"
+        + b"\xff\xd9"
+    )
+    for bad in (b"", b"\xff\xd8", headeronly, b"garbage"):
+        with pytest.raises(ic.ImageDecodeError):
+            ic.decode_jpeg_dc(bad)
+
+
+def test_avi_mjpeg_roundtrip():
+    w, h = 16, 16
+    frames = [
+        ic.encode_gray_jpeg(w, h, bytes([40 * (i + 1)] * (w * h))) for i in range(5)
+    ]
+    avi = ic.encode_avi_mjpeg(frames, w, h)
+    got = ic.demux_avi_mjpeg(avi)
+    assert got == frames
+    for f in got:
+        assert ic.parse_jpeg_header(f) == (w, h, 1)
+    import pytest
+
+    for bad in (b"", b"RIFFxxxx", b"\x00" * 64):
+        with pytest.raises(ic.ImageDecodeError):
+            ic.demux_avi_mjpeg(bad)
+
+
+def test_frame_sampling_real_demux(spark):
+    """sample_video_frames demuxes real AVI containers: true container
+    frame counts, per-frame SOF dims, and frame-payload hashes; non-AVI
+    video payloads route to error rows."""
     media = mm.synth_media(spark, 256)
-    frames = mm.sample_video_frames(media, every_n=5, max_frames=4)
-    rows = frames.filter(F.col("error").isNull()).collect()
-    assert rows
-    assert all(r.frame_idx % 5 == 0 and r.frame_idx < 4 * 5 for r in rows)
-    per_media = frames.filter(F.col("error").isNull()).groupBy("media_id").count()
-    assert per_media.agg(F.max("count")).collect()[0][0] <= 4
-    # deterministic: frame hash is the hash of the payload byte window
+    frames = mm.sample_video_frames(media, every_n=2, max_frames=3)
+    ok = frames.filter(F.col("error").isNull()).collect()
+    errs = frames.filter(F.col("error").isNotNull()).collect()
+    assert ok and errs  # real containers and opaque payloads both present
+    assert any("RIFF" in r.error or "AVI" in r.error for r in errs)
     payloads = {
         r.media_id: bytes(r.content)
         for r in media.filter(F.col("kind") == "video").collect()
         if r.content is not None
     }
-    for r in rows[:20]:
-        b = payloads[r.media_id]
-        start = r.frame_idx * 32
-        assert r.frame_sha256 == hashlib.sha256(b[start : start + 32]).hexdigest()
+    per_media: dict[int, list] = {}
+    for r in ok:
+        per_media.setdefault(r.media_id, []).append(r)
+    assert per_media
+    for mid, rows in per_media.items():
+        true_frames = ic.demux_avi_mjpeg(payloads[mid])
+        assert all(r.n_frames == len(true_frames) for r in rows)
+        assert len(rows) <= 3
+        for r in rows:
+            assert r.frame_idx % 2 == 0
+            fb = true_frames[r.frame_idx]
+            assert r.frame_sha256 == hashlib.sha256(fb).hexdigest()
+            assert (r.width, r.height) == ic.parse_jpeg_header(fb)[:2]
 
 
 def test_media_repartition_by_bytes(spark):
