@@ -389,3 +389,59 @@ def test_apply_dedup_chain_counts(spark):
     # semantic: survivors 1,4,5 — cosine(4,5)<0.92, cosine(1,4)=0 — none
     assert by["semantic"]["removed"] == 0
     assert sorted(r.doc_id for r in kept.collect()) == [1, 4, 5]
+
+
+def test_embedding_dedup_lsh_arrow_kernel(spark, vecs):
+    """The Arrow-GEMM hyperplane path is a valid LSH instance: its verified
+    pairs are a subset of the exact pairs, and identical-direction vectors
+    (which collide in EVERY band of any plane family) are always found."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dd.embedding_dedup_pairs(vecs, "vec_id", "embedding").collect()
+    }
+    arrow = {
+        (r.id_a, r.id_b)
+        for r in dd.embedding_dedup_pairs(
+            vecs, "vec_id", "embedding", use_lsh=True, n_planes=4, arrow=True
+        ).collect()
+    }
+    assert arrow <= exact
+    assert len(arrow) >= 1
+
+
+def test_dedup_chain_scale_config_recovers_planted_populations(spark):
+    """The 100 TB chain configuration (shingle k=9 inverted index with the
+    posting cap; semantic via Arrow-GEMM LSH with the bucket cap) must
+    recover the same planted duplicate populations as the exact-path chain:
+    every exact dup, every near twin (J≈0.9), and every shared-vector pair
+    — the miniature of the dedupchain scaling job with its in-run asserts."""
+    from pyspark.sql import functions as F
+
+    N = 2_000
+    def text(bid):
+        return F.array_join(F.transform(F.sequence(F.lit(0), F.lit(5)),
+            lambda j: F.conv(F.pmod(F.xxhash64(bid, j), F.lit(2_800_000_000_000)).cast("string"), 10, 36)), " ")
+    def vec(bid, perturb=False):
+        v = F.transform(F.sequence(F.lit(0), F.lit(63)),
+            lambda j: (F.pmod(F.xxhash64(bid, j + 1000), F.lit(2000)).cast("double") / 1000.0 - 1.0))
+        if perturb:
+            v = F.transform(v, lambda x, i: F.when(i == 0, x + F.lit(0.01)).otherwise(x))
+        return v
+    bid = F.when(F.col("id") % 101 == 0, F.col("id") + 1).otherwise(F.col("id"))
+    base = spark.range(N).select(F.col("id").alias("doc_id"), text(F.col("id")).alias("text"), vec(bid).alias("embedding"))
+    exact = spark.range(N // 20).select((F.col("id") + N).alias("doc_id"), text(F.col("id")).alias("text"), vec(F.col("id")).alias("embedding"))
+    twins = spark.range(N // 10).select((F.col("id") + 2 * N).alias("doc_id"),
+        F.concat(text(F.col("id") * 10), F.lit(" wx")).alias("text"),
+        vec(F.col("id") * 10, perturb=True).alias("embedding"))
+    df = base.unionByName(exact).unionByName(twins)
+    cfgs = [
+        dd.DedupConfig("exact"),
+        dd.DedupConfig("shingle", shingle_size=9, max_posting_df=1024),
+        dd.DedupConfig("semantic", lsh=True, n_planes=12, max_bucket_size=256, arrow=True),
+    ]
+    kept, stats = dd.dedup_pipeline(df, cfgs, "doc_id", "text", "embedding")
+    removed = [s["removed"] for s in stats]
+    assert removed[0] == N // 20
+    assert removed[1] == N // 10
+    assert removed[2] == (N - 1) // 101 + 1  # identical vectors: recall 1.0
+    assert kept.count() == N + N // 20 + N // 10 - sum(removed)
