@@ -13,7 +13,7 @@ Four jobs, covering the engine's distribution shapes:
   * ivf        — IVF approximate top-k over generated 64-d embeddings:
     bucketed similarity (centroid assign, probe join, per-query top-k);
   * dedupchain — the config-driven exact→shingle→semantic dedup chain over
-    1.15M docs with planted duplicate populations: stresses the parallel
+    2.9M docs with planted duplicate populations: stresses the parallel
     greedy first-kept-wins resolver (driver-round joins + localCheckpoint
     lifecycle) at 20× the oracle-query scale, with recovery asserted
     inside the timed run.
@@ -42,7 +42,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 N_DOCS = 50_000      # minhash input size (near-dup twin every 10th doc)
 N_VECS = 120_000     # ivf corpus size (64-d)
 N_QUERIES = 256
-N_CHAIN = 1_000_000  # dedupchain base docs (+5% exact dups, +10% near twins)
+N_CHAIN = 2_500_000  # dedupchain base docs (+5% exact dups, +10% near twins)
 # Input sizes are chosen so distributed work dominates the fixed per-run
 # serial floor (Catalyst optimization + py4j plan construction, measured
 # ~3 s for the deepest plans and INDEPENDENT of the master). At the round-2
@@ -180,24 +180,43 @@ elif job == "dedupchain":
     # lifecycle over ~150k planted duplicates.
     cfgs = [dd.DedupConfig("exact"),
             dd.DedupConfig("shingle", shingle_size=9, max_posting_df=1024),
-            dd.DedupConfig("semantic", lsh=True, n_planes=20,
+            # 22 planes = 4M buckets/band: keeps accidental-candidate
+            # volume (sum C(bucket,2)) linear in the corpus at 2.9M vectors
+            dd.DedupConfig("semantic", lsh=True, n_planes=22,
                            max_bucket_size=256, arrow=True)]
     expected = (N_CHAIN // 20, N_CHAIN // 10, N_CHAIN // 101 + 1)
-    def run_once():
-        kept, stats = dd.dedup_pipeline(df, cfgs, "doc_id", "text", "embedding")
+    def chain_run(frame, exp):
+        kept, stats = dd.dedup_pipeline(frame, cfgs, "doc_id", "text", "embedding")
         removed = tuple(s["removed"] for s in stats)
         # hard correctness gate inside the bench: every planted population
         # must be fully recovered (exact counts; semantic ±banding recall)
-        assert removed[0] == expected[0], (removed, expected)
-        assert removed[1] == expected[1], (removed, expected)
-        assert removed[2] >= int(0.95 * expected[2]), (removed, expected)
+        assert removed[0] == exp[0], (removed, exp)
+        assert removed[1] == exp[1], (removed, exp)
+        assert removed[2] >= int(0.95 * exp[2]), (removed, exp)
         spark.catalog.clearCache()
+    # Timed runs are cold (full runs are minutes), but whole-stage-codegen
+    # compilation + JIT (~20 s, master-independent) is warmed OUT of them by
+    # one chain run over a 20k-doc sample written with the same layout —
+    # identical plan shapes, two orders of magnitude cheaper. What remains
+    # in the timed number is the distributed work plus the driver-round
+    # floor the job exists to measure.
+    NW = 20_000
+    wpath = path + "_warm"
+    if not os.path.exists(wpath):
+        df.filter(F.col("doc_id") % (N_CHAIN // NW) == 0).write.mode(
+            "overwrite").parquet(wpath)
+    wdf = spark.read.parquet(wpath)
+    dd.dedup_pipeline(wdf, cfgs, "doc_id", "text", "embedding")  # warm JIT
+    spark.catalog.clearCache()
+    def run_once():
+        chain_run(df, expected)
 else:
     raise SystemExit(f"unknown job {{job}}")
 
 # warm-ups: whole-stage-codegen JIT needs real executions. The dedupchain
-# job runs COLD instead (0 warm-ups, 2 timed reps): a single rep is ~4-15
-# minutes, compile cost is <5% of it and identical across masters.
+# job instead warms JIT/codegen with one chain run over a 20k-doc sample
+# (full-size warm-ups would cost ~15 min each at local[2]) and times 2
+# full reps, best-of-2.
 n_warm, n_reps = (0, 2) if job == "dedupchain" else (2, 3)
 for _ in range(n_warm):
     run_once()
@@ -268,8 +287,8 @@ JOB_DESC = {
                   f"{N_CHAIN:,} docs + 5% exact dups + 10% near twins + ~1% "
                   f"shared-vector pairs; every stage resolves drops through "
                   f"greedy_first_wins_drops (planted-population recovery "
-                  f"asserted inside the timed run); cold protocol (0 warm-ups, "
-                  f"best of 2 reps)",
+                  f"asserted inside the timed run); JIT warmed on a 20k-doc "
+                  f"sample, best of 2 full reps",
 }
 
 
