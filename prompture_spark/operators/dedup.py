@@ -192,6 +192,128 @@ def minhash_signature(sh_col: Column, n_hashes: int, seed: int = 42) -> Column:
     return F.array(*[_min_hash(sh_col, seed + i) for i in range(n_hashes)])
 
 
+def _minhash_band_entries_expr(
+    sh: DataFrame, n_hashes: int, bands: int, seed: int
+) -> DataFrame:
+    """(_id, band, bh) banded-signature entries via Catalyst expressions:
+    n_hashes array passes (array_min ∘ transform ∘ xxhash64) then per-band
+    xxhash64 folds. Pure codegen — but the generated function is large, so
+    the FIRST run pays several seconds of Janino compile; steady-state
+    pipelines amortize that, cold single-shot jobs should prefer the Arrow
+    twin below (bit-identical output)."""
+    rows_per_band = n_hashes // bands
+    sig = sh.select(
+        "_id", minhash_signature(F.col("_sh"), n_hashes, seed).alias("_sig")
+    )
+    return sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("_sig", bi * rows_per_band + ri + 1)
+                                for ri in range(rows_per_band)
+                            ]
+                        ).alias("bh"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select("_id", "_b.band", "_b.bh")
+
+
+def _minhash_band_entries_arrow(
+    sh: DataFrame, n_hashes: int, bands: int, seed: int
+) -> DataFrame:
+    """(_id, band, bh) banded-signature entries via one Arrow-batched numpy
+    pass — BIT-IDENTICAL to `_minhash_band_entries_expr` (pinned in
+    test_dedup_similarity): the kernel replicates Spark's XXH64
+    (catalyst XXH64.java `hashLong`/`hashInt`, public Apache source) over
+    the flattened shingle-hash arrays, takes per-doc segmented SIGNED mins
+    (Spark `array_min` on bigint compares signed), and folds band hashes
+    with the same seed-42 multi-arg chain `F.xxhash64` generates.
+
+    Why it exists: the expression twin's generated code is huge (n_hashes
+    array passes), so a cold run pays ~6 s of Janino compile before any row
+    moves; the kernel's plan is one `mapInPandas` and the numpy work is
+    ~10 vector ops per seed over the flat shingle array. Same output, no
+    compile cliff — the right default for single-shot batch dedup."""
+    id_sql = sh.schema["_id"].dataType.simpleString()
+    rows_per_band = n_hashes // bands
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        np.seterr(over="ignore")
+        U = np.uint64
+        P1 = U(0x9E3779B185EBCA87)
+        P2 = U(0xC2B2AE3D27D4EB4F)
+        P3 = U(0x165667B19E3779F9)
+        P4 = U(0x85EBCA77C2B2AE63)
+        P5 = U(0x27D4EB2F165667C5)
+
+        def rotl(x, r):
+            r = U(r)
+            return (x << r) | (x >> (U(64) - r))
+
+        def fmix(h):
+            h ^= h >> U(33)
+            h = h * P2
+            h ^= h >> U(29)
+            h = h * P3
+            h ^= h >> U(32)
+            return h
+
+        def hash_long(v, s):
+            h = s + P5 + U(8)
+            h = h ^ (rotl(v * P2, 31) * P1)
+            h = rotl(h, 27) * P1 + P4
+            return fmix(h)
+
+        def hash_int(v, s):
+            # Python int literals 42..73 lower to IntegerType, so the
+            # expression path hashes the seed via the 4-byte XXH64 tail —
+            # replicate exactly or every signature diverges.
+            h = s + P5 + U(4)
+            h = h ^ ((v & U(0xFFFFFFFF)) * P1)
+            h = rotl(h, 23) * P2 + P3
+            return fmix(h)
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            lists = [np.asarray(x, dtype=np.int64) for x in pdf["_sh"]]
+            lens = np.fromiter((len(x) for x in lists), dtype=np.int64, count=len(lists))
+            flat = np.concatenate(lists).view(U)
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            base = hash_long(flat, U(42))  # xxhash64(shingle) with default seed
+            sigs_u = np.empty((len(lens), n_hashes), dtype=U)
+            for i in range(n_hashes):
+                h = hash_int(U(seed + i), base).view(np.int64)
+                sigs_u[:, i] = np.minimum.reduceat(h, starts).view(U)
+            bhs = np.empty((len(lens), bands), dtype=U)
+            for bi in range(bands):
+                h = np.full(len(lens), U(42))
+                for ri in range(rows_per_band):
+                    h = hash_long(np.ascontiguousarray(sigs_u[:, bi * rows_per_band + ri]), h)
+                bhs[:, bi] = h
+            yield pd.DataFrame(
+                {
+                    "_id": np.repeat(pdf["_id"].to_numpy(), bands),
+                    "band": np.tile(np.arange(bands, dtype="int32"), len(lens)),
+                    "bh": bhs.reshape(-1).view(np.int64),
+                }
+            )
+
+    return sh.select("_id", "_sh").mapInPandas(gen, f"_id {id_sql}, band int, bh bigint")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -202,6 +324,7 @@ def minhash_lsh_pairs(
     threshold: float = JACCARD_THRESHOLD,
     seed: int = 42,
     max_bucket_size: int | None = 64,
+    arrow: bool = False,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding + exact-Jaccard verification.
 
@@ -213,8 +336,11 @@ def minhash_lsh_pairs(
     oversized bucket means that band is non-discriminative for the corpus
     (boilerplate/templated text); true near-dups still meet in their other,
     discriminative bands. Without the cap a degenerate corpus turns candidate
-    generation O(n²) — the standard web-dedup guard. None = uncapped."""
-    rows_per_band = n_hashes // bands
+    generation O(n²) — the standard web-dedup guard. None = uncapped.
+
+    ``arrow`` switches signature+banding to the Arrow numpy kernel — output
+    is BIT-IDENTICAL (same XXH64 family), but a cold run skips the ~6 s
+    Janino compile of the n_hashes-pass generated expression."""
     # persist: feeds the signature branch AND both exact-verification sides;
     # hashed shingles (longs) keep the cache and shuffles compact.
     # spread first: the 32 seeded hash passes are the dominant CPU and must
@@ -225,23 +351,10 @@ def minhash_lsh_pairs(
         .filter(F.size("_sh") > 0)
         .persist()
     )
-    sig = sh.select("_id", "_sh", minhash_signature(F.col("_sh"), n_hashes, seed).alias("_sig"))
-    band_entries = sig.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            *[F.element_at("_sig", bi * rows_per_band + ri + 1) for ri in range(rows_per_band)]
-                        ).alias("bh"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("_b"),
-    ).select("_id", "_b.band", "_b.bh")
+    if arrow:
+        band_entries = _minhash_band_entries_arrow(sh, n_hashes, bands, seed)
+    else:
+        band_entries = _minhash_band_entries_expr(sh, n_hashes, bands, seed)
     if max_bucket_size is not None:
         sizes_ok = (
             band_entries.groupBy("band", "bh")
@@ -733,7 +846,12 @@ def apply_dedup(
         thr = config.threshold if config.threshold is not None else JACCARD_THRESHOLD
         if config.minhash:
             pairs = minhash_lsh_pairs(
-                nonempty, id_col, "_normkey", k=config.shingle_size, threshold=thr
+                nonempty,
+                id_col,
+                "_normkey",
+                k=config.shingle_size,
+                threshold=thr,
+                arrow=config.arrow,
             )
         else:
             pairs = ngram_jaccard_pairs(

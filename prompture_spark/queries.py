@@ -537,7 +537,9 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("minhash_lsh_pairs")  # approximate recall — verified in pytest instead
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.minhash_lsh_pairs(_aug_docs(spark, sf_dir), "doc_id", "text")
+    # arrow=True: bit-identical output (test_dedup_similarity pins it) but a
+    # cold run skips the ~6 s Janino compile of the 32-pass signature expr.
+    return dd.minhash_lsh_pairs(_aug_docs(spark, sf_dir), "doc_id", "text", arrow=True)
 
 
 @register("simhash_pairs")  # engine-specific hash — verified in pytest

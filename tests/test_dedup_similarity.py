@@ -445,3 +445,39 @@ def test_dedup_chain_scale_config_recovers_planted_populations(spark):
     assert removed[1] == N // 10
     assert removed[2] == (N - 1) // 101 + 1  # identical vectors: recall 1.0
     assert kept.count() == N + N // 20 + N // 10 - sum(removed)
+
+
+def test_minhash_arrow_band_entries_bit_identical(spark):
+    # The Arrow kernel replicates Spark's XXH64 (hashLong + the hashInt path
+    # the IntegerType seed literals take) — band entries must match the
+    # expression path BIT-FOR-BIT, not just set-approximately.
+    rows = [
+        (i, f"document number {i} with some shared boilerplate text and tail {i % 7}")
+        for i in range(60)
+    ] + [(100 + i, f"document number {i} with some shared boilerplate text and tail {i % 7}!") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = df.select(
+        F.col("doc_id").alias("_id"), dd.shingle_hashes("text", 5).alias("_sh")
+    ).filter(F.size("_sh") > 0)
+    expr = {
+        (r._id, r.band, r.bh)
+        for r in dd._minhash_band_entries_expr(sh, 32, 8, 42).collect()
+    }
+    arrow = {
+        (r._id, r.band, r.bh)
+        for r in dd._minhash_band_entries_arrow(sh, 32, 8, 42).collect()
+    }
+    assert expr == arrow
+    assert len(arrow) == 80 * 8
+
+
+def test_minhash_arrow_pairs_equal_expression_pairs(spark, docs):
+    base = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dd.minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    }
+    arrow = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dd.minhash_lsh_pairs(docs, "doc_id", "text", arrow=True).collect()
+    }
+    assert base == arrow
