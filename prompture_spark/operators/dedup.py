@@ -106,6 +106,43 @@ def shingle_hashes(col: Column | str, k: int = SHINGLE_K) -> Column:
     )
 
 
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Distinct word k-grams of lower-cased whitespace-tokenized text
+    (array<string>, words joined by single spaces).
+
+    The scale alternative to char shingles: at web scale the char-5 space
+    (36^5) saturates — random collisions alone emit ~Σdf² accidental
+    candidate pairs — while word 3-grams draw from an effectively unbounded
+    vocabulary, so posting lists stay selective without a df cap. Texts
+    shorter than k words collapse to one whole-text shingle, mirroring the
+    char variant's short-text case (and the reference's `len(padded) < k`
+    branch, dataset/dedup.py:108-115)."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    toks = F.filter(F.split(c, r"\s+"), lambda x: x != "")
+    n = F.size(toks) - (k - 1)
+    return (
+        F.when(
+            n >= 1,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+                )
+            ),
+        )
+        .when(F.size(toks) > 0, F.array(F.concat_ws(" ", toks)))
+        .otherwise(F.array().cast("array<string>"))  # token-free text: no shingles
+    )
+
+
+def word_shingle_hashes(col: Column | str, k: int = 3) -> Column:
+    """Distinct 64-bit hashes of the word k-grams (array<bigint>) — same
+    8-byte-per-shingle rationale as `shingle_hashes`."""
+    return F.array_distinct(
+        F.transform(word_shingles(col, k), lambda s: F.xxhash64(s))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -140,6 +177,34 @@ def ngram_jaccard_pairs(
         .filter(F.size("_sh") > 0)
         .persist()
     )
+    return _jaccard_pairs_from_sh(sh, threshold, max_posting_df)
+
+
+def word_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = JACCARD_THRESHOLD,
+    max_posting_df: int | None = None,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with word-k-gram Jaccard ≥ threshold — the
+    `ngram_jaccard_pairs` twin over `word_shingles` (see there for why word
+    grams are the selective candidate space at corpus scale)."""
+    sh = (
+        spread_for_compute(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t")))
+        .select("_id", word_shingle_hashes("_t", k).alias("_sh"))
+        .filter(F.size("_sh") > 0)
+        .persist()
+    )
+    return _jaccard_pairs_from_sh(sh, threshold, max_posting_df)
+
+
+def _jaccard_pairs_from_sh(
+    sh: DataFrame, threshold: float, max_posting_df: int | None
+) -> DataFrame:
+    """Shared inverted-index core: posting-list candidate join (optionally
+    df-capped) + exact-Jaccard verification over (_id, _sh) frames."""
     posts = sh.select("_id", F.explode("_sh").alias("_s"))
     if max_posting_df is not None:
         rare = (

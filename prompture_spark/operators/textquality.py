@@ -643,6 +643,33 @@ def token_count_bpe_ish(col: Column | str) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(_BPE_ISH), 0))
 
 
+def term_document_frequency(
+    df: DataFrame, id_col: str, text_col: str, min_df: int = 1
+) -> DataFrame:
+    """Corpus vocabulary table: (term, tf, df) for every lower-cased
+    ``\\W+``-delimited term — the building block for stopword discovery,
+    TF-IDF weighting, and df-capped candidate generation (the
+    ``max_posting_df`` knob's input is exactly this table's ``df``).
+
+    One explode + one hash-aggregate; ``tf`` is total occurrences, ``df``
+    counts distinct documents. At 100 TB the aggregate partial-combines
+    map-side (terms repeat heavily within a partition) and ``min_df``
+    prunes the hapax tail — typically >50% of the vocabulary — before the
+    result is collected or joined anywhere."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\W+"), lambda x: x != ""
+    )
+    exploded = df.select(F.col(id_col).alias("_doc"), F.explode(toks).alias("term"))
+    return (
+        exploded.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.count_distinct(F.col("_doc")).alias("df"),
+        )
+        .filter(F.col("df") >= min_df)
+    )
+
+
 # ---------------------------------------------------------------- language
 
 _STOPWORDS = {

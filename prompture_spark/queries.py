@@ -535,6 +535,43 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(_aug_docs(spark, sf_dir), "doc_id", "text")
 
 
+_WORD_JACCARD_ORACLE = (
+    _AUG_DOCS_CTE
+    + r"""
+, toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS l
+  FROM aug
+),
+sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+           unnest([array_to_string(l[i:i+2], ' ') FOR i IN range(1, len(l) - 1)]) AS s
+    FROM toks WHERE len(l) >= 3
+    UNION ALL
+    SELECT doc_id, array_to_string(l, ' ') AS s
+    FROM toks WHERE len(l) BETWEEN 1 AND 2
+  )
+),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(c AS DOUBLE) / (na.n + nb.n - c), 6) AS jaccard
+FROM inter JOIN sz na ON id_a = na.doc_id JOIN sz nb ON id_b = nb.doc_id
+WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.8
+"""
+)
+
+
+@register("word_jaccard_pairs", _WORD_JACCARD_ORACLE)
+def q_word_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.word_jaccard_pairs(_aug_docs(spark, sf_dir), "doc_id", "text")
+
+
 @register("minhash_lsh_pairs")  # approximate recall — verified in pytest instead
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # arrow=True: bit-identical output (test_dedup_similarity pins it) but a
@@ -643,6 +680,23 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         tq.token_count_ws("text").cast("long").alias("n_ws"),
         tq.token_count_bpe_ish("text").cast("long").alias("n_bpe"),
     )
+
+
+_TERM_DF_ORACLE = r"""
+SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df FROM (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')) AS term
+  FROM documents
+)
+GROUP BY term
+HAVING count(DISTINCT doc_id) >= 10
+"""
+
+
+@register("term_df_stats", _TERM_DF_ORACLE)
+def q_term_df_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tq.term_document_frequency(docs, "doc_id", "text", min_df=10)
 
 
 def _quality_oracle() -> str:

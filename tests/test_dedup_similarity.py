@@ -481,3 +481,30 @@ def test_minhash_arrow_pairs_equal_expression_pairs(spark, docs):
         for r in dd.minhash_lsh_pairs(docs, "doc_id", "text", arrow=True).collect()
     }
     assert base == arrow
+
+
+def test_word_shingles_edges(spark):
+    df = spark.createDataFrame(
+        [(1, "Alpha Beta Gamma Delta"), (2, "one two"), (3, "   "), (4, "solo")],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r.s for r in df.select("doc_id", dd.word_shingles("text", 3).alias("s")).collect()}
+    assert rows[1] == ["alpha beta gamma", "beta gamma delta"]
+    assert rows[2] == ["one two"]          # < k words: whole text
+    assert rows[3] == []                   # token-free: no shingles
+    assert rows[4] == ["solo"]
+
+
+def test_word_jaccard_finds_near_dups(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog yesterday"),
+            (3, "an entirely different sentence about database engines"),
+        ],
+        "doc_id int, text string",
+    )
+    pairs = dd.word_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.5).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+    # 8 shingles each, 7 shared -> 7/9
+    assert abs(pairs[0].jaccard - 7 / 9) < 1e-6

@@ -192,3 +192,16 @@ def test_quality_score_ranges(spark):
     rich = one(spark, tq.quality_score("v"), "the cat sat on the mat and it is a fine day for all of us " * 8)
     poor = one(spark, tq.quality_score("v"), "@#$% ^&*")
     assert rich > poor
+
+
+def test_term_document_frequency(spark):
+    from prompture_spark.operators import textquality as tq
+
+    df = spark.createDataFrame(
+        [(1, "Spark and spark again"), (2, "spark rules"), (3, "other words")],
+        "doc_id int, text string",
+    )
+    out = {r.term: (r.tf, r.df) for r in tq.term_document_frequency(df, "doc_id", "text").collect()}
+    assert out["spark"] == (3, 2)   # tf counts repeats, df distinct docs
+    assert out["and"] == (1, 1)
+    assert tq.term_document_frequency(df, "doc_id", "text", min_df=2).count() == 1
