@@ -242,6 +242,87 @@ def _jaccard_pairs_from_sh(
     return jac.select("id_a", "id_b", F.round("_j", 6).alias("jaccard"))
 
 
+def contamination_pairs(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = SHINGLE_K,
+    threshold: float = JACCARD_THRESHOLD,
+    words: bool = False,
+    max_posting_df: int | None = None,
+) -> DataFrame:
+    """Train/eval decontamination: (eval_id, corpus_id, jaccard) for every
+    cross-corpus pair with shingle-Jaccard ≥ threshold — the standard
+    pre-training hygiene pass that drops training docs near-duplicating a
+    benchmark/eval set.
+
+    The shape is deliberately asymmetric: the eval side is small (10³-10⁵
+    docs) while the corpus is the 100 TB side, so the eval posting table is
+    BROADCAST and the corpus posting stream hash-joins it map-side — the
+    corpus is never shuffled. Shingle arrays are distinct, so the per-pair
+    match count IS |A∩B|, and both set sizes ride along the posting rows;
+    Jaccard = c/(na+nb−c) falls out of one groupBy over candidate pairs
+    (the only wide operation, sized by true overlap, not corpus size).
+
+    ``max_posting_df`` drops corpus-boilerplate shingles (df > cap) from
+    candidate generation; because that undercounts intersections, capped
+    runs re-verify survivors-of-candidacy with the exact Jaccard over full
+    shingle sets, same contract as `ngram_jaccard_pairs`."""
+    hasher = word_shingle_hashes if words else shingle_hashes
+    ev = (
+        eval_df.select(F.col(id_col).alias("eval_id"), F.col(text_col).alias("_t"))
+        .select("eval_id", hasher("_t", k).alias("_sh"))
+        .filter(F.size("_sh") > 0)
+    )
+    co = (
+        spread_for_compute(
+            corpus.select(F.col(id_col).alias("corpus_id"), F.col(text_col).alias("_t"))
+        )
+        .select("corpus_id", hasher("_t", k).alias("_sh"))
+        .filter(F.size("_sh") > 0)
+    )
+    ev_posts = ev.select("eval_id", F.size("_sh").alias("_na"), F.explode("_sh").alias("_s"))
+    co_posts = co.select("corpus_id", F.size("_sh").alias("_nb"), F.explode("_sh").alias("_s"))
+    if max_posting_df is None:
+        hits = co_posts.join(F.broadcast(ev_posts), "_s")
+        agg = hits.groupBy("eval_id", "corpus_id", "_na", "_nb").agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        jac = agg.select(
+            "eval_id",
+            "corpus_id",
+            (F.col("_c") / (F.col("_na") + F.col("_nb") - F.col("_c"))).alias("_j"),
+        ).filter(F.col("_j") >= threshold)
+        return jac.select("eval_id", "corpus_id", F.round("_j", 6).alias("jaccard"))
+    rare = (
+        co_posts.groupBy("_s")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_posting_df)
+        .select("_s")
+    )
+    cands = (
+        co_posts.join(rare, "_s", "left_semi")
+        .join(F.broadcast(ev_posts.select("eval_id", "_s")), "_s")
+        .select("eval_id", "corpus_id")
+        .distinct()
+    )
+    verified = (
+        cands.join(ev.select("eval_id", F.col("_sh").alias("_sha")), "eval_id")
+        .join(co.select("corpus_id", F.col("_sh").alias("_shb")), "corpus_id")
+        .select(
+            "eval_id",
+            "corpus_id",
+            (
+                F.size(F.array_intersect("_sha", "_shb"))
+                / F.size(F.array_union("_sha", "_shb"))
+            ).alias("_j"),
+        )
+        .filter(F.col("_j") >= threshold)
+    )
+    return verified.select("eval_id", "corpus_id", F.round("_j", 6).alias("jaccard"))
+
+
 # ------------------------------------------------------------- MinHash LSH
 
 

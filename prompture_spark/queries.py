@@ -572,6 +572,47 @@ def q_word_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.word_jaccard_pairs(_aug_docs(spark, sf_dir), "doc_id", "text")
 
 
+_CONTAMINATION_ORACLE = r"""
+WITH ev AS (
+  SELECT doc_id + 100000 AS doc_id, text || ' tailword' AS text
+  FROM documents WHERE doc_id % 10 = 0
+),
+pc AS (SELECT doc_id, '  ' || lower(text) || '  ' AS ptext FROM documents),
+pe AS (SELECT doc_id, '  ' || lower(text) || '  ' AS ptext FROM ev),
+shc AS (
+  SELECT DISTINCT doc_id, substr(ptext, CAST(i AS INT), 5) AS s
+  FROM pc, range(1, 8192) r(i) WHERE i <= length(ptext) - 4
+),
+she AS (
+  SELECT DISTINCT doc_id, substr(ptext, CAST(i AS INT), 5) AS s
+  FROM pe, range(1, 8192) r(i) WHERE i <= length(ptext) - 4
+),
+szc AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
+sze AS (SELECT doc_id, count(*) AS n FROM she GROUP BY 1),
+inter AS (
+  SELECT e.doc_id AS eval_id, c.doc_id AS corpus_id, count(*) AS c
+  FROM she e JOIN shc c ON e.s = c.s
+  GROUP BY 1, 2
+)
+SELECT eval_id, corpus_id,
+       round(CAST(c AS DOUBLE) / (ne.n + nc.n - c), 6) AS jaccard
+FROM inter
+JOIN sze ne ON eval_id = ne.doc_id
+JOIN szc nc ON corpus_id = nc.doc_id
+WHERE CAST(c AS DOUBLE) / (ne.n + nc.n - c) >= 0.8
+"""
+
+
+@register("contamination_pairs", _CONTAMINATION_ORACLE)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    ev = corpus.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tailword")).alias("text"),
+    )
+    return dd.contamination_pairs(corpus, ev, "doc_id", "text")
+
+
 @register("minhash_lsh_pairs")  # approximate recall — verified in pytest instead
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # arrow=True: bit-identical output (test_dedup_similarity pins it) but a

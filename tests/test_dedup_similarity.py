@@ -508,3 +508,25 @@ def test_word_jaccard_finds_near_dups(spark):
     assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
     # 8 shingles each, 7 shared -> 7/9
     assert abs(pairs[0].jaccard - 7 / 9) < 1e-6
+
+
+def test_contamination_pairs_cross_corpus(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "a completely unrelated training document about engines"),
+            (3, "another unrelated doc concerning weather patterns"),
+        ],
+        "doc_id int, text string",
+    )
+    ev = spark.createDataFrame(
+        [(101, "the quick brown fox jumps over the lazy dog!"), (102, "benchmark prompt nothing shares")],
+        "doc_id int, text string",
+    )
+    got = dd.contamination_pairs(corpus, ev, "doc_id", "text").collect()
+    assert {(r.eval_id, r.corpus_id) for r in got} == {(101, 1)}
+    # capped path re-verifies with exact Jaccard -> identical values
+    capped = dd.contamination_pairs(corpus, ev, "doc_id", "text", max_posting_df=1000).collect()
+    assert {(r.eval_id, r.corpus_id, r.jaccard) for r in capped} == {
+        (r.eval_id, r.corpus_id, r.jaccard) for r in got
+    }
