@@ -56,6 +56,40 @@ def brute_force_topk(
     )
 
 
+def embedding_contamination_pairs(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.92,
+) -> DataFrame:
+    """Semantic train/eval decontamination: every (eval_id, corpus_id) pair
+    with cosine ≥ threshold — the embedding twin of the shingle-based
+    `contamination_pairs` (range search, not top-k: leakage wants ALL hits
+    above the bar, however many).
+
+    Same asymmetric-scale shape as `brute_force_topk`: the small eval side
+    broadcasts, the corpus streams map-side and never shuffles; there is no
+    wide operation at all — the output IS the filtered join. The comparison
+    uses the 6dp-rounded cosine so borderline behavior is reproducible
+    across engines (and matches the DuckDB oracle exactly)."""
+    from prompture_spark.operators.dedup import spread_for_compute
+
+    c = spread_for_compute(
+        corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("_cv"))
+    )
+    q = eval_df.select(F.col(id_col).alias("eval_id"), F.col(vec_col).alias("_qv"))
+    return (
+        c.join(F.broadcast(q))
+        .select(
+            "eval_id",
+            "corpus_id",
+            F.round(cosine_sim(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def _centroids(corpus: DataFrame, id_col: str, vec_col: str, n_centroids: int) -> DataFrame:
     """Deterministic centroid set: the n corpus vectors with the smallest
     seeded hash of their id (a uniform sample, stable across runs)."""

@@ -693,6 +693,28 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
+_EMB_CONTAMINATION_ORACLE = """
+WITH ev AS (
+  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0
+),
+scored AS (
+  SELECT e.vec_id AS eval_id, c.vec_id AS corpus_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+  FROM embeddings c, ev e
+)
+SELECT eval_id, corpus_id, cosine FROM scored WHERE cosine >= 0.92
+"""
+
+
+@register("embedding_contamination_pairs", _EMB_CONTAMINATION_ORACLE)
+def q_embedding_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ev = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    return sim.embedding_contamination_pairs(emb, ev, "vec_id", "embedding")
+
+
 @register("ann_cosine_topk_ivf")  # approximate probing — pytest checks recall
 def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")

@@ -530,3 +530,15 @@ def test_contamination_pairs_cross_corpus(spark):
     assert {(r.eval_id, r.corpus_id, r.jaccard) for r in capped} == {
         (r.eval_id, r.corpus_id, r.jaccard) for r in got
     }
+
+
+def test_embedding_contamination_range_search(spark):
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0]), (3, [0.9, 0.1, 0.0])],
+        "vec_id int, embedding array<float>",
+    )
+    ev = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0])], "vec_id int, embedding array<float>"
+    )
+    got = {(r.eval_id, r.corpus_id) for r in sim.embedding_contamination_pairs(corpus, ev, threshold=0.9).collect()}
+    assert got == {(100, 1), (100, 3)}  # orthogonal vec 2 excluded
