@@ -154,3 +154,21 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path_factory):
         assert joined.count() == df.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+
+
+def test_contamination_broadcasts_eval_not_corpus(spark, sf_small):
+    from prompture_spark.operators.dedup import contamination_pairs
+    from prompture_spark.operators.similarity import embedding_contamination_pairs
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").select("doc_id", "text")
+    ev = docs.limit(5)
+    p = plan_of(contamination_pairs(docs, ev, "doc_id", "text"))
+    # eval postings broadcast; the corpus never sort-merge shuffles
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    evv = emb.limit(5)
+    p2 = plan_of(embedding_contamination_pairs(emb, evv))
+    assert "BroadcastHashJoin" in p2 or "BroadcastNestedLoopJoin" in p2
+    assert "SortMergeJoin" not in p2
