@@ -106,14 +106,17 @@ def shingle_hashes(col: Column | str, k: int = SHINGLE_K) -> Column:
     )
 
 
-def word_shingles(col: Column | str, k: int = 3) -> Column:
+def word_shingles(col: Column | str, k: int = 5) -> Column:
     """Distinct word k-grams of lower-cased whitespace-tokenized text
     (array<string>, words joined by single spaces).
 
     The scale alternative to char shingles: at web scale the char-5 space
     (36^5) saturates — random collisions alone emit ~Σdf² accidental
-    candidate pairs — while word 3-grams draw from an effectively unbounded
-    vocabulary, so posting lists stay selective without a df cap. Texts
+    candidate pairs — while word k-grams draw from an effectively unbounded
+    vocabulary, so posting lists stay selective without a df cap. k=5
+    default (web-dedup practice is 5-13; template-heavy corpora need k ≥ 5 —
+    measured here, 3-grams over templated synthetic docs hit max-df 29 /
+    Σdf² 3.4M while 5-grams stay at max-df 7 / Σdf² 360k). Texts
     shorter than k words collapse to one whole-text shingle, mirroring the
     char variant's short-text case (and the reference's `len(padded) < k`
     branch, dataset/dedup.py:108-115)."""
@@ -135,7 +138,7 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
     )
 
 
-def word_shingle_hashes(col: Column | str, k: int = 3) -> Column:
+def word_shingle_hashes(col: Column | str, k: int = 5) -> Column:
     """Distinct 64-bit hashes of the word k-grams (array<bigint>) — same
     8-byte-per-shingle rationale as `shingle_hashes`."""
     return F.array_distinct(
@@ -184,7 +187,7 @@ def word_jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    k: int = 3,
+    k: int = 5,
     threshold: float = JACCARD_THRESHOLD,
     max_posting_df: int | None = None,
 ) -> DataFrame:

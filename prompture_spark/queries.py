@@ -546,11 +546,11 @@ _WORD_JACCARD_ORACLE = (
 sh AS (
   SELECT DISTINCT doc_id, s FROM (
     SELECT doc_id,
-           unnest([array_to_string(l[i:i+2], ' ') FOR i IN range(1, len(l) - 1)]) AS s
-    FROM toks WHERE len(l) >= 3
+           unnest([array_to_string(l[i:i+4], ' ') FOR i IN range(1, len(l) - 3)]) AS s
+    FROM toks WHERE len(l) >= 5
     UNION ALL
     SELECT doc_id, array_to_string(l, ' ') AS s
-    FROM toks WHERE len(l) BETWEEN 1 AND 2
+    FROM toks WHERE len(l) BETWEEN 1 AND 4
   )
 ),
 sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
