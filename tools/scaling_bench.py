@@ -43,6 +43,7 @@ N_DOCS = 50_000      # minhash input size (near-dup twin every 10th doc)
 N_VECS = 120_000     # ivf corpus size (64-d)
 N_QUERIES = 256
 N_CHAIN = 2_500_000  # dedupchain base docs (+5% exact dups, +10% near twins)
+N_CONTAM = 500_000   # contamination corpus docs (eval: 1000 twins + 1000 unrelated)
 # Input sizes are chosen so distributed work dominates the fixed per-run
 # serial floor (Catalyst optimization + py4j plan construction, measured
 # ~3 s for the deepest plans and INDEPENDENT of the master). At the round-2
@@ -70,6 +71,7 @@ N_DOCS = {n_docs}
 N_VECS = {n_vecs}
 N_QUERIES = {n_queries}
 N_CHAIN = {n_chain}
+N_CONTAM = {n_contam}
 
 def gen_docs():
     # 40 pseudo-words from a 40k vocabulary (distinct docs stay below the
@@ -210,6 +212,39 @@ elif job == "dedupchain":
     spark.catalog.clearCache()
     def run_once():
         chain_run(df, expected)
+elif job == "contam":
+    from prompture_spark.operators import dedup as dd
+    # corpus: 40 pseudo-words from a 40k vocabulary; eval: 1000 twins of
+    # corpus docs (one word appended -> word-5-gram J = 36/38) + 1000 docs
+    # from a DISJOINT "e" vocabulary (zero shared grams, zero candidates).
+    # Word shingles (words=True): selective posting lists by construction —
+    # this is the new-op scale path under test, and the whole job is
+    # map-side (broadcast eval postings) except the final candidate agg.
+    def contam_text(bid, prefix):
+        return F.array_join(F.transform(F.sequence(F.lit(0), F.lit(39)),
+            lambda j: F.concat(F.lit(prefix), F.pmod(F.xxhash64(bid, j), F.lit(40000)).cast("string"))), " ")
+    if not os.path.exists(path):
+        spark.range(N_CONTAM).select(F.col("id").alias("doc_id"),
+            contam_text(F.col("id"), "w").alias("text")
+        ).repartition(128).write.mode("overwrite").parquet(path)
+    epath = path + "_eval"
+    if not os.path.exists(epath):
+        twins = spark.range(1000).select(
+            (F.col("id") + 10 * N_CONTAM).alias("doc_id"),
+            F.concat(contam_text(F.col("id") * (N_CONTAM // 1000), "w"), F.lit(" wx")).alias("text"))
+        unrelated = spark.range(1000).select(
+            (F.col("id") + 20 * N_CONTAM).alias("doc_id"),
+            contam_text(F.col("id"), "e").alias("text"))
+        twins.unionByName(unrelated).coalesce(1).write.mode("overwrite").parquet(epath)
+    df = spark.read.parquet(path)
+    ev = spark.read.parquet(epath)
+    units = N_CONTAM
+    def run_once():
+        n = dd.contamination_pairs(df, ev, "doc_id", "text", words=True).count()
+        # hard correctness gate inside the bench: all 1000 planted twins
+        # recovered (exact candidate generation -> exact recall), nothing else
+        assert n == 1000, n
+        spark.catalog.clearCache()
 else:
     raise SystemExit(f"unknown job {{job}}")
 
@@ -233,7 +268,8 @@ print(json.dumps({{"job": job, "master": master, "sec": med, "all": times,
 
 def run(job: str, master: str, n_turns: int, path: str) -> dict:
     script = CHILD.format(repo=REPO, n_docs=N_DOCS, n_vecs=N_VECS,
-                           n_queries=N_QUERIES, n_chain=N_CHAIN)
+                           n_queries=N_QUERIES, n_chain=N_CHAIN,
+                           n_contam=N_CONTAM)
     out = subprocess.run(
         [sys.executable, "-c", script, job, master, str(n_turns), path],
         capture_output=True, text=True, timeout=3600,
@@ -281,6 +317,10 @@ JOB_DESC = {
     "ivf": f"IVF top-10 serving path (assign + probe-8 of 64 k-means centroids "
            f"+ rerank; index build offline) for {N_QUERIES} queries over "
            f"{N_VECS:,} generated 64-d embeddings",
+    "contam": f"train/eval decontamination (word-5-gram Jaccard, broadcast "
+              f"eval postings — corpus side never shuffles) of a 2,000-doc "
+              f"eval set against {N_CONTAM:,} generated corpus docs; "
+              f"1000-planted-twin recovery asserted inside the timed run",
     "dedupchain": f"config-driven dedup chain exact → shingle(k=9 inverted "
                   f"index, posting cap 1024) → semantic(Arrow-GEMM hyperplane "
                   f"LSH, 20 planes × 8 bands, bucket cap 256) over "
@@ -305,6 +345,7 @@ def main() -> None:
         "minhash": f"/tmp/prompture_bench/docs_pre_{N_DOCS}",
         "ivf": f"/tmp/prompture_bench/vecs_{N_VECS}",
         "dedupchain": f"/tmp/prompture_bench/chain_{N_CHAIN}",
+        "contam": f"/tmp/prompture_bench/contam_{N_CONTAM}",
     }
     ceil = cpu_ceiling()
     # results[job] = list of per-draw dicts; every draw reported, median graded
@@ -369,9 +410,11 @@ graded figures.
 The north rule requires throughput scaling efficiency ≥ 0.8 between N and 4N
 executors. No real cluster exists in the sandbox, so per the driver
 instruction the proxy is the same job on the same input at two parallelism
-levels (N and 4N cores). Three jobs cover the engine's distribution shapes:
+levels (N and 4N cores). The jobs cover the engine's distribution shapes:
 the flagship suite (scan + window + broadcast join), the shuffle-heaviest
-dedup operator (MinHash-LSH), and bucketed similarity search (IVF top-k).
+dedup operator (MinHash-LSH), bucketed similarity search (IVF top-k), the
+config-driven dedup chain with its iterative greedy resolver, and
+broadcast-map-side train/eval decontamination (word-5-gram Jaccard).
 
 Pure-CPU ceiling on this host this run (multiprocessing integer burn —
 the upper bound ANY parallel program reaches here):
