@@ -742,3 +742,74 @@ def encode_avi_mjpeg(
     movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
     riff_body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+# --------------------------------------------------------------- WAV (audio)
+
+
+def parse_wav(payload: bytes) -> tuple[int, int, int, int, bytes]:
+    """Parse a RIFF/WAVE PCM stream (the canonical uncompressed audio
+    container, Microsoft/IBM RIFF spec — same chunk grammar as the AVI
+    walker above): returns (sample_rate, channels, bits_per_sample,
+    n_frames, pcm_bytes). Integer PCM only (format tag 1, 8/16/32-bit);
+    anything else raises — compressed codecs route to error rows, the same
+    stub contract as non-baseline JPEG."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ImageDecodeError("not a RIFF/WAVE stream")
+    pos, end = 12, min(len(payload), 8 + struct.unpack("<I", payload[4:8])[0])
+    fmt = None
+    data = None
+    while pos + 8 <= end:
+        cid = payload[pos : pos + 4]
+        sz = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body = payload[pos + 8 : pos + 8 + sz]
+        if len(body) < sz:
+            raise ImageDecodeError("truncated WAV chunk")
+        if cid == b"fmt ":
+            if sz < 16:
+                raise ImageDecodeError("short fmt chunk")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)
+    if fmt is None or data is None:
+        raise ImageDecodeError("missing fmt/data chunk")
+    tag, channels, rate, _byte_rate, block_align, bits = fmt
+    if tag != 1:
+        raise ImageDecodeError(f"unsupported WAV format tag {tag} (PCM only)")
+    if bits not in (8, 16, 32) or channels < 1 or block_align == 0:
+        raise ImageDecodeError("malformed PCM parameters")
+    if block_align != channels * (bits // 8):
+        raise ImageDecodeError("block_align inconsistent with channels/bits")
+    return rate, channels, bits, len(data) // block_align, data
+
+
+def encode_wav_pcm16(sample_rate: int, channels: int, samples: list[int]) -> bytes:
+    """Minimal PCM16 WAVE writer (interleaved int16 samples) — fixture
+    builder and round-trip prover for `parse_wav`, same role encode_png
+    plays for decode_png."""
+    if len(samples) % channels:
+        raise ImageDecodeError("sample count not a multiple of channels")
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    block_align = channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * block_align, block_align, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+            + (b"\x00" if len(data) & 1 else b""))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def pcm_stats(bits: int, channels: int, pcm: bytes) -> tuple[float, int]:
+    """(rms, peak_abs) over all interleaved integer PCM samples. 8-bit WAV
+    is unsigned (centered at 128); 16/32-bit are signed little-endian."""
+    if bits == 8:
+        vals = [b - 128 for b in pcm]
+    else:
+        n = len(pcm) // (bits // 8)
+        vals = struct.unpack(f"<{n}{'h' if bits == 16 else 'i'}", pcm[: n * (bits // 8)])
+    if not vals:
+        return 0.0, 0
+    rms = (sum(v * v for v in vals) / len(vals)) ** 0.5
+    return rms, max(abs(v) for v in vals)

@@ -73,6 +73,21 @@ RESIZED_SCHEMA = T.StructType(
     ]
 )
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("bit_depth", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.IntegerType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
 FRAME_SAMPLE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -91,8 +106,9 @@ def _synth_payload(mid: int) -> tuple[str, bytes | None, str]:
     REAL bitstreams: even image ids a gradient PNG (filter 0/2 alternating,
     gray/RGB/RGBA), odd image ids a baseline grayscale JPEG with a full
     entropy scan (a slice stay header-only SOI+SOF streams to exercise the
-    null-luma fallback). Most video ids are real RIFF/AVI MJPEG containers;
-    the rest are opaque bytes (demux error routing). ~6% of payloads are
+    null-luma fallback). Most video ids are real RIFF/AVI MJPEG containers
+    and most audio ids real RIFF/WAVE PCM16 streams (hash-seeded samples);
+    the rest are opaque bytes (decode error routing). ~6% of payloads are
     null and a further slice are truncated PNGs, so the error-routing path
     is exercised by genuinely corrupt bytes."""
     h = hashlib.sha256(f"media-{mid}".encode()).digest()
@@ -148,8 +164,23 @@ def _synth_payload(mid: int) -> tuple[str, bytes | None, str]:
             for fi in range(nf)
         ]
         return kind, ic.encode_avi_mjpeg(frames, w, hh), "video/x-msvideo"
-    # audio + remaining video: opaque deterministic bytes (error-routing
-    # path for the demuxer), length varies (skew-realistic)
+    if kind == "audio" and h[4] % 3:
+        # real RIFF/WAVE PCM16 payload: deterministic hash-seeded samples
+        # (not a sine — exercises arbitrary PCM), occasional truncation for
+        # the error path
+        rate = (8000, 16000, 22050)[h[0] % 3]
+        channels = 1 + h[1] % 2
+        n_frames = 200 + (h[2] | (h[5] << 8)) % 1800
+        samples = [
+            ((mid * 31 + i * 2654435761) & 0xFFFF) - 32768
+            for i in range(n_frames * channels)
+        ]
+        payload = ic.encode_wav_pcm16(rate, channels, samples)
+        if h[6] % 13 == 0:  # truncated -> decode error row
+            payload = payload[: len(payload) // 2]
+        return kind, payload, "audio/wav"
+    # remaining audio + video: opaque deterministic bytes (error-routing
+    # path for the decoders), length varies (skew-realistic)
     n = 64 + (h[0] | (h[1] << 8)) % 4096
     payload = (h * (n // len(h) + 1))[:n]
     return kind, payload, "application/octet-stream"
@@ -242,6 +273,43 @@ def extract_image_features(df: DataFrame, batch_size: int = 512) -> DataFrame:
 
     return df.filter(F.col("kind") == "image").mapInPandas(
         _extract, IMAGE_FEATURES_SCHEMA
+    )
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """mapInPandas REAL audio decode for RIFF/WAVE PCM payloads →
+    (sample_rate, channels, bit_depth, n_frames, duration, RMS, peak,
+    content hash, error). The PCM stats come from the actual interleaved
+    samples (`imagecodec.parse_wav`/`pcm_stats`); compressed codecs and
+    corrupt bytes route to error rows so the stage survives any payload —
+    a production swap-in for more codecs replaces only the parse call."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    b = bytes(payload) if payload is not None else b""
+                    rate, ch, bits, n_frames, pcm = ic.parse_wav(b)
+                    rms, peak = ic.pcm_stats(bits, ch, pcm)
+                    out.append((
+                        mid, rate, ch, bits, n_frames,
+                        round(n_frames / rate, 6) if rate else None,
+                        round(rms, 6), peak,
+                        hashlib.sha256(b).hexdigest(), None,
+                    ))
+                except Exception as e:  # corrupt/non-WAV -> error row
+                    out.append((mid, None, None, None, None, None, None, None, None, str(e)))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "sample_rate", "channels", "bit_depth",
+                    "n_frames", "duration_s", "rms", "peak", "sha256", "error",
+                ],
+            )
+
+    return df.filter(F.col("kind") == "audio").mapInPandas(
+        _extract, AUDIO_FEATURES_SCHEMA
     )
 
 

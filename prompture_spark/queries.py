@@ -1533,6 +1533,17 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.extract_image_features(mm.media_repartition(media))
 
 
+@register("multimodal_audio_features")  # binary payloads — rows-only + pytest
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: synthetic real RIFF/WAVE PCM payloads -> mapInPandas REAL
+    decode (chunk walk + interleaved-sample stats, functions/imagecodec.py)
+    with compressed/corrupt payloads routed to error rows."""
+    from prompture_spark.operators import multimodal as mm
+
+    media = mm.synth_media(spark, 512)
+    return mm.extract_audio_features(mm.media_repartition(media))
+
+
 @register("multimodal_frame_samples")  # binary payloads — rows-only + pytest
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal: RIFF/AVI MJPEG demux -> true frame count, per-frame SOF
