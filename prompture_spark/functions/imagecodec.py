@@ -1,4 +1,5 @@
-"""Pure-stdlib image codecs for the multimodal pipeline.
+"""Pure-stdlib media codecs for the multimodal pipeline (PNG, baseline JPEG,
+RIFF/AVI MJPEG, RIFF/WAVE PCM).
 
 The container has no imaging library (no Pillow/ffmpeg), so the media
 operators (operators/multimodal.py) previously faked dimensions from a
@@ -25,6 +26,12 @@ the standard library alone:
     luminance for blockwise-constant images and a DC-grade approximation
     otherwise. Progressive/arithmetic streams raise (the feature stage
     falls back to header-only dims with null luma).
+  * ``decode_jpeg_gray`` — FULL baseline JPEG pixel decode of the luma
+    component: every coefficient entropy-decoded, zigzag-reordered,
+    dequantized, and run through a real separable 8×8 inverse DCT
+    (T.81 A.3.3). Grayscale JPEGs therefore decode to actual pixels
+    (feature luma + resize operate on samples); tests pin the IDCT against
+    an independently-written numpy reference.
   * ``encode_gray_jpeg`` — minimal matching encoder: blocky baseline
     grayscale (each 8×8 block encoded as its mean, DC + EOB only) with
     the JPEG Annex K luminance quant/Huffman tables — real standard
@@ -44,6 +51,7 @@ time through the Python UDF row path.
 
 from __future__ import annotations
 
+import math
 import struct
 import zlib
 
@@ -231,9 +239,11 @@ def parse_jpeg_header(payload: bytes) -> tuple[int, int, int]:
 
 
 def decode_image(payload: bytes) -> tuple[int, int, int, bytes | None]:
-    """Dispatch on magic bytes: full PNG decode (returns pixels) or JPEG
-    header parse (dimensions only, pixels None). Anything else is a decode
-    error routed to an error row by the caller."""
+    """Dispatch on magic bytes: full PNG decode (returns pixels), full
+    baseline grayscale-JPEG decode (IDCT — returns pixels), or JPEG header
+    parse for color/progressive streams (dimensions only, pixels None, the
+    caller falls back to the DC-pass luma). Anything else is a decode error
+    routed to an error row by the caller."""
     if not payload:
         raise ImageDecodeError("empty payload")
     if payload.startswith(PNG_SIGNATURE):
@@ -241,6 +251,11 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes | None]:
         return w, h, c, px
     if payload[:2] == b"\xff\xd8":
         w, h, c = parse_jpeg_header(payload)
+        if c == 1:
+            try:
+                return decode_jpeg_gray(payload)
+            except ImageDecodeError:
+                pass  # header-only / exotic stream: dims with luma fallback
         return w, h, c, None
     raise ImageDecodeError("unknown image format")
 
@@ -443,6 +458,14 @@ def decode_jpeg_dc(payload: bytes) -> tuple[int, int, int, float]:
 
 
 def _decode_jpeg_dc_inner(payload: bytes) -> tuple[int, int, int, float]:
+    frame, scan, quant, restart_interval, data_start = _parse_jpeg_to_scan(payload)
+    return _decode_scan_dc(payload, data_start, frame, scan, quant, restart_interval)
+
+
+def _parse_jpeg_to_scan(payload: bytes):
+    """Shared JPEG segment walk up to SOS: returns (frame, scan, quant,
+    restart_interval, data_start) for the entropy-decoding passes (DC-only
+    and full-IDCT) to consume."""
     if not payload or payload[:2] != b"\xff\xd8":
         raise ImageDecodeError("not a JPEG (missing SOI)")
     quant: dict[int, tuple] = {}
@@ -520,9 +543,7 @@ def _decode_jpeg_dc_inner(payload: bytes) -> tuple[int, int, int, float]:
             if len(scan) != len(comps):
                 raise ImageDecodeError("non-interleaved scans unsupported")
             data_start = pos + 2 + seglen
-            return _decode_scan_dc(
-                payload, data_start, frame, scan, quant, restart_interval
-            )
+            return frame, scan, quant, restart_interval, data_start
         pos += 2 + seglen
     raise ImageDecodeError("no SOS scan found")
 
@@ -587,6 +608,155 @@ def _decode_scan_dc(payload, data_start, frame, scan, quant, restart_interval):
     if not luma_weight:
         raise ImageDecodeError("no luma blocks decoded")
     return w, h, len(comps), luma_sum / luma_weight
+
+
+# T.81 Figure A.6 zigzag scan: natural (row-major v*8+u) index for each
+# zigzag position. DQT tables and entropy-coded coefficients are in zigzag
+# order; the IDCT wants natural order.
+JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+# Separable IDCT basis: _IDCT_M[u][x] = C(u)/2 · cos((2x+1)uπ/16)
+_IDCT_M = [
+    [
+        ((0.5 ** 0.5) if u == 0 else 1.0) * 0.5 * math.cos((2 * x + 1) * u * math.pi / 16)
+        for x in range(8)
+    ]
+    for u in range(8)
+]
+
+
+def _idct_block(coef: list[float]) -> list[float]:
+    """8×8 inverse DCT (T.81 A.3.3), separable two-pass form. ``coef`` is
+    natural order (v*8+u); returns 64 spatial samples BEFORE the +128 level
+    shift, row-major."""
+    M = _IDCT_M
+    # pass 1: rows (over u): tmp[v][x] = Σ_u M[u][x]·F[v][u]
+    tmp = [[0.0] * 8 for _ in range(8)]
+    for v in range(8):
+        base = v * 8
+        row = coef[base : base + 8]
+        tv = tmp[v]
+        for u in range(8):
+            f = row[u]
+            if f:
+                mu = M[u]
+                for x in range(8):
+                    tv[x] += f * mu[x]
+    # pass 2: columns (over v): out[y][x] = Σ_v M[v][y]·tmp[v][x]
+    out = [0.0] * 64
+    for v in range(8):
+        tv = tmp[v]
+        mv = M[v]
+        for y in range(8):
+            c = mv[y]
+            if c:
+                base = y * 8
+                for x in range(8):
+                    out[base + x] += c * tv[x]
+    return out
+
+
+def decode_jpeg_gray(payload: bytes) -> tuple[int, int, int, bytes]:
+    """FULL baseline JPEG decode of the luma component: Huffman entropy
+    decode of every coefficient, zigzag → natural reorder, dequantization
+    with the component's full quant table, and a real 8×8 inverse DCT per
+    block (T.81 A.3.3) — pixels, not just the DC means `decode_jpeg_dc`
+    stops at. Returns (width, height, n_components, luma_pixels) with
+    ``luma_pixels`` the luma plane at its own resolution cropped to
+    width×height (for the dominant hmax/vmax luma layout this is the image
+    resolution; chroma components are entropy-decoded to keep the stream
+    in sync and discarded — grayscale output is the feature-stage
+    contract). Same error model as `decode_jpeg_dc`."""
+    try:
+        frame, scan, quant, restart_interval, data_start = _parse_jpeg_to_scan(payload)
+        return _decode_scan_full(payload, data_start, frame, scan, quant, restart_interval)
+    except ImageDecodeError:
+        raise
+    except (IndexError, ValueError, KeyError, struct.error) as e:
+        raise ImageDecodeError(f"malformed JPEG: {e!r}") from e
+
+
+def _decode_scan_full(payload, data_start, frame, scan, quant, restart_interval):
+    w, h, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax < 1 or vmax < 1:
+        raise ImageDecodeError("bad sampling factors")
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    luma_idx = 0
+    ltq = comps[luma_idx][3]
+    if ltq not in quant:
+        raise ImageDecodeError("missing quantization table")
+    q = quant[ltq]  # zigzag order, like the coefficients
+    lh, lv = comps[luma_idx][1], comps[luma_idx][2]
+    comp_w = -(-w * lh // hmax)
+    comp_h = -(-h * lv // vmax)
+    # the luma plane spans whole MCUs; crop at the end
+    plane_w, plane_h = mcus_x * lh * 8, mcus_y * lv * 8
+    plane = bytearray(plane_w * plane_h)
+    reader = _BitReader(payload, data_start)
+    preds = [0] * len(comps)
+    zz = JPEG_ZIGZAG
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.sync_restart()
+                preds = [0] * len(comps)
+            for idx, dct, act in scan:
+                _, ch, cv, _tq = comps[idx]
+                for bv in range(cv):
+                    for bh in range(ch):
+                        t = reader.read_symbol(dct)
+                        diff = _extend(reader.read_bits(t), t) if t else 0
+                        preds[idx] += diff
+                        is_luma = idx == luma_idx
+                        if is_luma:
+                            coef = [0.0] * 64
+                            coef[0] = preds[idx] * q[0]
+                        k = 1
+                        while k < 64:
+                            rs = reader.read_symbol(act)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ImageDecodeError("AC coefficient index overflow")
+                            v = _extend(reader.read_bits(s), s)
+                            if is_luma:
+                                coef[zz[k]] = v * q[k]
+                            k += 1
+                        if is_luma:
+                            px = _idct_block(coef)
+                            bx0 = (mx * lh + bh) * 8
+                            by0 = (my * lv + bv) * 8
+                            for y in range(8):
+                                row = (by0 + y) * plane_w + bx0
+                                for x in range(8):
+                                    s_ = px[y * 8 + x] + 128.0
+                                    plane[row + x] = 0 if s_ < 0 else (255 if s_ > 255 else int(s_ + 0.5))
+            mcu_count += 1
+    out_w, out_h = min(w, comp_w), min(h, comp_h)
+    if out_w == plane_w and out_h == plane_h:
+        return w, h, len(comps), bytes(plane)
+    crop = bytearray(out_w * out_h)
+    for y in range(out_h):
+        crop[y * out_w : (y + 1) * out_w] = plane[y * plane_w : y * plane_w + out_w]
+    return w, h, len(comps), bytes(crop)
 
 
 def encode_gray_jpeg(width: int, height: int, pixels: bytes) -> bytes:

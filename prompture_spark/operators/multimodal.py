@@ -235,9 +235,11 @@ def media_repartition(
 def extract_image_features(df: DataFrame, batch_size: int = 512) -> DataFrame:
     """mapInPandas REAL decode → (dims, channels, mean luma, content hash,
     error). PNG payloads are fully decoded (pixels reconstructed through the
-    scanline filters) and mean_luma is computed from the samples; JPEG
-    payloads yield true dimensions/components from the SOF header with
-    mean_luma null."""
+    scanline filters) and grayscale baseline JPEGs fully IDCT-decoded —
+    mean_luma comes from the actual samples in both cases. Color JPEGs fall
+    back to the DC-only entropy pass (exact mean luma, no pixels); streams
+    even that rejects (progressive, header-only) keep their true SOF dims
+    with luma null."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -314,10 +316,11 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
 
 
 def resize_images(df: DataFrame, max_side: int = 256) -> DataFrame:
-    """REAL resize: decode PNG pixels, nearest-neighbor downscale to fit
-    ``max_side``, re-encode a valid PNG. JPEGs (header-parse only — no
-    entropy decoder without a codec library) and corrupt payloads route to
-    error rows. One mapInPandas stage: decode → transform → re-emit."""
+    """REAL resize: decode pixels (full PNG decode, or full baseline
+    grayscale-JPEG IDCT decode), nearest-neighbor downscale to fit
+    ``max_side``, re-encode a valid PNG. Color/progressive JPEGs (pixels
+    unavailable without chroma reconstruction) and corrupt payloads route
+    to error rows. One mapInPandas stage: decode → transform → re-emit."""
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -325,9 +328,9 @@ def resize_images(df: DataFrame, max_side: int = 256) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["content"]):
                 try:
                     b = bytes(payload) if payload is not None else b""
-                    if not b.startswith(ic.PNG_SIGNATURE):
-                        raise ic.ImageDecodeError("resize requires decodable PNG")
-                    w, h, c, px = ic.decode_png(b)
+                    w, h, c, px = ic.decode_image(b)
+                    if px is None:
+                        raise ic.ImageDecodeError("resize requires decoded pixels")
                     nw, nh, npx = ic.resize_nearest(w, h, c, px, max_side)
                     out.append((mid, nw, nh, c, ic.encode_png(nw, nh, c, npx), None))
                 except Exception as e:

@@ -96,16 +96,18 @@ def test_image_features_real_decode_and_error_routing(spark):
         r.media_id: bytes(r.content)
         for r in media.filter(F.col("content").isNotNull()).collect()
     }
-    jpeg_dc_lumas = 0
+    jpeg_full_lumas = 0
     header_only = 0
     for r in ok:
         b = payloads[r.media_id]
         w, h, c, px = ic.decode_image(b)
         assert (r.width, r.height, r.channels) == (w, h, c)
         assert r.sha256 == hashlib.sha256(b).hexdigest()
-        if px is not None:  # PNG: luma computed over real decoded samples
+        if px is not None:  # PNG or gray JPEG: luma over real decoded samples
             assert abs(r.mean_luma - ic.mean_luma(c, px)) < 1e-4
-        else:  # JPEG: DC-entropy luma, or null for scan-less streams
+            if b[:2] == b"\xff\xd8":
+                jpeg_full_lumas += 1  # full-IDCT decode produced the pixels
+        else:  # color JPEG: DC-entropy luma; null for scan-less streams
             try:
                 _, _, _, dcl = ic.decode_jpeg_dc(b)
             except ic.ImageDecodeError:
@@ -113,9 +115,8 @@ def test_image_features_real_decode_and_error_routing(spark):
                 header_only += 1
             else:
                 assert abs(r.mean_luma - dcl) < 1e-4
-                jpeg_dc_lumas += 1
     assert any(r.mean_luma is not None for r in ok)
-    assert jpeg_dc_lumas > 0  # real entropy-decoded JPEG lumas present
+    assert jpeg_full_lumas > 0  # real IDCT-decoded JPEG pixels present
     assert header_only > 0  # and the null-luma fallback path is exercised
 
 
@@ -129,9 +130,13 @@ def test_resize_real_pixels_reencoded(spark):
         # output is a VALID PNG whose dims match the row
         w, h, c, _ = ic.decode_png(bytes(r.content))
         assert (w, h, c) == (r.width, r.height, r.channels)
-    # JPEGs route to error rows (header-only parse, no pixel decode)
+    # gray baseline JPEGs now resize too (full IDCT decode feeds the resampler)
+    payloads = {r.media_id: bytes(r.content) for r in media.filter(
+        F.col("kind") == "image").collect() if r.content}
+    assert any(payloads[r.media_id][:2] == b"\xff\xd8" for r in ok)
+    # pixel-less streams (header-only JPEG) still route to error rows
     errs = [r.error for r in resized.collect() if r.error is not None]
-    assert any("PNG" in e for e in errs)
+    assert any("pixels" in e for e in errs)
 
 
 def test_jpeg_dc_roundtrip_exact_on_blocky_images():
@@ -275,3 +280,109 @@ def test_audio_features_real_decode_and_error_routing(spark):
     assert (r0.sample_rate, r0.channels, r0.bit_depth, r0.n_frames) == (rate, ch, bits, nf)
     assert abs(r0.rms - rms) < 1e-4 and r0.peak == peak
     assert r0.duration_s == round(nf / rate, 6)
+
+
+def _jpeg_single_block(coef_zz):
+    """Hand-assembled 8x8 single-block grayscale JPEG carrying the given
+    QUANTIZED zigzag coefficients — exercises the AC decode + IDCT path the
+    blocky encoder (DC+EOB only) never emits."""
+    import struct as st
+
+    dc_codes = ic._huffman_codes(ic.JPEG_STD_DC_COUNTS, ic.JPEG_STD_DC_SYMBOLS)
+    ac_codes = ic._huffman_codes(ic.JPEG_STD_AC_COUNTS, ic.JPEG_STD_AC_SYMBOLS)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + st.pack(">H", 67) + b"\x00" + bytes(ic.JPEG_STD_LUMA_QUANT)
+    out += b"\xff\xc0" + st.pack(">HBHHB", 11, 8, 8, 8, 1) + b"\x01\x11\x00"
+    out += (b"\xff\xc4" + st.pack(">H", 19 + len(ic.JPEG_STD_DC_SYMBOLS))
+            + b"\x00" + bytes(ic.JPEG_STD_DC_COUNTS) + bytes(ic.JPEG_STD_DC_SYMBOLS))
+    out += (b"\xff\xc4" + st.pack(">H", 19 + len(ic.JPEG_STD_AC_SYMBOLS))
+            + b"\x10" + bytes(ic.JPEG_STD_AC_COUNTS) + bytes(ic.JPEG_STD_AC_SYMBOLS))
+    out += b"\xff\xda" + st.pack(">HB", 8, 1) + b"\x01\x00" + b"\x00\x3f\x00"
+    acc, nbits, entropy = 0, 0, bytearray()
+
+    def emit(code, length):
+        nonlocal acc, nbits
+        acc = (acc << length) | code
+        nbits += length
+        while nbits >= 8:
+            nbits -= 8
+            b = (acc >> nbits) & 0xFF
+            entropy.append(b)
+            if b == 0xFF:
+                entropy.append(0x00)
+
+    def emit_val(v, t):
+        if t:
+            emit(v if v >= 0 else v + (1 << t) - 1, t)
+
+    dc = coef_zz[0]
+    t = abs(dc).bit_length()
+    emit(*dc_codes[t]); emit_val(dc, t)
+    run = 0
+    for k in range(1, 64):
+        v = coef_zz[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            emit(*ac_codes[0xF0]); run -= 16
+        s = abs(v).bit_length()
+        emit(*ac_codes[(run << 4) | s]); emit_val(v, s)
+        run = 0
+    if run:
+        emit(*ac_codes[0x00])  # EOB
+    if nbits:
+        emit((1 << (8 - nbits)) - 1, 8 - nbits)
+    return bytes(out) + bytes(entropy) + b"\xff\xd9"
+
+
+def test_jpeg_full_decode_ac_path_matches_reference_idct():
+    import numpy as np
+
+    coef_zz = [0] * 64
+    coef_zz[0] = 5     # DC
+    coef_zz[1] = -7    # AC (0,1) horizontal
+    coef_zz[2] = 3     # AC vertical
+    coef_zz[9] = 11    # mid-frequency
+    coef_zz[35] = -2   # high-frequency with a zero run before it
+    payload = _jpeg_single_block(coef_zz)
+    w, h, c, px = ic.decode_jpeg_gray(payload)
+    assert (w, h, c, len(px)) == (8, 8, 1, 64)
+    # independent reference: dequantize zigzag->natural, textbook IDCT in numpy
+    F = np.zeros(64)
+    for k in range(64):
+        F[ic.JPEG_ZIGZAG[k]] = coef_zz[k] * ic.JPEG_STD_LUMA_QUANT[k]
+    F = F.reshape(8, 8)  # [v][u]
+    M = np.array([[(np.sqrt(0.5) if u == 0 else 1.0) * 0.5
+                   * np.cos((2 * x + 1) * u * np.pi / 16)
+                   for x in range(8)] for u in range(8)])
+    ref = M.T @ F @ M + 128.0  # [y][x]
+    ref = np.clip(np.round(ref), 0, 255)
+    got = np.frombuffer(px, dtype=np.uint8).reshape(8, 8).astype(float)
+    assert np.abs(got - ref).max() <= 1.0
+
+
+def test_jpeg_full_decode_blocky_roundtrip_exact():
+    w, h = 24, 16
+    src = bytes(((37 * (x // 8) + 61 * (y // 8) + 40) & 0xFF) for y in range(h) for x in range(w))
+    W, H, C, out = ic.decode_jpeg_gray(ic.encode_gray_jpeg(w, h, src))
+    assert (W, H, C, len(out)) == (w, h, 1, w * h)
+    q0 = ic.JPEG_STD_LUMA_QUANT[0]
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            mean = sum(src[(by * 8 + y) * w + bx * 8 + x] for y in range(8) for x in range(8)) / 64
+            expect = round(8 * (mean - 128) / q0) * q0 / 8 + 128
+            got = sum(out[(by * 8 + y) * w + bx * 8 + x] for y in range(8) for x in range(8)) / 64
+            assert abs(got - expect) < 1.0
+    # full-decode mean agrees with the DC-pass luma
+    assert abs(sum(out) / len(out) - ic.decode_jpeg_dc(ic.encode_gray_jpeg(w, h, src))[3]) < 1.0
+
+
+def test_resize_handles_gray_jpeg(spark):
+    w, h = 32, 24
+    src = bytes(((x * 5 + y * 3) & 0xFF) for y in range(h) for x in range(w))
+    jb = ic.encode_gray_jpeg(w, h, src)
+    W, H, c, px = ic.decode_image(jb)
+    assert px is not None  # gray baseline JPEG now fully decodes
+    nw, nh, npx = ic.resize_nearest(W, H, c, px, 16)
+    assert max(nw, nh) == 16 and len(npx) == nw * nh
