@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from prompture_spark.functions.coercion import normalize_text
 
@@ -667,6 +668,44 @@ def term_document_frequency(
             F.count_distinct(F.col("_doc")).alias("df"),
         )
         .filter(F.col("df") >= min_df)
+    )
+
+
+def doc_top_tfidf(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Per-document top-k keyword extraction by TF-IDF: (doc_id, term,
+    tfidf, rank) with the smooth formula tf · (ln((N+1)/(df+1)) + 1).
+
+    Two hash-aggregates (per-doc term counts; vocabulary df over those) and
+    one per-doc window — the standard distributed TF-IDF shape. The df side
+    is vocabulary-sized, orders of magnitude under the corpus, but still
+    joined on ``term`` (not broadcast) so a 10^9-term web vocabulary
+    doesn't have to fit on one executor. Ties break on ``term`` ascending
+    for engine-reproducible output."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\W+"), lambda x: x != ""
+    )
+    n_docs = df.count()
+    tf = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    scored = tf.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        (
+            F.col("_tf")
+            * (F.log((F.lit(n_docs) + 1.0) / (F.col("_df") + 1.0)) + 1.0)
+        ).alias("_tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("_tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", F.round("_tfidf", 6).alias("tfidf"), "rank")
     )
 
 

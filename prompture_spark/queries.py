@@ -762,6 +762,37 @@ def q_term_df_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tq.term_document_frequency(docs, "doc_id", "text", min_df=10)
 
 
+_TFIDF_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tfc FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tfc * (ln((n.n_docs + 1.0) / (dfreq.dfc + 1.0)) + 1.0) AS tfidf_raw
+  FROM tf JOIN dfreq USING (term), n
+),
+ranked AS (
+  SELECT doc_id, term, tfidf_raw,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf_raw DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, round(tfidf_raw, 6) AS tfidf, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+@register("doc_top_tfidf", _TFIDF_ORACLE)
+def q_doc_top_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = tq.doc_top_tfidf(docs, "doc_id", "text", k=3)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
 def _quality_oracle() -> str:
     from prompture_spark.functions import markers as mk
 

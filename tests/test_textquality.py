@@ -205,3 +205,34 @@ def test_term_document_frequency(spark):
     assert out["spark"] == (3, 2)   # tf counts repeats, df distinct docs
     assert out["and"] == (1, 1)
     assert tq.term_document_frequency(df, "doc_id", "text", min_df=2).count() == 1
+
+
+def test_doc_top_tfidf_ranks_distinctive_terms(spark):
+    import math
+
+    from prompture_spark.operators import textquality as tq
+
+    df = spark.createDataFrame(
+        [
+            (1, "shared shared apple apple apple"),
+            (2, "shared shared banana"),
+            (3, "shared cherry cherry"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = tq.doc_top_tfidf(df, "doc_id", "text", k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.rank, r.term, r.tfidf))
+    for v in by_doc.values():
+        v.sort()
+    # high-tf distinctive term dominates; repeated corpus-wide term can
+    # still outrank a singleton distinctive one (tf matters): doc 2 has
+    # shared tf=2 (tfidf 2.0) over banana tf=1 (ln2+1 ~ 1.693)
+    assert by_doc[1][0][1] == "apple" and by_doc[1][1][1] == "shared"
+    assert by_doc[2][0][1] == "shared" and by_doc[2][1][1] == "banana"
+    assert by_doc[3][0][1] == "cherry"
+    # formula checks: apple tf=3, df=1, N=3 -> 3*(ln(4/2)+1); shared in doc2
+    assert abs(by_doc[1][0][2] - round(3 * (math.log(2.0) + 1.0), 6)) < 1e-6
+    assert abs(by_doc[2][0][2] - 2.0) < 1e-6
+    assert abs(by_doc[2][1][2] - round(math.log(2.0) + 1.0, 6)) < 1e-6
