@@ -391,6 +391,11 @@ class _BitReader:
             self.pos += 1
         self.acc = (self.acc << 8) | b
         self.nbits += 8
+        # truncate to the live bits: without this the accumulator grows by
+        # 8 bits per entropy byte for the whole scan (read_bit only lowers
+        # nbits, never the stale high bits), making every shift O(bytes
+        # consumed) and the scan O(N^2) on multi-MB payloads
+        self.acc &= (1 << self.nbits) - 1
 
     def read_bit(self) -> int:
         if self.nbits == 0:
@@ -805,6 +810,7 @@ def encode_gray_jpeg(width: int, height: int, pixels: bytes) -> bytes:
             entropy.append(b)
             if b == 0xFF:
                 entropy.append(0x00)
+        acc &= (1 << nbits) - 1  # drop emitted bits: keeps shifts O(1)
 
     pred = 0
     for by in range(-(-height // 8)):

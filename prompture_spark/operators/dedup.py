@@ -689,7 +689,11 @@ def _hyperplane_entries_arrow(
                 {"_id": ids, "band": bands, "bkt": bkts.reshape(-1)}
             )
 
-    return base.mapInPandas(gen, "_id bigint, band int, bkt bigint")
+    # derive the id slot from the input schema (mirrors the minhash band
+    # kernel): apply_dedup/embedding_dedup_pairs accept arbitrary id_col
+    # types, and a hardcoded bigint would break string ids on this path
+    id_sql = base.schema["_id"].dataType.simpleString()
+    return base.mapInPandas(gen, f"_id {id_sql}, band int, bkt bigint")
 
 
 def embedding_dedup_pairs(
@@ -994,6 +998,13 @@ def apply_dedup(
         nonempty = df.filter(norm != "").withColumn("_normkey", norm)
         thr = config.threshold if config.threshold is not None else JACCARD_THRESHOLD
         if config.minhash:
+            if config.max_posting_df is not None:
+                raise ValueError(
+                    "DedupConfig: max_posting_df applies only to the "
+                    "inverted-index (minhash=False) shingle path; the "
+                    "minhash path bounds degenerate buckets with "
+                    "max_bucket_size instead"
+                )
             pairs = minhash_lsh_pairs(
                 nonempty,
                 id_col,

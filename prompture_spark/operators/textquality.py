@@ -672,7 +672,8 @@ def term_document_frequency(
 
 
 def doc_top_tfidf(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3
+    df: DataFrame, id_col: str, text_col: str, k: int = 3,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Per-document top-k keyword extraction by TF-IDF: (doc_id, term,
     tfidf, rank) with the smooth formula tf · (ln((N+1)/(df+1)) + 1).
@@ -682,23 +683,39 @@ def doc_top_tfidf(
     is vocabulary-sized, orders of magnitude under the corpus, but still
     joined on ``term`` (not broadcast) so a 10^9-term web vocabulary
     doesn't have to fit on one executor. Ties break on ``term`` ascending
-    for engine-reproducible output."""
+    for engine-reproducible output.
+
+    Fully lazy — constructing the plan runs no job (pinned by
+    test_textquality). N defaults to the count of documents contributing
+    ≥1 term, derived from the ``tf`` aggregate as a one-row broadcast
+    crossJoin whose shuffle Catalyst reuses (ReusedExchange) — no second
+    scan of the corpus, no eager ``df.count()`` action at construction
+    time. Callers that already know the corpus size (e.g. from a manifest)
+    can pass ``n_docs`` for total-corpus IDF semantics including
+    token-less documents."""
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"\W+"), lambda x: x != ""
     )
-    n_docs = df.count()
     tf = (
         df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("_tf"))
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
-    scored = tf.join(dfreq, "term").select(
+    if n_docs is None:
+        n_col = F.col("_n").cast("double")
+        base = tf.join(dfreq, "term").crossJoin(
+            F.broadcast(tf.groupBy().agg(F.count_distinct("doc_id").alias("_n")))
+        )
+    else:
+        n_col = F.lit(float(n_docs))
+        base = tf.join(dfreq, "term")
+    scored = base.select(
         "doc_id",
         "term",
         (
             F.col("_tf")
-            * (F.log((F.lit(n_docs) + 1.0) / (F.col("_df") + 1.0)) + 1.0)
+            * (F.log((n_col + 1.0) / (F.col("_df") + 1.0)) + 1.0)
         ).alias("_tfidf"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("_tfidf"), F.asc("term"))

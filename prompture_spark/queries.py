@@ -770,7 +770,7 @@ WITH toks AS (
 ),
 tf AS (SELECT doc_id, term, count(*) AS tfc FROM toks GROUP BY 1, 2),
 dfreq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY 1),
-n AS (SELECT count(*) AS n_docs FROM documents),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
 scored AS (
   SELECT tf.doc_id, tf.term,
          tf.tfc * (ln((n.n_docs + 1.0) / (dfreq.dfc + 1.0)) + 1.0) AS tfidf_raw

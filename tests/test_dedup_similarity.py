@@ -409,6 +409,31 @@ def test_embedding_dedup_lsh_arrow_kernel(spark, vecs):
     assert len(arrow) >= 1
 
 
+def test_embedding_dedup_lsh_arrow_string_ids(spark, vecs):
+    """The Arrow band kernel derives its mapInPandas id slot from the input
+    schema — string ids must flow through intact (round-4 ADVICE: the slot
+    was hardcoded bigint, breaking every non-bigint id on this path)."""
+    from pyspark.sql import functions as F
+
+    svecs = vecs.withColumn("vec_id", F.concat(F.lit("doc-"), F.col("vec_id").cast("string")))
+    pairs = dd.embedding_dedup_pairs(
+        svecs, "vec_id", "embedding", use_lsh=True, n_planes=4, arrow=True
+    ).collect()
+    assert all(r.id_a.startswith("doc-") and r.id_b.startswith("doc-") for r in pairs)
+    assert len(pairs) >= 1
+
+
+def test_dedup_config_rejects_posting_cap_with_minhash(spark):
+    """max_posting_df is an inverted-index knob; silently dropping it under
+    minhash=True hid a config error (round-4 ADVICE)."""
+    import pytest
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    cfg = dd.DedupConfig("shingle", minhash=True, max_posting_df=64)
+    with pytest.raises(ValueError, match="max_posting_df"):
+        dd.apply_dedup(df, cfg, "doc_id", "text")
+
+
 def test_dedup_chain_scale_config_recovers_planted_populations(spark):
     """The 100 TB chain configuration (shingle k=9 inverted index with the
     posting cap; semantic via Arrow-GEMM LSH with the bucket cap) must

@@ -236,3 +236,35 @@ def test_doc_top_tfidf_ranks_distinctive_terms(spark):
     assert abs(by_doc[1][0][2] - round(3 * (math.log(2.0) + 1.0), 6)) < 1e-6
     assert abs(by_doc[2][0][2] - 2.0) < 1e-6
     assert abs(by_doc[2][1][2] - round(math.log(2.0) + 1.0, 6)) < 1e-6
+    # explicit corpus-size override: N=30 instead of derived 3
+    rows30 = tq.doc_top_tfidf(df, "doc_id", "text", k=1, n_docs=30).collect()
+    apple = next(r for r in rows30 if r.doc_id == 1)
+    assert abs(apple.tfidf - round(3 * (math.log(31.0 / 2.0) + 1.0), 6)) < 1e-6
+
+
+def test_doc_top_tfidf_is_lazy(spark):
+    """Constructing the plan must run NO job — the round-4 version eagerly
+    df.count()-ed the corpus at operator-construction time (a full wasted
+    scan at design scale). An executor-side accumulator bumped by a tracked
+    UDF proves no partition is evaluated until an action runs."""
+    from pyspark.sql import functions as F
+
+    from prompture_spark.operators import textquality as tq
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def _track(s):
+        acc.add(1)
+        return s
+
+    tracked = F.udf(_track, "string")
+    docs = spark.range(8).select(
+        F.col("id").alias("doc_id"),
+        tracked(
+            F.concat(F.lit("alpha beta gamma doc"), F.col("id").cast("string"))
+        ).alias("text"),
+    )
+    out = tq.doc_top_tfidf(docs, "doc_id", "text", k=2)
+    assert acc.value == 0, "doc_top_tfidf construction triggered a Spark job"
+    assert out.count() > 0
+    assert acc.value > 0

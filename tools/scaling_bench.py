@@ -323,7 +323,7 @@ JOB_DESC = {
               f"1000-planted-twin recovery asserted inside the timed run",
     "dedupchain": f"config-driven dedup chain exact → shingle(k=9 inverted "
                   f"index, posting cap 1024) → semantic(Arrow-GEMM hyperplane "
-                  f"LSH, 20 planes × 8 bands, bucket cap 256) over "
+                  f"LSH, 22 planes × 8 bands, bucket cap 256) over "
                   f"{N_CHAIN:,} docs + 5% exact dups + 10% near twins + ~1% "
                   f"shared-vector pairs; every stage resolves drops through "
                   f"greedy_first_wins_drops (planted-population recovery "
