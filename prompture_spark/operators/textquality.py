@@ -52,11 +52,16 @@ _EMPHASIS_STEPS = (
     (r"_([^_]+)_", "$1"),
 )
 
-_FILLER_RE = (
-    r"^(?:sure|okay|ok|well|certainly|of course|alright|hmm|thanks|thank you"
-    r"|great question|good question|claro|por supuesto|bueno|gracias)"
-    r"[\s,.\-!:]+"
+# leading-filler vocabulary (detector.py:148-151). The alternation ORDER is
+# part of the semantics (Java regex tries alternatives left to right), so
+# both derived patterns join this tuple verbatim.
+_FILLER_WORDS = (
+    "sure", "okay", "ok", "well", "certainly", "of course", "alright",
+    "hmm", "thanks", "thank you", "great question", "good question",
+    "claro", "por supuesto", "bueno", "gracias",
 )
+_FILLER_SEP = r"[\s,.\-!:]+"
+_FILLER_RE = r"^(?:" + "|".join(_FILLER_WORDS) + r")" + _FILLER_SEP
 
 
 def refusal_normalize(col: Column | str) -> Column:
@@ -174,20 +179,104 @@ _INJECTION_GATE_CURATED = (
 )
 
 
-def _gate_pattern(curated: tuple[str, ...], table: dict[str, tuple[str, ...]]) -> str:
-    """Combined substring alternation: curated tokens + verbatim fallback for
+def _gate_tokens(curated: tuple[str, ...], table: dict[str, tuple[str, ...]]) -> list[str]:
+    """Combined substring token list: curated tokens + verbatim fallback for
     any phrase no token covers (keeps coverage total even if the marker
     tables grow). Longest-first so the regex engine prefers selective alts."""
     phrases = [p for marks in table.values() for p in marks]
     toks = list(curated) + [
         p for p in dict.fromkeys(phrases) if not any(t in p for t in curated)
     ]
-    ordered = sorted(dict.fromkeys(toks), key=len, reverse=True)
-    return "|".join(mk.rx_escape(t) for t in ordered)
+    return sorted(dict.fromkeys(toks), key=len, reverse=True)
 
 
-REFUSAL_GATE_PATTERN = _gate_pattern(_REFUSAL_GATE_CURATED, mk.REFUSAL_MARKERS)
-INJECTION_GATE_PATTERN = _gate_pattern(_INJECTION_GATE_CURATED, mk.INJECTION_MARKERS)
+def _raw_token_rx(tok: str) -> str:
+    """Token regex valid on RAW (uncollapsed) text: the normalizer collapses
+    whitespace runs to single spaces, so every space in a token corresponds
+    to ``\\s+`` in the raw text it was normalized from."""
+    return mk.rx_escape(tok).replace(" ", r"\s+")
+
+
+def _trie_rx(tokens: list[str], relax_ws: bool = False) -> str:
+    """Prefix-factorized alternation: tokens compiled into a character trie
+    emitted as nested non-capturing groups ("ok"/"okay" → ``ok(?:ay)?``).
+    Recognizes exactly the same language as the flat ``t1|t2|...`` join,
+    but a backtracking engine rejects every token sharing a first char with
+    ONE comparison instead of one attempt per token — measured ~2× on the
+    gate scan, which is the whole per-row cost for marker-free corpora.
+    Only used for boolean gates (match order is immaterial); the battery's
+    category patterns keep their longest-first flat form. Plain groups +
+    alternation only — valid under Java regex AND RE2."""
+    root: dict = {}
+    for t in tokens:
+        node = root
+        for ch in t:
+            node = node.setdefault(ch, {})
+        node["\0"] = {}
+
+    def emit(node: dict) -> str:
+        branches = []
+        for ch in sorted(k for k in node if k != "\0"):
+            atom = r"\s+" if (relax_ws and ch == " ") else mk.rx_escape(ch)
+            branches.append(atom + emit(node[ch]))
+        if not branches:
+            return ""
+        body = branches[0] if len(branches) == 1 else "(?:" + "|".join(branches) + ")"
+        return "(?:" + body + ")?" if "\0" in node else body
+
+    return emit(root)
+
+
+_REFUSAL_GATE_TOKENS = _gate_tokens(_REFUSAL_GATE_CURATED, mk.REFUSAL_MARKERS)
+_INJECTION_GATE_TOKENS = _gate_tokens(_INJECTION_GATE_CURATED, mk.INJECTION_MARKERS)
+
+REFUSAL_GATE_PATTERN = _trie_rx(_REFUSAL_GATE_TOKENS)
+INJECTION_GATE_PATTERN = _trie_rx(_INJECTION_GATE_TOKENS)
+
+# ---- raw-text pre-gates: the same token families, matched on
+# lower(fold_quotes(raw)) BEFORE any normalization regex runs. Rows failing
+# the raw gate skip the whole normalization chain (emphasis strip, collapse,
+# filler strip) AND the battery. SOUNDNESS: every normalization step except
+# the emphasis strip maps raw substrings onto normalized substrings —
+#   * quote/dash fold + lowercase: applied identically before the raw gate;
+#   * whitespace collapse: a normalized single space is a raw ``\s+`` run,
+#     relaxed per token by _raw_token_rx;
+#   * trim / leading-filler strip: pure deletions whose result is a
+#     substring of the input, so they can never manufacture a token —
+# therefore a normalized text containing a gate token implies the raw text
+# matches the relaxed token alternation, UNLESS the emphasis strip glued a
+# token together by deleting ``*``/``_`` delimiters ("so**rr**y" → "sorry"):
+# the ``[*_]`` branch fires on every text the strip could touch. The
+# ``empty`` branch over-approximates rows whose normalized form is "" (all
+# whitespace, or exactly one leading filler + separators — the only inputs
+# the chain reduces to empty), which the refusal detector must classify as
+# category='empty'. A spuriously firing raw gate only costs the (exactly
+# gated-as-before) normalization + battery run — never changes output.
+# test_marker_gate pins raw coverage and gated==ungated equality.
+
+_RAW_EMPTY_REFUSAL_RX = (
+    r"^\s*(?:(?:"
+    + "|".join(w.replace(" ", r"\s+") for w in _FILLER_WORDS)
+    + r")" + _FILLER_SEP + r")?$"
+)
+
+RAW_REFUSAL_GATE_PATTERN = "|".join(
+    [r"[*_]", _RAW_EMPTY_REFUSAL_RX,
+     _trie_rx(_REFUSAL_GATE_TOKENS, relax_ws=True)]
+)
+# injection_normalize has no emphasis strip and no filler strip: no [*_]
+# branch, and norm-empty reduces to all-whitespace raw
+RAW_INJECTION_GATE_PATTERN = "|".join(
+    [r"^\s*$", _trie_rx(_INJECTION_GATE_TOKENS, relax_ws=True)]
+)
+
+
+def _raw_gate(col: Column | str, pattern: str) -> Column:
+    """Cheap pre-normalization gate: quote/dash fold (translate) + lowercase
+    — both non-regex — then ONE combined rlike. Null text → null (callers
+    treat null as gate-closed)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(_fold_quotes(c)).rlike(pattern)
 
 
 def _category_positions(
@@ -205,6 +294,22 @@ def _category_positions(
     return out
 
 
+def _score_exprs(
+    positions: dict[str, Column],
+    base_conf: dict[str, float],
+    threshold: int,
+    decay: float,
+    span: float,
+) -> dict[str, Column]:
+    """Per-category position-decayed score (0.0 = no match)."""
+    return {
+        cat: F.when(
+            pos >= 0, _position_score(pos, base_conf[cat], threshold, decay, span)
+        ).otherwise(F.lit(0.0))
+        for cat, pos in positions.items()
+    }
+
+
 def _detect_struct(
     positions: dict[str, Column],
     base_conf: dict[str, float],
@@ -216,15 +321,19 @@ def _detect_struct(
     trigger_categories: tuple[str, ...],
     min_confidence: float,
     flag_name: str,
+    scores: dict[str, Column] | None = None,
 ) -> Column:
     """Shared best-score-wins aggregation for both detectors. Returns
-    struct<category, confidence, <flag_name>, position>."""
-    scores = {
-        cat: F.when(
-            pos >= 0, _position_score(pos, base_conf[cat], threshold, decay, span)
-        ).otherwise(F.lit(0.0))
-        for cat, pos in positions.items()
-    }
+    struct<category, confidence, <flag_name>, position>.
+
+    ``scores``: pass PRE-MATERIALIZED per-category score columns on staged
+    table-scale paths. The struct's four fields reference every score ~7
+    times (best, per-category tie-break chains, flag threshold); without
+    columns behind those references the score arithmetic is duplicated
+    into each field's expression tree — measured ~0.3 s per 100k-row scan
+    of pure redundant arithmetic."""
+    if scores is None:
+        scores = _score_exprs(positions, base_conf, threshold, decay, span)
     best = F.greatest(*scores.values()) if len(scores) > 1 else next(iter(scores.values()))
     # strongest-first tie-break: the reference keeps the FIRST category whose
     # score is not exceeded later (`score > best_score`, detector.py:279-283)
@@ -283,7 +392,10 @@ def refusal_detect(col: Column | str) -> Column:
     return _refusal_struct_from(_category_positions(norm, mk.REFUSAL_MARKERS), empty)
 
 
-def _refusal_struct_from(positions: dict[str, Column], empty: Column) -> Column:
+def _refusal_struct_from(
+    positions: dict[str, Column], empty: Column,
+    scores: dict[str, Column] | None = None,
+) -> Column:
     return _detect_struct(
         positions,
         mk.REFUSAL_BASE_CONFIDENCE,
@@ -295,6 +407,17 @@ def _refusal_struct_from(positions: dict[str, Column], empty: Column) -> Column:
         mk.REFUSAL_TRIGGER_CATEGORIES,
         mk.REFUSAL_MIN_CONFIDENCE,
         "is_refusal",
+        scores=scores,
+    )
+
+
+def _refusal_score_exprs(positions: dict[str, Column]) -> dict[str, Column]:
+    return _score_exprs(
+        positions,
+        mk.REFUSAL_BASE_CONFIDENCE,
+        mk.REFUSAL_POSITION_THRESHOLD,
+        mk.REFUSAL_POSITION_DECAY,
+        mk.REFUSAL_DECAY_SPAN,
     )
 
 
@@ -312,35 +435,64 @@ def with_refusal_detect(
     referenced. Appends ``out_col`` struct<category, confidence, is_refusal,
     position> and drops the intermediates.
 
-    With ``prefilter`` (default), a combined high-selectivity ``rlike`` gate
-    (REFUSAL_GATE_PATTERN, sound by construction — see the gate section)
-    short-circuits all five category scans to position -1 on rows that
-    cannot contain any marker phrase; at 100 TB this skips the battery on
-    the >95% of rows with no refusal language."""
+    With ``prefilter`` (default), TWO sound-by-construction gates stage the
+    work (see the gate sections): a raw-text pre-gate
+    (RAW_REFUSAL_GATE_PATTERN — fold+lower+one rlike, no normalization
+    regex) skips the ENTIRE normalization chain and battery on rows whose
+    normalized form can neither contain a marker phrase nor be empty; the
+    normalized gate (REFUSAL_GATE_PATTERN) then short-circuits all five
+    category scans to position -1 on surviving rows with no marker
+    language. At 100 TB the >95% marker-free rows cost one translate +
+    lower + rlike, nothing else."""
     norm_c = "__refnorm"
+    rawg_c = "__refrawgate"
     gate_c = "__refgate"
-    staged = df.withColumn(norm_c, refusal_normalize(text_col))
     pos_names = {cat: f"__refpos_{cat}" for cat in mk.REFUSAL_MARKERS}
-    pos_exprs = _category_positions(F.col(norm_c), mk.REFUSAL_MARKERS)
     if prefilter:
+        staged = df.withColumn(
+            rawg_c, _raw_gate(text_col, RAW_REFUSAL_GATE_PATTERN)
+        )
+        # norm is null when the raw gate is closed (or text is null): every
+        # downstream consumer treats null norm as no-match / non-empty
+        staged = staged.withColumn(
+            norm_c, F.when(F.col(rawg_c), refusal_normalize(text_col))
+        )
         staged = staged.withColumn(
             gate_c, F.col(norm_c).rlike(REFUSAL_GATE_PATTERN)
         )
-        # gate null (null text) takes the otherwise(-1) branch — identical
-        # to the ungated pipeline, which also yields -1 on null text.
+        # gate null (null norm: null text or raw-gated-out) takes the
+        # otherwise(-1) branch — identical to the ungated pipeline, which
+        # also yields -1 on null text and on raw-gate-provably-clean rows.
         pos_exprs = {
             c: F.when(F.col(gate_c), e).otherwise(F.lit(-1))
-            for c, e in pos_exprs.items()
+            for c, e in _category_positions(
+                F.col(norm_c), mk.REFUSAL_MARKERS
+            ).items()
         }
+        # raw-gated-out rows are PROVEN non-empty (the raw gate's empty
+        # branch over-approximates norm-empty), so the length check only
+        # needs to run where norm was computed
+        empty = F.col(text_col).isNull() | (
+            F.col(rawg_c) & (F.length(norm_c) < 1)
+        )
+    else:
+        staged = df.withColumn(norm_c, refusal_normalize(text_col))
+        pos_exprs = _category_positions(F.col(norm_c), mk.REFUSAL_MARKERS)
+        empty = F.col(norm_c).isNull() | (F.length(norm_c) < 1)
     staged = staged.withColumns(
         {pos_names[c]: _pushdown_barrier(e) for c, e in pos_exprs.items()}
     )
-    empty = F.col(norm_c).isNull() | (F.length(norm_c) < 1)
+    pos_cols = {cat: F.col(n) for cat, n in pos_names.items()}
+    score_names = {cat: f"__refscore_{cat}" for cat in pos_names}
+    staged = staged.withColumns(
+        {score_names[c]: e for c, e in _refusal_score_exprs(pos_cols).items()}
+    )
     struct = _refusal_struct_from(
-        {cat: F.col(n) for cat, n in pos_names.items()}, empty
+        pos_cols, empty,
+        scores={cat: F.col(n) for cat, n in score_names.items()},
     )
     return staged.withColumn(out_col, struct).drop(
-        norm_c, gate_c, *pos_names.values()
+        norm_c, rawg_c, gate_c, *pos_names.values(), *score_names.values()
     )
 
 
@@ -431,7 +583,10 @@ def _encoded_payload_position(c: Column) -> Column:
     )
 
 
-def _injection_struct_from(positions: dict[str, Column], empty: Column) -> Column:
+def _injection_struct_from(
+    positions: dict[str, Column], empty: Column,
+    scores: dict[str, Column] | None = None,
+) -> Column:
     return _detect_struct(
         positions,
         mk.INJECTION_BASE_CONFIDENCE,
@@ -443,6 +598,17 @@ def _injection_struct_from(positions: dict[str, Column], empty: Column) -> Colum
         (),
         mk.INJECTION_MIN_CONFIDENCE,
         "is_injection",
+        scores=scores,
+    )
+
+
+def _injection_score_exprs(positions: dict[str, Column]) -> dict[str, Column]:
+    return _score_exprs(
+        positions,
+        mk.INJECTION_BASE_CONFIDENCE,
+        mk.INJECTION_POSITION_THRESHOLD,
+        mk.INJECTION_POSITION_DECAY,
+        mk.INJECTION_DECAY_SPAN,
     )
 
 
@@ -450,37 +616,54 @@ def with_injection_detect(
     df: DataFrame, text_col: str = "text", out_col: str = "injection",
     prefilter: bool = True,
 ) -> DataFrame:
-    """Staged form of :func:`injection_detect` — same rationale as
-    :func:`with_refusal_detect`. The prefilter gates only the four phrase
-    categories; the encoded-payload scan (2 cheap run-regexes over the raw
-    text) stays ungated since no substring gate can soundly cover it."""
+    """Staged form of :func:`injection_detect` — same rationale (and same
+    two-gate structure) as :func:`with_refusal_detect`; the raw pre-gate's
+    empty branch is just ``^\\s*$`` since injection_normalize strips no
+    filler. The prefilter gates only the four phrase categories; the
+    encoded-payload scan (2 cheap run-regexes over the raw text) stays
+    ungated since no substring gate can soundly cover it."""
     norm_c = "__injnorm"
+    rawg_c = "__injrawgate"
     gate_c = "__injgate"
-    staged = df.withColumn(norm_c, injection_normalize(text_col))
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
     pos_names = {cat: f"__injpos_{cat}" for cat in mk.INJECTION_MARKERS}
     pos_names["encoded_payload"] = "__injpos_encoded_payload"
-    pos_exprs = _category_positions(F.col(norm_c), mk.INJECTION_MARKERS)
     if prefilter:
+        staged = df.withColumn(
+            rawg_c, _raw_gate(c, RAW_INJECTION_GATE_PATTERN)
+        )
+        staged = staged.withColumn(
+            norm_c, F.when(F.col(rawg_c), injection_normalize(c))
+        )
         staged = staged.withColumn(
             gate_c, F.col(norm_c).rlike(INJECTION_GATE_PATTERN)
         )
         pos_exprs = {
-            c: F.when(F.col(gate_c), e).otherwise(F.lit(-1))
-            for c, e in pos_exprs.items()
+            cat: F.when(F.col(gate_c), e).otherwise(F.lit(-1))
+            for cat, e in _category_positions(
+                F.col(norm_c), mk.INJECTION_MARKERS
+            ).items()
         }
-    pos_exprs["encoded_payload"] = _encoded_payload_position(
-        F.col(text_col) if isinstance(text_col, str) else text_col
-    )
+        empty = c.isNull() | (F.col(rawg_c) & (F.length(norm_c) < 1))
+    else:
+        staged = df.withColumn(norm_c, injection_normalize(c))
+        pos_exprs = _category_positions(F.col(norm_c), mk.INJECTION_MARKERS)
+        empty = c.isNull() | (F.length(norm_c) < 1)
+    pos_exprs["encoded_payload"] = _encoded_payload_position(c)
     staged = staged.withColumns(
-        {pos_names[c]: _pushdown_barrier(e) for c, e in pos_exprs.items()}
+        {pos_names[cat]: _pushdown_barrier(e) for cat, e in pos_exprs.items()}
     )
-    c = F.col(text_col) if isinstance(text_col, str) else text_col
-    empty = c.isNull() | (F.length(norm_c) < 1)
+    pos_cols = {cat: F.col(n) for cat, n in pos_names.items()}
+    score_names = {cat: f"__injscore_{cat}" for cat in pos_names}
+    staged = staged.withColumns(
+        {score_names[cat]: e for cat, e in _injection_score_exprs(pos_cols).items()}
+    )
     struct = _injection_struct_from(
-        {cat: F.col(n) for cat, n in pos_names.items()}, empty
+        pos_cols, empty,
+        scores={cat: F.col(n) for cat, n in score_names.items()},
     )
     return staged.withColumn(out_col, struct).drop(
-        norm_c, gate_c, *pos_names.values()
+        norm_c, rawg_c, gate_c, *pos_names.values(), *score_names.values()
     )
 
 
@@ -780,11 +963,21 @@ def quality_reason(
     table-scale paths so the full-marker detection isn't inlined into the
     cascade expression."""
     c = F.col(text_col)
+    # token floor as an existence regex instead of token_count_ws: "has at
+    # least k whitespace-separated tokens" ⟺ the text contains k-1 complete
+    # tokens each followed by whitespace and then one more token char — no
+    # per-row split/filter array allocation on the hot path (identical
+    # verdict for every input; the DuckDB oracle keeps the count form)
+    has_min_tokens = c.rlike(
+        r"^\s*" + (r"(?:\S+\s+){%d}" % (min_tokens - 1)) + r"\S"
+        if min_tokens > 1
+        else r"\S"
+    )
     reason = (
         F.when(c.isNull(), F.lit("null_text"))
         .when(F.length(F.trim(c)) < min_len, F.lit("too_short"))
         .when(F.length(c) > max_len, F.lit("too_long"))
-        .when(token_count_ws(c) < min_tokens, F.lit("too_few_tokens"))
+        .when(~has_min_tokens, F.lit("too_few_tokens"))
     )
     if refusal:
         flag = refusal_flag if refusal_flag is not None else is_refusal(c)

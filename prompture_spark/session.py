@@ -41,6 +41,16 @@ def get_spark(
         # partition-file sizes bounded so one task's input fits in memory.
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.sql.session.timeZone", "UTC")
+        # The marker-battery / constraint-cascade stages generate >20K
+        # bytecodes in one whole-stage method; HotSpot refuses to JIT
+        # methods over ~8000 bytecodes (-XX:DontCompileHugeMethods), so such
+        # a stage runs INTERPRETED forever — measured 15-30% slower than
+        # per-operator codegen on the refusal queries. Capping at the JIT
+        # threshold makes Spark fall back to per-operator codegen (small,
+        # JIT-able classes) exactly when whole-stage fusion would produce
+        # an uncompilable method. (SPARK-21871 introduced this knob for
+        # precisely this failure mode.)
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

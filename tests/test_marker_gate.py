@@ -30,6 +30,39 @@ def test_gate_covers_every_marker_phrase():
         assert misses == [], f"gate does not cover: {misses}"
 
 
+def test_raw_gate_covers_phrases_and_whitespace_variants():
+    """The raw pre-gate must fire on any raw text whose NORMALIZED form
+    contains a marker phrase: the phrase verbatim, and the phrase with its
+    spaces re-expanded to arbitrary whitespace runs (collapse inverse)."""
+    for pattern, table in [
+        (tq.RAW_REFUSAL_GATE_PATTERN, mk.REFUSAL_MARKERS),
+        (tq.RAW_INJECTION_GATE_PATTERN, mk.INJECTION_MARKERS),
+    ]:
+        rx = re.compile(pattern)
+        misses = [
+            (p, v)
+            for marks in table.values()
+            for p in marks
+            for v in (p, p.replace(" ", "\t  "), p.upper())
+            if not rx.search(v.lower() if v == p.upper() else v)
+        ]
+        assert misses == [], f"raw gate does not cover: {misses[:5]}"
+
+
+def test_raw_refusal_gate_covers_norm_empty_inputs():
+    """Rows the chain normalizes to '' must pass the raw gate (the detector
+    classifies them category='empty'): all-whitespace, and exactly one
+    leading filler + separators in any case/whitespace shape."""
+    rx = re.compile(tq.RAW_REFUSAL_GATE_PATTERN)
+    for raw in ["", "   ", "\t\n", "thanks!", "Thanks,,,", "  sure ,  ",
+                "OF   COURSE!!", "thank\tyou.", "gracias:-"]:
+        assert rx.search(raw.lower()), f"raw gate misses norm-empty input {raw!r}"
+    # and non-empty marker-free text must NOT fire any branch
+    for raw in ["okay then we proceed", "the report is ready",
+                "thanks to the team the launch shipped"]:
+        assert not rx.search(raw), f"raw gate spuriously fires on {raw!r}"
+
+
 def _corpus(table: dict[str, tuple[str, ...]]) -> list[str | None]:
     cases: list[str | None] = []
     for marks in table.values():
@@ -45,6 +78,24 @@ def _corpus(table: dict[str, tuple[str, ...]]) -> list[str | None]:
         "La reunión de mañana queda confirmada para las diez.",
         "def main():\n    return sorted(values, key=len)",
         "Sure, here's the recipe you asked for: flour, water, salt.",
+        # raw-pre-gate adversaries: the normalization chain must still run
+        # on every one of these even though the raw text looks different
+        # from its normalized form
+        "I **cannot** help with that",        # emphasis-wrapped marker
+        "so**rr**y, that's not possible",     # emphasis GLUES the marker
+        "I ca*nn*ot and will not",            # mid-word emphasis glue
+        "I won't\thelp with this",            # tab inside a spaced phrase
+        "I  cannot\n\ndo that",               # whitespace runs
+        "I can’t assist with that",           # curly apostrophe
+        "AS AN AI I MUST DECLINE",            # case folding
+        "Thanks!",                            # normalizes to '' -> empty
+        "  Sure ,  ",                         # filler + separators -> ''
+        "OF   COURSE!!!",                     # multi-space filler -> ''
+        "thank\tyou.",                        # whitespace inside filler
+        "Okay then we proceed as planned.",   # filler + content: NOT empty
+        "thanks to the team for shipping",    # filler word mid-phrase guard
+        "*" * 40,                             # markdown-only, NOT empty
+        "_ _ _ _",                            # delimiters + spaces
     ]
     return cases
 
