@@ -38,6 +38,7 @@ def _driver_window_order() -> list[str]:
 
     here = os.path.dirname(os.path.abspath(__file__))
     attested: dict[str, int] = {}
+    seen: set[str] = set()
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
             rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
@@ -45,6 +46,7 @@ def _driver_window_order() -> list[str]:
         except (ValueError, OSError, json.JSONDecodeError):
             continue
         for name, row in data.items():
+            seen.add(name)
             if isinstance(row, dict) and row.get("hash_match") and row.get("err") is None:
                 # Latest green round wins: bucket 1 below sorts ascending on
                 # this, i.e. least-recently-attested first (true LRU), so a
@@ -56,7 +58,10 @@ def _driver_window_order() -> list[str]:
     def key(name: str) -> tuple[int, int, int]:
         has_oracle = name in Q.ORACLES
         if not has_oracle:
-            return (2, 0, names.index(name))
+            # a no-oracle query that has NEVER had any driver row (even a
+            # rows-only one) takes one bucket-0 slot until it gets one;
+            # afterwards it drops back behind every oracle-backed query
+            return (0 if name not in seen else 2, 0, names.index(name))
         if name not in attested:
             return (0, 0, names.index(name))
         return (1, attested[name], names.index(name))

@@ -240,10 +240,12 @@ def parse_jpeg_header(payload: bytes) -> tuple[int, int, int]:
 
 def decode_image(payload: bytes) -> tuple[int, int, int, bytes | None]:
     """Dispatch on magic bytes: full PNG decode (returns pixels), full
-    baseline grayscale-JPEG decode (IDCT — returns pixels), or JPEG header
-    parse for color/progressive streams (dimensions only, pixels None, the
-    caller falls back to the DC-pass luma). Anything else is a decode error
-    routed to an error row by the caller."""
+    baseline JPEG decode — grayscale via the luma IDCT pass, 3-component
+    color via `decode_jpeg_color` (per-component dequant + IDCT, chroma
+    upsample, YCbCr→RGB) — or JPEG header parse for progressive/exotic
+    streams (dimensions only, pixels None, the caller falls back to the
+    DC-pass luma). Anything else is a decode error routed to an error row
+    by the caller."""
     if not payload:
         raise ImageDecodeError("empty payload")
     if payload.startswith(PNG_SIGNATURE):
@@ -251,9 +253,9 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes | None]:
         return w, h, c, px
     if payload[:2] == b"\xff\xd8":
         w, h, c = parse_jpeg_header(payload)
-        if c == 1:
+        if c in (1, 3):
             try:
-                return decode_jpeg_gray(payload)
+                return (decode_jpeg_gray if c == 1 else decode_jpeg_color)(payload)
             except ImageDecodeError:
                 pass  # header-only / exotic stream: dims with luma fallback
         return w, h, c, None
@@ -764,6 +766,238 @@ def _decode_scan_full(payload, data_start, frame, scan, quant, restart_interval)
     return w, h, len(comps), bytes(crop)
 
 
+def decode_jpeg_color(payload: bytes) -> tuple[int, int, int, bytes]:
+    """FULL baseline color JPEG decode: every component's coefficients are
+    entropy-decoded, dequantized with ITS OWN quant table, inverse-DCT'd
+    (the same 8×8 T.81 A.3.3 kernel the grayscale path uses), chroma planes
+    are upsampled to the luma grid by sample replication (T.81 A.1.1
+    mapping x·h_i/h_max — covers 4:4:4, 4:2:2 and 4:2:0 uniformly), and
+    JFIF YCbCr→RGB converts per pixel (R = Y + 1.402·(Cr−128) etc.).
+    Returns (width, height, 3, rgb_bytes). Single-component streams decode
+    to (w, h, 1, gray) — identical output to `decode_jpeg_gray`. Same
+    error model as the other JPEG entry points."""
+    try:
+        frame, scan, quant, restart_interval, data_start = _parse_jpeg_to_scan(payload)
+        w, h, comps = frame
+        if len(comps) == 1:
+            return _decode_scan_full(payload, data_start, frame, scan, quant, restart_interval)
+        if len(comps) != 3:
+            raise ImageDecodeError(f"unsupported component count {len(comps)}")
+        planes, dims = _decode_scan_planes(
+            payload, data_start, frame, scan, quant, restart_interval
+        )
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        out = bytearray(w * h * 3)
+        (pw0, _), (pw1, _), (pw2, _) = dims
+        p0, p1, p2 = planes
+        h0, v0 = comps[0][1], comps[0][2]
+        h1, v1 = comps[1][1], comps[1][2]
+        h2, v2 = comps[2][1], comps[2][2]
+        for y in range(h):
+            r0 = (y * v0 // vmax) * pw0
+            r1 = (y * v1 // vmax) * pw1
+            r2 = (y * v2 // vmax) * pw2
+            base = y * w * 3
+            for x in range(w):
+                Y = p0[r0 + x * h0 // hmax]
+                cb = p1[r1 + x * h1 // hmax] - 128
+                cr = p2[r2 + x * h2 // hmax] - 128
+                r = Y + 1.402 * cr
+                g = Y - 0.344136 * cb - 0.714136 * cr
+                b = Y + 1.772 * cb
+                i = base + x * 3
+                out[i] = 0 if r < 0 else (255 if r > 255 else int(r + 0.5))
+                out[i + 1] = 0 if g < 0 else (255 if g > 255 else int(g + 0.5))
+                out[i + 2] = 0 if b < 0 else (255 if b > 255 else int(b + 0.5))
+        return w, h, 3, bytes(out)
+    except ImageDecodeError:
+        raise
+    except (IndexError, ValueError, KeyError, struct.error) as e:
+        raise ImageDecodeError(f"malformed JPEG: {e!r}") from e
+
+
+def _decode_scan_planes(payload, data_start, frame, scan, quant, restart_interval):
+    """Entropy pass decoding EVERY component to its own (whole-MCU) plane:
+    returns (planes, dims) where planes[i] is component i's samples at its
+    native resolution padded to whole MCUs, dims[i] = (plane_w, plane_h).
+    The multi-plane generalization of `_decode_scan_full`'s luma-only loop;
+    per-component quant tables (a color stream's chroma table differs from
+    luma's)."""
+    w, h, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax < 1 or vmax < 1:
+        raise ImageDecodeError("bad sampling factors")
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes: list[bytearray] = []
+    dims: list[tuple[int, int]] = []
+    qtabs = []
+    for _cid, ch, cv, tq in comps:
+        if tq not in quant:
+            raise ImageDecodeError("missing quantization table")
+        pw, ph = mcus_x * ch * 8, mcus_y * cv * 8
+        planes.append(bytearray(pw * ph))
+        dims.append((pw, ph))
+        qtabs.append(quant[tq])
+    reader = _BitReader(payload, data_start)
+    preds = [0] * len(comps)
+    zz = JPEG_ZIGZAG
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.sync_restart()
+                preds = [0] * len(comps)
+            for idx, dct, act in scan:
+                _, ch, cv, _tq = comps[idx]
+                q = qtabs[idx]
+                pw, _ = dims[idx]
+                plane = planes[idx]
+                for bv in range(cv):
+                    for bh in range(ch):
+                        t = reader.read_symbol(dct)
+                        diff = _extend(reader.read_bits(t), t) if t else 0
+                        preds[idx] += diff
+                        coef = [0.0] * 64
+                        coef[0] = preds[idx] * q[0]
+                        k = 1
+                        while k < 64:
+                            rs = reader.read_symbol(act)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ImageDecodeError("AC coefficient index overflow")
+                            v = _extend(reader.read_bits(s), s)
+                            coef[zz[k]] = v * q[k]
+                            k += 1
+                        px = _idct_block(coef)
+                        bx0 = (mx * ch + bh) * 8
+                        by0 = (my * cv + bv) * 8
+                        for y in range(8):
+                            row = (by0 + y) * pw + bx0
+                            for x in range(8):
+                                s_ = px[y * 8 + x] + 128.0
+                                plane[row + x] = 0 if s_ < 0 else (255 if s_ > 255 else int(s_ + 0.5))
+            mcu_count += 1
+    return planes, dims
+
+
+def encode_color_jpeg(
+    width: int, height: int, rgb: bytes, subsample: bool = True
+) -> bytes:
+    """Minimal baseline COLOR JPEG encoder: RGB → JFIF YCbCr, each 8×8
+    block of each component encoded as its mean (DC + EOB, AC all zero),
+    4:2:0 luma/chroma sampling by default (4:4:4 with ``subsample=False``),
+    all components sharing the Annex K luminance quant table and the
+    standard DC/AC Huffman tables — a spec-legal stream any decoder
+    accepts. The color twin of `encode_gray_jpeg`: fixture builder for
+    `decode_jpeg_color` (blockwise-constant color inputs round-trip exactly
+    up to DC quantization and the YCbCr integer rounding)."""
+    if len(rgb) != width * height * 3:
+        raise ImageDecodeError("rgb buffer does not match dimensions")
+    # component planes at full resolution
+    ny = width * height
+    yp = bytearray(ny)
+    cbp = bytearray(ny)
+    crp = bytearray(ny)
+    for i in range(ny):
+        r, g, b = rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2]
+        yv = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        yp[i] = 0 if yv < 0 else (255 if yv > 255 else int(yv + 0.5))
+        cbp[i] = 0 if cb < 0 else (255 if cb > 255 else int(cb + 0.5))
+        crp[i] = 0 if cr < 0 else (255 if cr > 255 else int(cr + 0.5))
+    sampling = ((2, 2), (1, 1), (1, 1)) if subsample else ((1, 1), (1, 1), (1, 1))
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    qdc = JPEG_STD_LUMA_QUANT[0]
+    dc_codes = _huffman_codes(JPEG_STD_DC_COUNTS, JPEG_STD_DC_SYMBOLS)
+    eob_code, eob_len = _huffman_codes(JPEG_STD_AC_COUNTS, JPEG_STD_AC_SYMBOLS)[0x00]
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(JPEG_STD_LUMA_QUANT)
+    sof = struct.pack(">BHHB", 8, height, width, 3)
+    comps_hdr = b"".join(
+        bytes([ci + 1, (sampling[ci][0] << 4) | sampling[ci][1], 0])
+        for ci in range(3)
+    )
+    out += b"\xff\xc0" + struct.pack(">H", 8 + 9) + sof + comps_hdr
+    out += (b"\xff\xc4" + struct.pack(">H", 19 + len(JPEG_STD_DC_SYMBOLS))
+            + b"\x00" + bytes(JPEG_STD_DC_COUNTS) + bytes(JPEG_STD_DC_SYMBOLS))
+    out += (b"\xff\xc4" + struct.pack(">H", 19 + len(JPEG_STD_AC_SYMBOLS))
+            + b"\x10" + bytes(JPEG_STD_AC_COUNTS) + bytes(JPEG_STD_AC_SYMBOLS))
+    out += (b"\xff\xda" + struct.pack(">HB", 6 + 6, 3)
+            + b"\x01\x00\x02\x00\x03\x00" + b"\x00\x3f\x00")
+
+    acc = 0
+    nbits = 0
+    entropy = bytearray()
+
+    def emit(code: int, length: int):
+        nonlocal acc, nbits
+        acc = (acc << length) | code
+        nbits += length
+        while nbits >= 8:
+            nbits -= 8
+            b = (acc >> nbits) & 0xFF
+            entropy.append(b)
+            if b == 0xFF:
+                entropy.append(0x00)
+        acc &= (1 << nbits) - 1
+
+    planes = (yp, cbp, crp)
+    preds = [0, 0, 0]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(3):
+                chs, cvs = sampling[ci]
+                plane = planes[ci]
+                # component block (bx, by) covers source pixels scaled by
+                # the sampling ratio: an 8×8 chroma block at 4:2:0 averages
+                # a 16×16 source region (downsample-then-mean == mean)
+                sx_step = hmax // chs
+                sy_step = vmax // cvs
+                for bv in range(cvs):
+                    for bh in range(chs):
+                        x0 = (mx * chs + bh) * 8 * sx_step
+                        y0 = (my * cvs + bv) * 8 * sy_step
+                        x1 = min(width, x0 + 8 * sx_step)
+                        y1 = min(height, y0 + 8 * sy_step)
+                        if x1 > x0 and y1 > y0:
+                            total = 0
+                            for y in range(y0, y1):
+                                row = y * width
+                                total += sum(plane[row + x0 : row + x1])
+                            mean = total / ((x1 - x0) * (y1 - y0))
+                            dc = round(8.0 * (mean - 128.0) / qdc)
+                        else:  # block entirely in the pad region
+                            dc = preds[ci]
+                        diff = dc - preds[ci]
+                        preds[ci] = dc
+                        mag = abs(diff)
+                        t = mag.bit_length()
+                        code, length = dc_codes[t]
+                        emit(code, length)
+                        if t:
+                            bits = diff if diff >= 0 else diff + (1 << t) - 1
+                            emit(bits, t)
+                        emit(eob_code, eob_len)
+    if nbits:  # pad final byte with 1s (T.81 F.1.2.3)
+        pad = 8 - nbits
+        emit((1 << pad) - 1, pad)
+    return bytes(out + entropy + b"\xff\xd9")
+
+
 def encode_gray_jpeg(width: int, height: int, pixels: bytes) -> bytes:
     """Minimal baseline grayscale JPEG encoder: each 8×8 block is encoded
     as its mean (DC coefficient + EOB — AC all zero), with the Annex K
@@ -975,6 +1209,173 @@ def encode_wav_pcm16(sample_rate: int, channels: int, samples: list[int]) -> byt
             + b"data" + struct.pack("<I", len(data)) + data
             + (b"\x00" if len(data) & 1 else b""))
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_flac_streaminfo(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse the mandatory STREAMINFO metadata block of a FLAC stream
+    (xiph.org FLAC format spec §METADATA_BLOCK_STREAMINFO): returns
+    (sample_rate, channels, bits_per_sample, total_samples). Header-only
+    metadata — mirroring the reference's audio type table
+    (/root/reference/prompture/media/audio.py:42-66), which carries
+    format/MIME metadata and never decodes; a full FLAC decode is out of
+    scope for pure Python (see extract_audio_features)."""
+    if len(payload) < 8 or payload[:4] != b"fLaC":
+        raise ImageDecodeError("not a FLAC stream")
+    pos = 4
+    while pos + 4 <= len(payload):
+        hdr = payload[pos]
+        size = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 4 + size]
+        if (hdr & 0x7F) == 0:  # STREAMINFO
+            if size < 34 or len(body) < 34:
+                raise ImageDecodeError("short STREAMINFO block")
+            packed = int.from_bytes(body[10:18], "big")
+            rate = packed >> 44
+            channels = ((packed >> 41) & 0x7) + 1
+            bits = ((packed >> 36) & 0x1F) + 1
+            total = packed & ((1 << 36) - 1)
+            if rate == 0:
+                raise ImageDecodeError("invalid FLAC sample rate 0")
+            return rate, channels, bits, total
+        if hdr & 0x80:  # last-metadata-block flag, STREAMINFO never seen
+            break
+        pos += 4 + size
+    raise ImageDecodeError("missing STREAMINFO block")
+
+
+def encode_flac_streaminfo(
+    sample_rate: int, channels: int, bits: int, total_samples: int
+) -> bytes:
+    """Minimal FLAC container: magic + one (last) STREAMINFO block, no
+    frames — the fixture builder / round-trip prover for
+    `parse_flac_streaminfo` (metadata-only, as with header-only JPEG)."""
+    if not (1 <= channels <= 8 and 4 <= bits <= 32 and 0 < sample_rate < (1 << 20)):
+        raise ImageDecodeError("STREAMINFO field out of range")
+    packed = (
+        (sample_rate << 44)
+        | ((channels - 1) << 41)
+        | ((bits - 1) << 36)
+        | (total_samples & ((1 << 36) - 1))
+    )
+    body = (
+        struct.pack(">HH", 4096, 4096)      # min/max blocksize
+        + (0).to_bytes(3, "big") * 2        # min/max framesize (unknown)
+        + packed.to_bytes(8, "big")
+        + b"\x00" * 16                      # MD5 of unencoded audio (unset)
+    )
+    return b"fLaC" + bytes([0x80]) + len(body).to_bytes(3, "big") + body
+
+
+# MPEG audio (ISO/IEC 11172-3 / 13818-3) Layer III frame-header tables
+_MP3_BITRATES_V1 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+_MP3_BITRATES_V2 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0)
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+
+
+def _mp3_frame_at(payload: bytes, pos: int):
+    """Validate/parse a Layer III frame header at ``pos``; returns
+    (frame_len, sample_rate, channels, bitrate_kbps, samples_per_frame)
+    or None when the bytes are not a valid frame header."""
+    if pos + 4 > len(payload):
+        return None
+    b0, b1, b2, b3 = payload[pos : pos + 4]
+    if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+        return None
+    version = (b1 >> 3) & 0x3          # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+    layer = (b1 >> 1) & 0x3            # 1=Layer III
+    if version == 1 or layer != 1:
+        return None
+    br_idx = (b2 >> 4) & 0xF
+    sr_idx = (b2 >> 2) & 0x3
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None
+    padding = (b2 >> 1) & 0x1
+    bitrate = (_MP3_BITRATES_V1 if version == 3 else _MP3_BITRATES_V2)[br_idx]
+    rate = _MP3_RATES[version][sr_idx]
+    channels = 1 if ((b3 >> 6) & 0x3) == 3 else 2
+    coeff = 144_000 if version == 3 else 72_000
+    spf = 1152 if version == 3 else 576
+    return coeff * bitrate // rate + padding, rate, channels, bitrate, spf
+
+
+def parse_mp3(payload: bytes) -> tuple[int, int, int, int]:
+    """Walk the MPEG Layer III frame chain: returns (sample_rate, channels,
+    bitrate_kbps of the first frame, total_sample_frames). Skips a leading
+    ID3v2 tag (syncsafe length); requires ≥2 consecutive valid frames so a
+    random 0xFF byte can't false-sync; stops at trailing garbage (ID3v1
+    'TAG' etc.) once a valid chain exists. Frame-length arithmetic covers
+    MPEG1/2/2.5 with padding; VBR streams sum per-frame sample counts, so
+    the duration needs no Xing header."""
+    pos = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        size = 0
+        for b in payload[6:10]:
+            size = (size << 7) | (b & 0x7F)
+        pos = 10 + size
+    # scan to the first position with two chained valid frames
+    start = None
+    for p in range(pos, min(len(payload), pos + 4096)):
+        f = _mp3_frame_at(payload, p)
+        if f and (p + f[0] >= len(payload) or _mp3_frame_at(payload, p + f[0])):
+            start = p
+            break
+    if start is None:
+        raise ImageDecodeError("no MPEG audio frame sync")
+    first = _mp3_frame_at(payload, start)
+    n_samples = 0
+    n_frames = 0
+    pos = start
+    while pos + 4 <= len(payload):
+        f = _mp3_frame_at(payload, pos)
+        if f is None:
+            if n_frames:
+                break  # trailing non-frame bytes after a valid chain
+            raise ImageDecodeError("broken MPEG frame chain")
+        if f[1] != first[1]:
+            break  # sample-rate switch = not the same stream
+        n_samples += f[4]
+        n_frames += 1
+        pos += f[0]
+    if n_frames < 2:
+        raise ImageDecodeError("fewer than two MPEG audio frames")
+    return first[1], first[2], first[3], n_samples
+
+
+def encode_mp3_cbr(
+    sample_rate: int, n_frames: int, bitrate: int = 128, mono: bool = False,
+    id3: bytes = b"",
+) -> bytes:
+    """Minimal CBR Layer III frame-chain writer (valid headers, deterministic
+    filler payload — no actual audio encoding): fixture builder / round-trip
+    prover for `parse_mp3`."""
+    for version, rates in _MP3_RATES.items():
+        if sample_rate in rates:
+            sr_idx = rates.index(sample_rate)
+            break
+    else:
+        raise ImageDecodeError(f"unsupported MP3 sample rate {sample_rate}")
+    table = _MP3_BITRATES_V1 if version == 3 else _MP3_BITRATES_V2
+    if bitrate not in table[1:15]:
+        raise ImageDecodeError(f"unsupported MP3 bitrate {bitrate}")
+    br_idx = table.index(bitrate)
+    out = bytearray()
+    if id3:
+        body = id3
+        size = len(body)
+        sync = bytes((size >> s) & 0x7F for s in (21, 14, 7, 0))
+        out += b"ID3\x03\x00\x00" + sync + body
+    coeff = 144_000 if version == 3 else 72_000
+    flen = coeff * bitrate // sample_rate  # no padding bit set
+    hdr = bytes([
+        0xFF,
+        0xE0 | (version << 3) | (1 << 1) | 1,   # layer III, no CRC
+        (br_idx << 4) | (sr_idx << 2),
+        (0xC0 if mono else 0x00),
+    ])
+    for i in range(n_frames):
+        filler = bytes(((i * 2654435761 + j * 97) & 0xFF) for j in range(flen - 4))
+        out += hdr + filler
+    return bytes(out)
 
 
 def pcm_stats(bits: int, channels: int, pcm: bytes) -> tuple[float, int]:

@@ -467,13 +467,14 @@ def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    k: int = SHINGLE_K,
+    k: int | None = None,
     n_hashes: int = 32,
     bands: int = 8,
     threshold: float = JACCARD_THRESHOLD,
     seed: int = 42,
     max_bucket_size: int | None = 64,
     arrow: bool = False,
+    words: bool = False,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding + exact-Jaccard verification.
 
@@ -489,14 +490,26 @@ def minhash_lsh_pairs(
 
     ``arrow`` switches signature+banding to the Arrow numpy kernel — output
     is BIT-IDENTICAL (same XXH64 family), but a cold run skips the ~6 s
-    Janino compile of the n_hashes-pass generated expression."""
+    Janino compile of the n_hashes-pass generated expression.
+
+    ``words=True`` shingles WORD k-grams (`word_shingle_hashes`) instead of
+    char k-grams — the banding complement to `word_jaccard_pairs` for
+    templated corpora, where the char shingle space saturates and every
+    band bucket degenerates (see `word_shingles` for the measured
+    degeneracy). ``k`` then counts words and defaults to 5 (char default
+    SHINGLE_K); signatures/banding/verification are shingle-agnostic —
+    everything downstream of the hash arrays, including the Arrow kernel,
+    is shared verbatim, so the kernel's bit-exactness pin covers both."""
+    if k is None:
+        k = 5 if words else SHINGLE_K
     # persist: feeds the signature branch AND both exact-verification sides;
     # hashed shingles (longs) keep the cache and shuffles compact.
     # spread first: the 32 seeded hash passes are the dominant CPU and must
     # not inherit a single-file scan's parallelism.
+    hashes = word_shingle_hashes("_t", k) if words else shingle_hashes("_t", k)
     sh = (
         spread_for_compute(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t")))
-        .select("_id", shingle_hashes("_t", k).alias("_sh"))
+        .select("_id", hashes.alias("_sh"))
         .filter(F.size("_sh") > 0)
         .persist()
     )
@@ -893,6 +906,11 @@ class DedupConfig:
     n_bands: int = 8
     max_bucket_size: int | None = None
     arrow: bool = False
+    # shingle stage only: word k-grams instead of char k-grams
+    # (shingle_size then counts WORDS — pass e.g. 5); the selective shingle
+    # space for templated corpora, on both the inverted-index and minhash
+    # paths
+    words: bool = False
 
 
 def greedy_first_wins_drops(pairs: DataFrame, max_iterations: int = 64) -> DataFrame:
@@ -1012,9 +1030,11 @@ def apply_dedup(
                 k=config.shingle_size,
                 threshold=thr,
                 arrow=config.arrow,
+                words=config.words,
             )
         else:
-            pairs = ngram_jaccard_pairs(
+            pair_fn = word_jaccard_pairs if config.words else ngram_jaccard_pairs
+            pairs = pair_fn(
                 nonempty,
                 id_col,
                 "_normkey",

@@ -83,6 +83,7 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
         T.StructField("duration_s", T.DoubleType()),
         T.StructField("rms", T.DoubleType()),
         T.StructField("peak", T.IntegerType()),
+        T.StructField("codec", T.StringType()),
         T.StructField("sha256", T.StringType()),
         T.StructField("error", T.StringType()),
     ]
@@ -143,6 +144,20 @@ def _synth_payload(mid: int) -> tuple[str, bytes | None, str]:
                 + b"\xff\xd9"
             )
             return kind, payload, "image/jpeg"
+        if h[7] % 3 == 0:
+            # real baseline COLOR JPEG (blocky RGB content, 4:2:0 or 4:4:4)
+            w, hh = 8 + h[0] % 48, 8 + h[1] % 48
+            rgb = bytes(
+                v
+                for y in range(hh)
+                for x in range(w)
+                for v in (
+                    (h[2] + 37 * (x // 16)) & 0xFF,
+                    (h[3] + 53 * (y // 16)) & 0xFF,
+                    (h[5] + 29 * ((x // 16) + (y // 16))) & 0xFF,
+                )
+            )
+            return kind, ic.encode_color_jpeg(w, hh, rgb, subsample=bool(h[6] % 2)), "image/jpeg"
         # real baseline grayscale JPEG (blocky content, full entropy scan)
         w, hh = 8 + h[0] % 56, 8 + h[1] % 56
         px = bytes(
@@ -165,6 +180,28 @@ def _synth_payload(mid: int) -> tuple[str, bytes | None, str]:
         ]
         return kind, ic.encode_avi_mjpeg(frames, w, hh), "video/x-msvideo"
     if kind == "audio" and h[4] % 3:
+        if h[7] % 4 == 0:
+            # FLAC: magic + STREAMINFO metadata (header-parse path)
+            rate = (22050, 44100, 48000)[h[0] % 3]
+            payload = ic.encode_flac_streaminfo(
+                rate, 1 + h[1] % 2, (16, 24)[h[2] % 2],
+                1000 + (h[3] | (h[5] << 8)) % 90_000,
+            )
+            if h[6] % 13 == 0:
+                payload = payload[: len(payload) // 2]
+            return kind, payload, "audio/flac"
+        if h[7] % 4 == 1:
+            # MPEG Layer III CBR frame chain (frame-walk path), some with
+            # a leading ID3v2 tag
+            rate = (44100, 22050, 16000)[h[0] % 3]
+            payload = ic.encode_mp3_cbr(
+                rate, 3 + h[5] % 12, bitrate=(64, 96, 128)[h[2] % 3],
+                mono=bool(h[1] % 2),
+                id3=(b"synthtag" * (h[3] % 3)) if h[3] % 3 else b"",
+            )
+            if h[6] % 13 == 0:
+                payload = payload[: len(payload) // 3]
+            return kind, payload, "audio/mpeg"
         # real RIFF/WAVE PCM16 payload: deterministic hash-seeded samples
         # (not a sine — exercises arbitrary PCM), occasional truncation for
         # the error path
@@ -235,11 +272,13 @@ def media_repartition(
 def extract_image_features(df: DataFrame, batch_size: int = 512) -> DataFrame:
     """mapInPandas REAL decode → (dims, channels, mean luma, content hash,
     error). PNG payloads are fully decoded (pixels reconstructed through the
-    scanline filters) and grayscale baseline JPEGs fully IDCT-decoded —
-    mean_luma comes from the actual samples in both cases. Color JPEGs fall
-    back to the DC-only entropy pass (exact mean luma, no pixels); streams
-    even that rejects (progressive, header-only) keep their true SOF dims
-    with luma null."""
+    scanline filters); baseline JPEGs fully IDCT-decoded — grayscale via the
+    luma pass, color via per-component decode + chroma upsample + YCbCr→RGB
+    (`decode_jpeg_color`) — so mean_luma comes from actual samples in every
+    baseline case. Streams the full decoders reject (progressive,
+    header-only) fall back to the DC-only entropy pass (exact DC-grade
+    luma, no pixels) and, failing that, keep their true SOF dims with luma
+    null."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -279,34 +318,52 @@ def extract_image_features(df: DataFrame, batch_size: int = 512) -> DataFrame:
 
 
 def extract_audio_features(df: DataFrame) -> DataFrame:
-    """mapInPandas REAL audio decode for RIFF/WAVE PCM payloads →
-    (sample_rate, channels, bit_depth, n_frames, duration, RMS, peak,
-    content hash, error). The PCM stats come from the actual interleaved
-    samples (`imagecodec.parse_wav`/`pcm_stats`); compressed codecs and
-    corrupt bytes route to error rows so the stage survives any payload —
-    a production swap-in for more codecs replaces only the parse call."""
+    """mapInPandas audio feature extraction → (sample_rate, channels,
+    bit_depth, n_frames, duration, RMS, peak, codec, content hash, error).
+
+    Three container parsers in sniff order (all stdlib, functions/
+    imagecodec.py): RIFF/WAVE PCM gets a REAL sample decode (RMS/peak over
+    the actual interleaved samples); FLAC reads the mandatory STREAMINFO
+    block (rate/channels/bits/total samples — header metadata, no decode);
+    MPEG Layer III walks the whole frame chain (VBR-safe sample count, no
+    Xing header needed) — matching the reference's audio type table
+    (/root/reference/prompture/media/audio.py:42-66), which itself carries
+    only format metadata. Compressed-codec rows leave rms/peak null;
+    unknown/corrupt bytes route to error rows so the stage survives any
+    payload."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(payload) if payload is not None else b""
+                sha = hashlib.sha256(b).hexdigest()
                 try:
-                    b = bytes(payload) if payload is not None else b""
-                    rate, ch, bits, n_frames, pcm = ic.parse_wav(b)
-                    rms, peak = ic.pcm_stats(bits, ch, pcm)
+                    if b[:4] == b"RIFF":
+                        rate, ch, bits, n_frames, pcm = ic.parse_wav(b)
+                        rms, peak = ic.pcm_stats(bits, ch, pcm)
+                        row = (rate, ch, bits, n_frames, round(rms, 6), peak, "pcm_wav")
+                    elif b[:4] == b"fLaC":
+                        rate, ch, bits, total = ic.parse_flac_streaminfo(b)
+                        row = (rate, ch, bits, total, None, None, "flac")
+                    else:
+                        rate, ch, _kbps, n_samples = ic.parse_mp3(b)
+                        row = (rate, ch, None, n_samples, None, None, "mp3")
+                    rate, ch, bits, n_frames, rms, peak, codec = row
                     out.append((
                         mid, rate, ch, bits, n_frames,
                         round(n_frames / rate, 6) if rate else None,
-                        round(rms, 6), peak,
-                        hashlib.sha256(b).hexdigest(), None,
+                        rms, peak, codec, sha, None,
                     ))
-                except Exception as e:  # corrupt/non-WAV -> error row
-                    out.append((mid, None, None, None, None, None, None, None, None, str(e)))
+                except Exception as e:  # corrupt/unknown codec -> error row
+                    out.append((mid, None, None, None, None, None, None,
+                                None, None, sha, str(e)))
             yield pd.DataFrame(
                 out,
                 columns=[
                     "media_id", "sample_rate", "channels", "bit_depth",
-                    "n_frames", "duration_s", "rms", "peak", "sha256", "error",
+                    "n_frames", "duration_s", "rms", "peak", "codec",
+                    "sha256", "error",
                 ],
             )
 

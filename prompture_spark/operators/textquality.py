@@ -827,6 +827,33 @@ def token_count_bpe_ish(col: Column | str) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(_BPE_ISH), 0))
 
 
+def term_document_frequency_approx(
+    df: DataFrame, id_col: str, text_col: str, min_df: int = 1,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """HLL twin of :func:`term_document_frequency` — ``df`` via
+    ``approx_count_distinct`` (HyperLogLog++, relative standard deviation
+    ``rsd``, default 5%). The serving path for a 10^9-term web vocabulary:
+    the exact twin keeps a per-(term, doc) dedup state inside the aggregate,
+    the sketch is constant-size per term. Same column names/types as the
+    exact twin so the two are drop-in interchangeable; mirrors the
+    column_stats / column_stats_approx pattern. ``min_df`` prunes on the
+    APPROXIMATE df — terms within rsd of the threshold can flip in or out
+    versus the exact twin, the standard sketch tradeoff."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\W+"), lambda x: x != ""
+    )
+    exploded = df.select(F.col(id_col).alias("_doc"), F.explode(toks).alias("term"))
+    return (
+        exploded.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.approx_count_distinct(F.col("_doc"), rsd).alias("df"),
+        )
+        .filter(F.col("df") >= min_df)
+    )
+
+
 def term_document_frequency(
     df: DataFrame, id_col: str, text_col: str, min_df: int = 1
 ) -> DataFrame:

@@ -762,6 +762,16 @@ def q_term_df_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tq.term_document_frequency(docs, "doc_id", "text", min_df=10)
 
 
+@register("term_df_stats_approx")  # no oracle: HLL sketches are engine-specific
+def q_term_df_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12/§LLM-ops: the 10^9-term-vocabulary serving path — df via
+    HyperLogLog++ (rsd 5%) instead of the exact per-term distinct-doc
+    state. Accuracy vs the exact twin is pinned by
+    tests/test_textquality.py::test_term_df_approx_within_rsd."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tq.term_document_frequency_approx(docs, "doc_id", "text", min_df=10)
+
+
 _TFIDF_ORACLE = r"""
 WITH toks AS (
   SELECT doc_id,

@@ -423,6 +423,24 @@ def test_embedding_dedup_lsh_arrow_string_ids(spark, vecs):
     assert len(pairs) >= 1
 
 
+def test_dedup_config_words_shingle_stage(spark):
+    """DedupConfig(words=True) routes the shingle stage through word
+    k-grams on both candidate paths (inverted index and minhash)."""
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog yesterday"),
+            (3, "an entirely different sentence about database engines"),
+        ],
+        "doc_id long, text string",
+    )
+    for extra in ({}, {"minhash": True, "arrow": True}):
+        cfg = dd.DedupConfig("shingle", shingle_size=3, threshold=0.5,
+                             words=True, **extra)
+        kept, removed = dd.apply_dedup(df, cfg, "doc_id", "text")
+        assert removed == 1 and sorted(r.doc_id for r in kept.collect()) == [1, 3], extra
+
+
 def test_dedup_config_rejects_posting_cap_with_minhash(spark):
     """max_posting_df is an inverted-index knob; silently dropping it under
     minhash=True hid a config error (round-4 ADVICE)."""
@@ -533,6 +551,37 @@ def test_word_jaccard_finds_near_dups(spark):
     assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
     # 8 shingles each, 7 shared -> 7/9
     assert abs(pairs[0].jaccard - 7 / 9) < 1e-6
+
+
+def test_minhash_words_recovers_planted_word_twins(spark):
+    """words=True: planted word-level twins (one word appended to a 40-word
+    doc → word-5-gram J = 36/37 ≈ 0.973) must be recovered through banding,
+    with zero pairs across unrelated docs, expression and Arrow kernel
+    alike. A templated corpus where every doc shares function words —
+    exactly the regime where char-shingle banding degenerates."""
+    from pyspark.sql import functions as F
+
+    n = 300
+    word = lambda bid, j: F.conv(
+        F.pmod(F.xxhash64(bid, F.lit(j)), F.lit(2_000_000_000)).cast("string"), 10, 36
+    )
+    text = lambda bid: F.concat_ws(
+        " ", F.array([word(bid, j) for j in range(40)])
+    )
+    base = spark.range(n).select(F.col("id").alias("doc_id"), text(F.col("id")).alias("text"))
+    twins = spark.range(n // 10).select(
+        (F.col("id") + n).alias("doc_id"),
+        F.concat(text(F.col("id") * 10), F.lit(" extraword")).alias("text"),
+    )
+    df = base.unionByName(twins)
+    for arrow in (False, True):
+        pairs = dd.minhash_lsh_pairs(
+            df, "doc_id", "text", words=True, threshold=0.8, arrow=arrow
+        ).collect()
+        got = {(r.id_a, r.id_b) for r in pairs}
+        expected = {(i * 10, n + i) for i in range(n // 10)}
+        assert got == expected, f"arrow={arrow}: {len(got)} vs {len(expected)}"
+        assert all(abs(r.jaccard - 36 / 37) < 1e-6 for r in pairs)
 
 
 def test_contamination_pairs_cross_corpus(spark):

@@ -271,15 +271,63 @@ def test_audio_features_real_decode_and_error_routing(spark):
     ok = [r for r in rows if r.error is None]
     bad = [r for r in rows if r.error is not None]
     assert ok and bad  # real WAVs decode; opaque/truncated payloads error-route
+    by_codec = {}
+    for r in ok:
+        by_codec.setdefault(r.codec, []).append(r)
+    # all three container parsers exercised by the synthetic corpus
+    assert set(by_codec) == {"pcm_wav", "flac", "mp3"}
     # stats come from real PCM: re-decode one payload locally and compare
     payloads = {r.media_id: bytes(r.content) for r in media.filter(
         F.col("kind") == "audio").collect() if r.content}
-    r0 = ok[0]
+    r0 = by_codec["pcm_wav"][0]
     rate, ch, bits, nf, pcm = ic.parse_wav(payloads[r0.media_id])
     rms, peak = ic.pcm_stats(bits, ch, pcm)
     assert (r0.sample_rate, r0.channels, r0.bit_depth, r0.n_frames) == (rate, ch, bits, nf)
     assert abs(r0.rms - rms) < 1e-4 and r0.peak == peak
     assert r0.duration_s == round(nf / rate, 6)
+    # FLAC rows carry STREAMINFO metadata, no sample stats
+    rf = by_codec["flac"][0]
+    frate, fch, fbits, ftotal = ic.parse_flac_streaminfo(payloads[rf.media_id])
+    assert (rf.sample_rate, rf.channels, rf.bit_depth, rf.n_frames) == (frate, fch, fbits, ftotal)
+    assert rf.rms is None and rf.peak is None
+    # MP3 rows: frame-chain walk totals
+    rm = by_codec["mp3"][0]
+    mrate, mch, _kbps, msamples = ic.parse_mp3(payloads[rm.media_id])
+    assert (rm.sample_rate, rm.channels, rm.n_frames) == (mrate, mch, msamples)
+    assert rm.bit_depth is None and rm.duration_s == round(msamples / mrate, 6)
+
+
+def test_flac_streaminfo_roundtrip_and_errors():
+    import pytest as _pytest
+
+    b = ic.encode_flac_streaminfo(44100, 2, 16, 123_456)
+    assert ic.parse_flac_streaminfo(b) == (44100, 2, 16, 123_456)
+    b2 = ic.encode_flac_streaminfo(22050, 1, 24, (1 << 35) + 7)
+    assert ic.parse_flac_streaminfo(b2) == (22050, 1, 24, (1 << 35) + 7)
+    for bad in (b"", b"fLaC", b"OggS" + b"\x00" * 40, b[: len(b) // 2],
+                b"fLaC" + bytes([0x81, 0, 0, 4]) + b"\x00" * 4):  # padding-only, last
+        with _pytest.raises(ic.ImageDecodeError):
+            ic.parse_flac_streaminfo(bad)
+
+
+def test_mp3_frame_chain_roundtrip_and_errors():
+    import pytest as _pytest
+
+    for rate, n, kbps, mono in [(44100, 10, 128, False), (22050, 7, 64, True),
+                                (16000, 3, 96, True)]:
+        b = ic.encode_mp3_cbr(rate, n, bitrate=kbps, mono=mono)
+        prate, pch, pkbps, samples = ic.parse_mp3(b)
+        spf = 1152 if rate == 44100 else 576
+        assert (prate, pch, pkbps, samples) == (rate, 1 if mono else 2, kbps, n * spf)
+    # ID3v2 tag is skipped via its syncsafe length
+    tagged = ic.encode_mp3_cbr(44100, 4, id3=b"\xffTITLE\x00binary junk \xff\xfb")
+    assert ic.parse_mp3(tagged)[3] == 4 * 1152
+    # trailing garbage after a valid chain is tolerated (ID3v1 style)
+    assert ic.parse_mp3(ic.encode_mp3_cbr(44100, 4) + b"TAG" + b"\x00" * 125)[3] == 4 * 1152
+    for bad in (b"", b"\xff\xfb", b"ID3\x03\x00\x00\x00\x00\x00\x05junk!",
+                bytes(512)):
+        with _pytest.raises(ic.ImageDecodeError):
+            ic.parse_mp3(bad)
 
 
 def _jpeg_single_block(coef_zz):
@@ -376,6 +424,61 @@ def test_jpeg_full_decode_blocky_roundtrip_exact():
             assert abs(got - expect) < 1.0
     # full-decode mean agrees with the DC-pass luma
     assert abs(sum(out) / len(out) - ic.decode_jpeg_dc(ic.encode_gray_jpeg(w, h, src))[3]) < 1.0
+
+
+def test_color_jpeg_roundtrip_blockwise():
+    """Blocky color round-trip: constant-color 16×16 regions survive
+    encode(4:2:0 and 4:4:4) → decode within DC-quant + YCbCr rounding
+    tolerance, for a non-multiple-of-16 geometry."""
+    w, h = 24, 20
+    colors = [(200, 40, 60), (30, 180, 90), (10, 20, 240), (120, 120, 120)]
+    rgb = bytes(
+        v
+        for y in range(h)
+        for x in range(w)
+        for v in colors[(x // 16 + 2 * (y // 16)) % 4]
+    )
+    for subsample in (True, False):
+        payload = ic.encode_color_jpeg(w, h, rgb, subsample=subsample)
+        W, H, C, out = ic.decode_jpeg_color(payload)
+        assert (W, H, C, len(out)) == (w, h, 3, w * h * 3)
+        for i in (0, (w * 3) * 2 + 3 * 2, (w * 3) * 18 + 3 * 20):  # sample px
+            for ch in range(3):
+                assert abs(out[i + ch] - rgb[i + ch]) <= 8, (subsample, i, ch)
+
+
+def test_color_jpeg_luma_plane_matches_gray_decoder():
+    """On the SAME color stream, decode_jpeg_gray's luma plane must agree
+    with the BT.601 luma of decode_jpeg_color's RGB output (inverse of the
+    decoder's YCbCr→RGB up to per-pixel rounding) — pins the multi-plane
+    scan walker against the single-plane one, whose IDCT is itself pinned
+    against an independent numpy IDCT above."""
+    w, h = 16, 16
+    rgb = bytes(
+        v for y in range(h) for x in range(w)
+        for v in ((50 + 100 * (x // 16), 160, 90) if y < 16 else (0, 0, 0))
+    )
+    payload = ic.encode_color_jpeg(w, h, rgb, subsample=True)
+    _, _, _, luma = ic.decode_jpeg_gray(payload)
+    _, _, _, out = ic.decode_jpeg_color(payload)
+    n = w * h
+    for i in (0, 5, n // 2, n - 1):
+        bt = 0.299 * out[3 * i] + 0.587 * out[3 * i + 1] + 0.114 * out[3 * i + 2]
+        assert abs(bt - luma[i]) <= 2.5, i
+
+
+def test_decode_image_returns_pixels_for_color_jpeg():
+    w, h = 20, 12
+    rgb = bytes(v for _ in range(w * h) for v in (180, 60, 30))
+    W, H, C, px = ic.decode_image(ic.encode_color_jpeg(w, h, rgb))
+    assert (W, H, C) == (w, h, 3) and px is not None and len(px) == w * h * 3
+    # mean_luma now computes from real decoded RGB; compare to the exact
+    # DC-pass luma of the same stream
+    dcl = ic.decode_jpeg_dc(ic.encode_color_jpeg(w, h, rgb))[3]
+    assert abs(ic.mean_luma(3, px) - dcl) <= 2.5
+    # resize path: RGB JPEG pixels downscale + re-encode as PNG
+    nw, nh, npx = ic.resize_nearest(W, H, C, px, 10)
+    assert max(nw, nh) == 10 and len(npx) == nw * nh * 3
 
 
 def test_resize_handles_gray_jpeg(spark):

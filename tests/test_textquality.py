@@ -242,6 +242,32 @@ def test_doc_top_tfidf_ranks_distinctive_terms(spark):
     assert abs(apple.tfidf - round(3 * (math.log(31.0 / 2.0) + 1.0), 6)) < 1e-6
 
 
+def test_term_df_approx_within_rsd(spark):
+    """The HLL twin's df must track the exact df within the sketch's
+    documented error (rsd 5%; allow 3σ + integer rounding slack), and tf
+    (a plain count, not sketched) must be exactly equal."""
+    from pyspark.sql import functions as F
+
+    from prompture_spark.operators import textquality as tq
+
+    docs = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("common words here plus tok"),
+            (F.col("id") % 37).cast("string"),
+            F.lit(" and tok"),
+            (F.col("id") % 11).cast("string"),
+        ).alias("text"),
+    )
+    exact = {r.term: (r.tf, r.df) for r in tq.term_document_frequency(docs, "doc_id", "text").collect()}
+    approx = {r.term: (r.tf, r.df) for r in tq.term_document_frequency_approx(docs, "doc_id", "text").collect()}
+    assert set(approx) == set(exact)
+    for term, (tf_a, df_a) in approx.items():
+        tf_e, df_e = exact[term]
+        assert tf_a == tf_e, term
+        assert abs(df_a - df_e) <= max(2, 0.15 * df_e), (term, df_a, df_e)
+
+
 def test_doc_top_tfidf_is_lazy(spark):
     """Constructing the plan must run NO job — the round-4 version eagerly
     df.count()-ed the corpus at operator-construction time (a full wasted
