@@ -111,3 +111,53 @@ def self_consistency(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
     (A7, eval/self_consistency.py:34-43)."""
     normed = df.withColumn("_norm", normalize_text(text_col))
     return majority_vote(normed, group_col, "_norm")
+
+
+def rater_agreement_kappa(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """One-row chance-corrected inter-rater agreement over the whole vote
+    table (Fleiss 1971, generalized to varying raters-per-item):
+
+      * ``p_o`` — mean over items of the probability two randomly drawn
+        votes on that item agree, sum_j c_ij(c_ij−1) / (n_i(n_i−1)),
+      * ``p_e`` — chance agreement from the pooled category marginals,
+        sum_j p_j²,
+      * ``kappa`` — (p_o − p_e)/(1 − p_e).
+
+    The reference reports raw agreement ratios per group
+    (groups/consensus.py:142-229); kappa is the corpus-level summary that
+    says whether those ratios beat chance — the standard acceptance gate on
+    multi-model labeling runs. Items with a single vote carry no pairwise
+    information and are excluded (``n_items`` counts the included ones).
+
+    Shape: per-(item, value) counts partial-combine map-side; everything
+    after is two scalar aggregates over item-level and category-level
+    tables — no window, no broadcast, nothing driver-side."""
+    counts = df.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("c"))
+    per_item = counts.groupBy(group_col).agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * (F.col("c") - 1)).alias("agree_pairs"),
+    ).filter(F.col("n") >= 2)
+    po = per_item.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.avg(F.col("agree_pairs") / (F.col("n") * (F.col("n") - 1))).alias("p_o"),
+    )
+    # chance marginals over the same universe p_o uses: items with >= 2 votes
+    pe = (
+        counts.join(per_item.select(group_col), group_col, "left_semi")
+        .groupBy(value_col)
+        .agg(F.sum("c").alias("vc"))
+        .agg(F.sum(F.col("vc") * F.col("vc")).alias("_ss"), F.sum("vc").alias("_t"))
+        .select((F.col("_ss") / (F.col("_t") * F.col("_t"))).alias("p_e"))
+    )
+    return po.crossJoin(pe).select(
+        "n_items",
+        F.round("p_o", 6).alias("p_o"),
+        F.round("p_e", 6).alias("p_e"),
+        # try_divide: p_e == 1 (a single category in the universe) makes
+        # kappa 0/0 — undefined, surfaced as NULL rather than an ANSI error
+        F.round(
+            F.try_divide(F.col("p_o") - F.col("p_e"), 1.0 - F.col("p_e")), 6
+        ).alias("kappa"),
+    )

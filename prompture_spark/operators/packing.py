@@ -1,0 +1,130 @@
+"""Sequence packing: batching documents into fixed token-budget windows.
+
+Pretraining pipelines stream documents into fixed-length contexts two ways,
+and both are order-dependent — which is exactly what makes them interesting
+to distribute:
+
+* ``pack_concat_chunks`` — the GPT-style pack: concatenate the token stream
+  in a canonical order and cut every ``chunk_tokens`` tokens. A document's
+  chunk id is pure arithmetic on its running token offset, so the whole
+  operator is ONE window cumsum per shard (shuffle on shard, sort by id) —
+  no iteration, no state.
+* ``pack_next_fit`` — next-fit bin packing: a document that would overflow
+  the open bin closes it and starts a new one (documents are never split
+  across bins, the SFT/packed-finetuning convention). The running
+  (bin, fill) state is inherently sequential, so it runs as an
+  ``applyInPandas`` linear pass WITHIN each shard while shards pack in
+  parallel — the orchestration a 100 TB corpus needs anyway, because a
+  single global packing order would serialize the world.
+
+Sharding uses ``pmod(id, n_shards)``: deterministic, engine-portable, and
+the within-shard order (id ascending) is total, so output is reproducible
+bit-for-bit across runs and cluster sizes. At design scale ``n_shards``
+is sized so one shard's (id, n_tok) pairs fit an executor (two longs per
+doc — ~16 MB per million docs); the text itself never enters the packing
+plan when a precomputed token-count column is supplied.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from prompture_spark.operators.textquality import token_count_ws
+
+
+def _with_shard_tokens(
+    df: DataFrame, id_col: str, text_col: str | None, tokens_col: str | None,
+    n_shards: int,
+) -> DataFrame:
+    if (text_col is None) == (tokens_col is None):
+        raise ValueError("pass exactly one of text_col / tokens_col")
+    n_tok = (
+        F.col(tokens_col).cast("long")
+        if tokens_col
+        else token_count_ws(text_col).cast("long")
+    )
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.pmod(F.col(id_col).cast("long"), F.lit(n_shards)).alias("shard"),
+        n_tok.alias("n_tok"),
+    )
+
+
+def pack_concat_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str | None = None,
+    tokens_col: str | None = None,
+    chunk_tokens: int = 2048,
+    n_shards: int = 32,
+) -> DataFrame:
+    """(id, shard, n_tok, tok_offset, chunk_id, spans_boundary): position of
+    each document in the concatenated per-shard token stream cut into
+    ``chunk_tokens`` windows. ``spans_boundary`` marks documents a cut
+    splits (the attention-mask-reset candidates). One exchange on shard +
+    one sort — the minimal plan for an order-dependent layout."""
+    base = _with_shard_tokens(df, id_col, text_col, tokens_col, n_shards)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    out = base.withColumn("tok_offset", off).select(
+        F.col("_id").alias(id_col),
+        "shard",
+        "n_tok",
+        "tok_offset",
+        F.floor(F.col("tok_offset") / chunk_tokens).alias("chunk_id"),
+        (
+            (F.floor((F.col("tok_offset") + F.col("n_tok") - 1) / chunk_tokens)
+             > F.floor(F.col("tok_offset") / chunk_tokens))
+            & (F.col("n_tok") > 0)
+        ).alias("spans_boundary"),
+    )
+    return out
+
+
+def pack_next_fit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str | None = None,
+    tokens_col: str | None = None,
+    bin_tokens: int = 2048,
+    n_shards: int = 32,
+) -> DataFrame:
+    """(id, shard, n_tok, bin_id, bin_fill): next-fit packing per shard.
+    Semantics (order = id ascending within shard): a document whose tokens
+    no longer fit the open bin opens a new one; documents longer than the
+    budget occupy a bin alone (overflowing it — they are flagged by
+    ``n_tok > bin_tokens``, never split). ``bin_fill`` is the bin's running
+    total AFTER placing the document. Sequential within a shard by
+    construction; shards are independent tasks."""
+    base = _with_shard_tokens(df, id_col, text_col, tokens_col, n_shards)
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_id").reset_index(drop=True)
+        bins, fills = [], []
+        bin_id, fill = 0, 0
+        for n in pdf["n_tok"]:
+            n = int(n)
+            if fills and fill + n > bin_tokens:
+                bin_id += 1
+                fill = 0
+            fill += n
+            bins.append(bin_id)
+            fills.append(fill)
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        pdf["bin_fill"] = pd.Series(fills, dtype="int64")
+        return pdf
+
+    out_schema = "_id long, shard long, n_tok long, bin_id long, bin_fill long"
+    packed = base.groupBy("shard").applyInPandas(_pack, schema=out_schema)
+    return packed.select(
+        F.col("_id").alias(id_col), "shard", "n_tok", "bin_id", "bin_fill"
+    )

@@ -1,0 +1,106 @@
+"""Deterministic corpus splitting / sampling for training-data pipelines.
+
+A 100 TB training corpus needs REPRODUCIBLE splits: the same row must land in
+the same split on every run, on every engine, regardless of partitioning —
+``df.sample``/``sampleBy`` are none of those (seeded per-partition RNG, so a
+repartition reshuffles the assignment). The standard fix (the reference keeps
+per-row ids for exactly this reason — prompture/infra/tracker.py stores
+stable uids per extraction) is to hash a stable id and threshold the hash.
+
+Implementation note on the hash: assignments compare the first 8 hex chars of
+``md5(id || salt)`` lexicographically against precomputed hex thresholds.
+md5 is bit-identical everywhere (Spark, DuckDB, Python), which is what makes
+the assignment oracle-checkable; lowercase-hex string comparison is plain
+byte order in both engines. The whole operator is a per-row projection —
+no shuffle, no RNG state, survives any repartitioning, and Catalyst pushes
+the resulting filter into the scan. (``xxhash64`` would be ~3× cheaper
+JVM-side; md5 is kept as the default because split assignment must be
+portable across engines — swap ``hash_bucket_expr`` if lineage portability
+is not needed.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX_SPAN = 16**8  # first 8 md5 hex chars = 32 uniform bits
+
+
+def _hex_threshold(cum_fraction: float) -> str:
+    """8-char lowercase-hex threshold such that a uniform 32-bit hex prefix
+    is < threshold with probability ``cum_fraction``."""
+    v = min(_HEX_SPAN, max(0, int(round(cum_fraction * _HEX_SPAN))))
+    # cum 1.0 would need 9 hex chars; 'g' sorts after every hex char and so
+    # compares as +inf for the final catch-all bucket
+    return "g" if v >= _HEX_SPAN else format(v, "08x")
+
+
+def hash_prefix(id_col: Column | str, salt: str = "") -> Column:
+    """The 8-hex-char uniform key the split thresholds compare against."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.substring(F.md5(F.concat(c.cast("string"), F.lit(salt))), 1, 8)
+
+
+def split_assign(
+    id_col: Column | str, weights: dict[str, float], salt: str = ""
+) -> Column:
+    """Split-name column from cumulative hash thresholds. ``weights`` maps
+    split name -> fraction (must sum to ~1); iteration order fixes which
+    hash range each split owns, so pass an ordered dict and keep it stable
+    across runs."""
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    u = hash_prefix(id_col, salt)
+    expr: Column | None = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = u < F.lit(_hex_threshold(cum))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    return last if expr is None else expr.otherwise(last)
+
+
+def hash_split(
+    df: DataFrame, id_col: str, weights: dict[str, float], salt: str = ""
+) -> DataFrame:
+    """Append a ``split`` column: deterministic, engine-portable
+    train/val/test assignment. Pure projection — zero shuffle at any scale."""
+    return df.withColumn("split", split_assign(id_col, weights, salt))
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling (the reproducible analogue of
+    ``df.sampleBy``): keep a row iff its hash prefix falls below its
+    stratum's threshold. A stratum absent from ``fractions`` uses
+    ``default_fraction`` (0 drops it). Filter is a per-row predicate the
+    optimizer can push; rebalancing a skewed source mix (the common
+    training-data use) never shuffles."""
+    u = hash_prefix(id_col, salt)
+    thr: Column = F.lit(_hex_threshold(default_fraction))
+    for value, frac in fractions.items():
+        thr = F.when(F.col(strata_col) == value, F.lit(_hex_threshold(frac))).otherwise(thr)
+    return df.filter(u < thr)
+
+
+def split_sql(id_sql: str, weights: dict[str, float], salt: str = "") -> str:
+    """DuckDB restatement of :func:`split_assign` for oracle SQL — same
+    thresholds, same md5 prefix, byte-identical assignment."""
+    u = f"substr(md5({id_sql} || '{salt}'), 1, 8)"
+    names = list(weights)
+    parts = []
+    cum = 0.0
+    for name in names[:-1]:
+        cum += weights[name]
+        parts.append(f"WHEN {u} < '{_hex_threshold(cum)}' THEN '{name}'")
+    return "CASE " + " ".join(parts) + f" ELSE '{names[-1]}' END"

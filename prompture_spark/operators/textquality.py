@@ -936,6 +936,87 @@ def doc_top_tfidf(
     )
 
 
+def doc_repetition_stats(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Gopher-style per-document repetition metrics (Rae et al. 2021 §A1.1,
+    the published boilerplate/degenerate-text rules): for each document,
+
+      * ``n_words`` / ``n_distinct`` / ``distinct_ratio`` — vocabulary
+        collapse (machine-generated spam repeats a tiny vocabulary),
+      * ``top_word_frac`` — fraction of words that are the single most
+        frequent word (Gopher drops docs where this exceeds ~0.2 for
+        stopword-stripped text),
+      * ``top_bigram_frac`` — same for word bigrams (catches phrase loops
+        a unigram ratio misses),
+      * ``word_entropy`` — Shannon entropy (nats) of the word distribution,
+        the continuous version of the two ratios.
+
+    Shape: words and bigrams explode to (doc, gram) streams, partial-combine
+    into per-(doc, gram) counts, then per-doc aggregates; unigram and bigram
+    branches join on the doc id. Two hash-agg chains on the doc key — robust
+    to arbitrarily long documents, unlike per-row array scans whose cost is
+    O(len · distinct) and blows up on the 10^5-word tail of a web corpus.
+    Mirrors the reference's dataset-filter intent (prompture/dataset/
+    filters.py keeps length/shape heuristics row-local; the repetition rules
+    are the scale-out extension of that family)."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\W+"), lambda x: x != ""
+    )
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_w"))
+    words = base.select("doc_id", F.explode("_w").alias("g"))
+    bigrams = base.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("_w"), 1, F.greatest(F.size("_w") - 1, F.lit(0))),
+                F.slice(F.col("_w"), 2, F.greatest(F.size("_w") - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("g"),
+    )
+
+    def _per_doc(grams: DataFrame, full: bool) -> DataFrame:
+        counts = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+        n = F.sum("c")
+        aggs = [
+            F.max("c").alias("_maxc"),
+            n.alias("_n"),
+        ]
+        if full:
+            aggs += [
+                F.count(F.lit(1)).alias("_distinct"),
+                # H = ln(n) - sum(c·ln c)/n, one pass over the count table
+                F.sum(F.col("c") * F.log("c")).alias("_clogc"),
+            ]
+        return counts.groupBy("doc_id").agg(*aggs)
+
+    uni = _per_doc(words, full=True)
+    bi = _per_doc(bigrams, full=False)
+    return (
+        uni.join(
+            bi.select(
+                "doc_id",
+                F.col("_maxc").alias("_bmaxc"),
+                F.col("_n").alias("_bn"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.col("_n").cast("long").alias("n_words"),
+            F.col("_distinct").cast("long").alias("n_distinct"),
+            F.round(F.col("_distinct") / F.col("_n"), 6).alias("distinct_ratio"),
+            F.round(F.col("_maxc") / F.col("_n"), 6).alias("top_word_frac"),
+            F.round(F.col("_bmaxc") / F.col("_bn"), 6).alias("top_bigram_frac"),
+            F.round(
+                F.log(F.col("_n")) - F.col("_clogc") / F.col("_n"), 6
+            ).alias("word_entropy"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- language
 
 _STOPWORDS = {

@@ -2886,3 +2886,207 @@ def q_qa_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     qa = fmt.qa_pairs_from_transcripts(transcripts_from_events(spark, sf_dir))
     return qaf.qa_quality_stats(qa)
+
+
+# ---------------------------------------------------------------------------
+# Q: corpus assembly ops — deterministic splits, sequence packing,
+# repetition quality, chance-corrected agreement (round 5)
+# ---------------------------------------------------------------------------
+
+from prompture_spark.operators import packing as pk  # noqa: E402
+from prompture_spark.operators import sampling as sp  # noqa: E402
+
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _split_oracle() -> str:
+    case = sp.split_sql("CAST(doc_id AS VARCHAR)", _SPLIT_WEIGHTS, salt="r5")
+    return f"SELECT doc_id, lang, {case} AS split FROM documents"
+
+
+@register("hash_split_docs", _split_oracle())
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-threshold train/val/test assignment — reproducible
+    across engines/partitionings, unlike randomSplit (the lineage property
+    the reference's per-row uids exist for, infra/tracker.py). Pure per-row
+    projection: zero shuffle at any scale."""
+    from prompture_spark.operators.sampling import hash_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return hash_split(docs, "doc_id", _SPLIT_WEIGHTS, salt="r5").select(
+        "doc_id", "lang", "split"
+    )
+
+
+_STRAT_FRACTIONS = {"en": 0.5, "es": 0.25}
+
+
+def _strat_oracle() -> str:
+    u = "substr(md5(CAST(doc_id AS VARCHAR) || 'strat'), 1, 8)"
+    t_en = sp._hex_threshold(_STRAT_FRACTIONS["en"])
+    t_es = sp._hex_threshold(_STRAT_FRACTIONS["es"])
+    t_def = sp._hex_threshold(0.1)
+    return f"""
+SELECT doc_id, lang, source FROM documents
+WHERE {u} < CASE WHEN lang = 'en' THEN '{t_en}'
+                 WHEN lang = 'es' THEN '{t_es}'
+                 ELSE '{t_def}' END
+"""
+
+
+@register("stratified_sample_docs", _strat_oracle())
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum downsampling (the reproducible sampleBy):
+    rebalance the language mix by hash thresholds — a pushable filter, no
+    shuffle, no RNG state."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sp.stratified_sample(
+        docs, "doc_id", "lang", _STRAT_FRACTIONS,
+        default_fraction=0.1, salt="strat",
+    ).select("doc_id", "lang", "source")
+
+
+_NTOK_SQL = r"CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT)"
+
+_PACK_CHUNKS_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, doc_id % 8 AS shard, {_NTOK_SQL} AS n_tok FROM documents
+),
+o AS (
+  SELECT doc_id, shard, n_tok,
+         COALESCE(sum(n_tok) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+  FROM d
+)
+SELECT doc_id, shard, n_tok, tok_offset,
+       CAST(floor(tok_offset / 512.0) AS BIGINT) AS chunk_id,
+       (floor((tok_offset + n_tok - 1) / 512.0) > floor(tok_offset / 512.0)
+        AND n_tok > 0) AS spans_boundary
+FROM o
+"""
+
+
+@register("pack_concat_chunks", _PACK_CHUNKS_ORACLE)
+def q_pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate each shard's token stream in
+    id order and cut every 512 tokens — one window cumsum per shard gives
+    every document its chunk id and boundary flag."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pk.pack_concat_chunks(
+        docs, "doc_id", text_col="text", chunk_tokens=512, n_shards=8
+    )
+
+
+_PACK_NEXTFIT_ORACLE = f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, doc_id % 8 AS shard, {_NTOK_SQL} AS n_tok,
+         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+  FROM documents
+),
+p AS (
+  SELECT shard, rn, doc_id, n_tok, CAST(0 AS BIGINT) AS bin_id, n_tok AS bin_fill
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.shard, d.rn, d.doc_id, d.n_tok,
+         CASE WHEN p.bin_fill + d.n_tok > 512 THEN p.bin_id + 1 ELSE p.bin_id END,
+         CASE WHEN p.bin_fill + d.n_tok > 512 THEN d.n_tok ELSE p.bin_fill + d.n_tok END
+  FROM p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1
+)
+SELECT doc_id, shard, n_tok, bin_id, bin_fill FROM p
+"""
+
+
+@register("pack_next_fit_bins", _PACK_NEXTFIT_ORACLE)
+def q_pack_next_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-fit bin packing per shard (documents never split across bins —
+    the SFT packing convention): sequential within a shard via
+    applyInPandas, shards in parallel. The oracle replays the same
+    recurrence as a recursive CTE."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pk.pack_next_fit(
+        docs, "doc_id", text_col="text", bin_tokens=512, n_shards=8
+    )
+
+
+_REPETITION_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')) AS g
+  FROM documents
+),
+wc AS (SELECT doc_id, g, count(*) AS c FROM w GROUP BY 1, 2),
+uni AS (
+  SELECT doc_id, sum(c) AS n, count(*) AS nd, max(c) AS maxc,
+         sum(c * ln(c)) AS clogc
+  FROM wc GROUP BY 1
+),
+bl AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS l
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, unnest([l[i] || ' ' || l[i+1] FOR i IN range(1, len(l))]) AS g
+  FROM bl WHERE len(l) >= 2
+),
+bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+bi AS (SELECT doc_id, sum(c) AS bn, max(c) AS bmaxc FROM bgc GROUP BY 1)
+SELECT u.doc_id,
+       CAST(n AS BIGINT) AS n_words,
+       CAST(nd AS BIGINT) AS n_distinct,
+       round(nd / CAST(n AS DOUBLE), 6) AS distinct_ratio,
+       round(maxc / CAST(n AS DOUBLE), 6) AS top_word_frac,
+       round(bmaxc / CAST(bn AS DOUBLE), 6) AS top_bigram_frac,
+       round(ln(n) - clogc / n, 6) AS word_entropy
+FROM uni u LEFT JOIN bi USING (doc_id)
+"""
+
+
+@register("doc_repetition_stats", _REPETITION_ORACLE)
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics per document: vocabulary collapse,
+    top word/bigram fractions, word entropy — the published degenerate-text
+    rules as two partial-aggregable explode chains."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tq.doc_repetition_stats(docs, "doc_id", "text")
+
+
+_KAPPA_ORACLE = """
+WITH c AS (SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2),
+i AS (
+  SELECT user_id, sum(c) AS n, sum(c * (c - 1)) AS ap
+  FROM c GROUP BY 1 HAVING sum(c) >= 2
+),
+po AS (SELECT count(*) AS n_items, avg(ap / (n * (n - 1.0))) AS p_o FROM i),
+pe AS (
+  SELECT sum(vc * vc) / (sum(vc) * CAST(sum(vc) AS DOUBLE)) AS p_e FROM (
+    SELECT event_type, sum(c.c) AS vc FROM c JOIN i USING (user_id) GROUP BY 1
+  )
+)
+SELECT n_items, round(p_o, 6) AS p_o, round(p_e, 6) AS p_e,
+       round((p_o - p_e) / (1 - p_e), 6) AS kappa
+FROM po, pe
+"""
+
+
+@register("rater_agreement_kappa", _KAPPA_ORACLE)
+def q_rater_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss-style chance-corrected agreement over the vote table — the
+    corpus-level acceptance gate on multi-model labeling (complements the
+    per-group agreement of majority_vote)."""
+    from prompture_spark.operators.consensus import rater_agreement_kappa
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return rater_agreement_kappa(ev, group_col="user_id", value_col="event_type")
+
+
+@register("minhash_lsh_pairs_words")  # approximate recall — pytest-verified
+def q_minhash_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-level MinHash banding (words=True, k=5): the banding complement
+    to word_jaccard_pairs for templated corpora where char-shingle banding
+    degenerates. Recall on planted word-level twins pinned by
+    tests/test_dedup_similarity.py::test_minhash_words_recovers_planted_word_twins."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dd.minhash_lsh_pairs(
+        docs, "doc_id", "text", words=True, threshold=0.6, arrow=True
+    )

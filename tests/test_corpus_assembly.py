@@ -1,0 +1,195 @@
+"""Deterministic splits, sequence packing, repetition metrics, kappa."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from prompture_spark.operators import packing as pk
+from prompture_spark.operators import sampling as sp
+from prompture_spark.operators.consensus import rater_agreement_kappa
+from prompture_spark.operators.textquality import doc_repetition_stats
+
+
+# ------------------------------------------------------------- hash split
+
+
+def test_hash_split_fractions_and_determinism(spark):
+    df = spark.range(20_000).withColumnRenamed("id", "doc_id")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = sp.hash_split(df, "doc_id", w, salt="s")
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    for name, frac in w.items():
+        assert counts[name] == pytest.approx(20_000 * frac, rel=0.08)
+    # repartitioning must not move a single row between splits
+    again = sp.hash_split(df.repartition(17), "doc_id", w, salt="s")
+    assert out.exceptAll(again).count() == 0 and again.exceptAll(out).count() == 0
+    # a different salt produces a different (but equally deterministic) split
+    other = sp.hash_split(df, "doc_id", w, salt="t")
+    moved = out.alias("a").join(other.alias("b"), "doc_id").filter(
+        F.col("a.split") != F.col("b.split")
+    )
+    assert moved.count() > 0
+
+
+def test_split_sql_matches_spark_assignment(spark):
+    import duckdb
+
+    w = {"train": 0.7, "val": 0.2, "test": 0.1}
+    rows = sp.hash_split(
+        spark.range(2_000).withColumnRenamed("id", "doc_id"), "doc_id", w, salt="x"
+    ).collect()
+    con = duckdb.connect()
+    case = sp.split_sql("CAST(doc_id AS VARCHAR)", w, salt="x")
+    oracle = dict(
+        con.execute(
+            f"SELECT doc_id, {case} AS split FROM range(2000) t(doc_id)"
+        ).fetchall()
+    )
+    for r in rows:
+        assert oracle[r["doc_id"]] == r["split"]
+
+
+def test_split_weights_must_sum_to_one():
+    with pytest.raises(ValueError):
+        sp.split_assign("doc_id", {"a": 0.5, "b": 0.2})
+
+
+def test_stratified_sample_per_stratum_rates(spark):
+    df = spark.range(30_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en").when(F.col("id") % 3 == 1, "es")
+        .otherwise("de").alias("lang"),
+    )
+    out = sp.stratified_sample(
+        df, "doc_id", "lang", {"en": 0.5, "es": 0.2}, default_fraction=0.05,
+        salt="z",
+    )
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got["en"] == pytest.approx(10_000 * 0.5, rel=0.1)
+    assert got["es"] == pytest.approx(10_000 * 0.2, rel=0.1)
+    assert got.get("de", 0) == pytest.approx(10_000 * 0.05, rel=0.35)
+
+
+# ---------------------------------------------------------------- packing
+
+
+def _doc_df(spark, toks):
+    return spark.createDataFrame(
+        [(i, n) for i, n in enumerate(toks)], "doc_id long, n_tok long"
+    )
+
+
+def test_pack_concat_chunks_offsets_and_boundaries(spark):
+    df = _doc_df(spark, [100, 100, 100, 100, 100, 100])
+    out = (
+        pk.pack_concat_chunks(
+            df, "doc_id", tokens_col="n_tok", chunk_tokens=256, n_shards=1
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [r["tok_offset"] for r in out] == [0, 100, 200, 300, 400, 500]
+    assert [r["chunk_id"] for r in out] == [0, 0, 0, 1, 1, 1]
+    # doc 2 spans the 256 cut, doc 5 spans the 512 cut
+    assert [r["spans_boundary"] for r in out] == [False, False, True, False, False, True]
+
+
+def test_pack_next_fit_capacity_invariant(spark):
+    df = _doc_df(spark, [200, 200, 200, 700, 100, 300, 256, 256])
+    out = (
+        pk.pack_next_fit(df, "doc_id", tokens_col="n_tok", bin_tokens=512, n_shards=1)
+        .orderBy("doc_id")
+        .collect()
+    )
+    # next-fit: [200,200]->bin0, 200 opens bin1, 700 overflows alone in bin2,
+    # [100,300]->bin3, [256,256]->bin4
+    assert [r["bin_id"] for r in out] == [0, 0, 1, 2, 3, 3, 4, 4]
+    # every bin's total fits the budget unless it holds a single oversize doc
+    fills: dict[int, int] = {}
+    for r in out:
+        fills[r["bin_id"]] = fills.get(r["bin_id"], 0) + r["n_tok"]
+        assert r["bin_fill"] == fills[r["bin_id"]]
+    for b, tot in fills.items():
+        members = [r for r in out if r["bin_id"] == b]
+        assert tot <= 512 or (len(members) == 1 and members[0]["n_tok"] > 512)
+
+
+def test_pack_shards_are_independent(spark):
+    df = _doc_df(spark, [100] * 64)
+    a = pk.pack_next_fit(df, "doc_id", tokens_col="n_tok", bin_tokens=300, n_shards=4)
+    # a shard's packing never depends on other shards: re-packing one
+    # shard's rows alone yields identical bins
+    one = df.filter(F.pmod("doc_id", F.lit(4)) == 2)
+    b = pk.pack_next_fit(one, "doc_id", tokens_col="n_tok", bin_tokens=300, n_shards=4)
+    sub = a.filter(F.col("shard") == 2)
+    assert sub.exceptAll(b).count() == 0 and b.exceptAll(sub).count() == 0
+
+
+def test_pack_requires_exactly_one_token_source(spark):
+    df = _doc_df(spark, [1])
+    with pytest.raises(ValueError):
+        pk.pack_concat_chunks(df, "doc_id")
+    with pytest.raises(ValueError):
+        pk.pack_concat_chunks(df, "doc_id", text_col="t", tokens_col="n_tok")
+
+
+# ------------------------------------------------------------- repetition
+
+
+def test_doc_repetition_stats_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam ham"),           # top word 3/4
+            (2, "a b c d"),                      # all distinct
+            (3, "go go go go"),                  # single repeated word
+            (4, "x"),                            # one word: no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in doc_repetition_stats(df, "doc_id", "text").collect()}
+    r1 = rows[1]
+    assert (r1["n_words"], r1["n_distinct"]) == (4, 2)
+    assert r1["top_word_frac"] == pytest.approx(0.75)
+    # bigrams: 'spam spam' ×2, 'spam ham' ×1
+    assert r1["top_bigram_frac"] == pytest.approx(2 / 3, abs=1e-6)
+    h = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert r1["word_entropy"] == pytest.approx(h, abs=1e-6)
+    assert rows[2]["distinct_ratio"] == 1.0 and rows[2]["word_entropy"] == pytest.approx(math.log(4), abs=1e-6)
+    assert rows[3]["top_word_frac"] == 1.0 and rows[3]["word_entropy"] == 0.0
+    assert rows[4]["top_bigram_frac"] is None  # no bigrams in a 1-word doc
+
+
+# ------------------------------------------------------------------ kappa
+
+
+def test_kappa_perfect_and_chance_agreement(spark):
+    # 50 items, 3 raters each, all agree -> kappa == 1
+    perfect = spark.createDataFrame(
+        [(i, f"cat{i % 4}") for i in range(50) for _ in range(3)],
+        "item long, vote string",
+    )
+    r = rater_agreement_kappa(perfect, "item", "vote").collect()[0]
+    assert r["n_items"] == 50 and r["p_o"] == 1.0 and r["kappa"] == 1.0
+
+    # two raters who always disagree across two balanced categories:
+    # p_o = 0, p_e = 0.5 -> kappa = -1
+    disagree = spark.createDataFrame(
+        [(i, v) for i in range(40) for v in ("yes", "no")],
+        "item long, vote string",
+    )
+    r = rater_agreement_kappa(disagree, "item", "vote").collect()[0]
+    assert r["p_o"] == 0.0 and r["p_e"] == pytest.approx(0.5) and r["kappa"] == -1.0
+
+
+def test_kappa_excludes_single_vote_items(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b")], "item long, vote string"
+    )
+    r = rater_agreement_kappa(df, "item", "vote").collect()[0]
+    assert r["n_items"] == 1 and r["p_o"] == 1.0
+    # the singleton item's vote must not leak into the marginals
+    assert r["p_e"] == 1.0 or r["p_e"] == pytest.approx(1.0)
