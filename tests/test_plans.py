@@ -172,3 +172,33 @@ def test_contamination_broadcasts_eval_not_corpus(spark, sf_small):
     p2 = plan_of(embedding_contamination_pairs(emb, evv))
     assert "BroadcastHashJoin" in p2 or "BroadcastNestedLoopJoin" in p2
     assert "SortMergeJoin" not in p2
+
+
+def test_hash_split_is_pure_projection(spark, sf_small):
+    from prompture_spark.operators.sampling import hash_split, stratified_sample
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    p = plan_of(hash_split(docs, "doc_id", {"train": 0.9, "val": 0.1}))
+    # the scale claim: split assignment shuffles nothing, ever
+    assert "Exchange" not in p, p[:2000]
+    p2 = plan_of(
+        stratified_sample(
+            docs, "doc_id", "lang", {"en": 0.5}, default_fraction=0.1
+        ).select("doc_id", "lang")
+    )
+    assert "Exchange" not in p2, p2[:2000]
+    # column pruning reaches the scan: text is never read
+    assert "text" not in p2.split("ReadSchema")[-1], p2[:2000]
+
+
+def test_pack_concat_chunks_single_exchange(spark, sf_small):
+    from prompture_spark.operators.packing import pack_concat_chunks
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    p = plan_of(
+        pack_concat_chunks(docs, "doc_id", text_col="text", chunk_tokens=512)
+    )
+    # one shard shuffle feeds the window cumsum; chunk arithmetic adds none
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p[:2000]
