@@ -326,6 +326,44 @@ def contamination_pairs(
     return verified.select("eval_id", "corpus_id", F.round("_j", 6).alias("jaccard"))
 
 
+def ngram_membership_contamination(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+) -> DataFrame:
+    """GPT-3-style exact-overlap decontamination (Brown et al. 2020
+    appendix C; PaLM uses the same rule): a corpus document is "dirty" if
+    it contains ANY exact word n-gram (n=13 is the published choice) that
+    also occurs in the eval set. Returns (corpus_id, grams_hit, evals_hit)
+    for flagged documents — the membership complement to
+    :func:`contamination_pairs`' similarity threshold: this rule catches a
+    verbatim benchmark question quoted inside an otherwise-unrelated
+    10^5-word page, which no document-level Jaccard ever will.
+
+    Same asymmetric shape as `contamination_pairs`: the eval gram table is
+    BROADCAST, the corpus side explodes its distinct grams and hash-joins
+    map-side — the corpus never shuffles; the only wide op is the per-doc
+    hit count, sized by true contamination. Grams join as strings here
+    (oracle-exact); at 100 TB hash them first (`F.xxhash64`) to shrink the
+    broadcast and the join keys — counts are identical up to 64-bit
+    collisions."""
+    ev = eval_df.select(
+        F.col(id_col).alias("eval_id"),
+        F.explode(word_shingles(text_col, n)).alias("gram"),
+    )
+    cg = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.explode(word_shingles(text_col, n)).alias("gram"),
+    )
+    hits = cg.join(F.broadcast(ev), "gram")
+    return hits.groupBy("corpus_id").agg(
+        F.count_distinct("gram").alias("grams_hit"),
+        F.count_distinct("eval_id").alias("evals_hit"),
+    )
+
+
 # ------------------------------------------------------------- MinHash LSH
 
 

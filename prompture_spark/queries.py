@@ -3090,3 +3090,56 @@ def q_minhash_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_lsh_pairs(
         docs, "doc_id", "text", words=True, threshold=0.6, arrow=True
     )
+
+
+_MEMBERSHIP_ORACLE = r"""
+WITH ev AS (
+  SELECT doc_id + 200000 AS doc_id, text || ' tailword' AS text
+  FROM documents WHERE doc_id % 20 = 0
+),
+ct AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS l
+  FROM documents
+),
+et AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS l
+  FROM ev
+),
+cg AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(l) >= 13
+                       THEN [array_to_string(l[i:i+12], ' ') FOR i IN range(1, len(l) - 11)]
+                       WHEN len(l) > 0 THEN [array_to_string(l, ' ')]
+                       ELSE CAST([] AS VARCHAR[]) END) AS g
+    FROM ct)
+),
+eg AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(l) >= 13
+                       THEN [array_to_string(l[i:i+12], ' ') FOR i IN range(1, len(l) - 11)]
+                       WHEN len(l) > 0 THEN [array_to_string(l, ' ')]
+                       ELSE CAST([] AS VARCHAR[]) END) AS g
+    FROM et)
+)
+SELECT c.doc_id AS corpus_id,
+       count(DISTINCT c.g) AS grams_hit,
+       count(DISTINCT e.doc_id) AS evals_hit
+FROM cg c JOIN eg e ON c.g = e.g
+GROUP BY 1
+"""
+
+
+@register("contaminated_docs_13gram", _MEMBERSHIP_ORACLE)
+def q_contaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style exact 13-gram membership decontamination: corpus docs
+    containing any eval n-gram verbatim — catches a quoted benchmark item
+    inside an otherwise-unrelated page, which document-level Jaccard never
+    flags. Eval side broadcast; the corpus never shuffles."""
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    ev = corpus.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tailword")).alias("text"),
+    )
+    return dd.ngram_membership_contamination(corpus, ev, "doc_id", "text", n=13)

@@ -616,3 +616,31 @@ def test_embedding_contamination_range_search(spark):
     )
     got = {(r.eval_id, r.corpus_id) for r in sim.embedding_contamination_pairs(corpus, ev, threshold=0.9).collect()}
     assert got == {(100, 1), (100, 3)}  # orthogonal vec 2 excluded
+
+
+def test_ngram_membership_contamination_flags_quotes(spark):
+    eval_q = "what is the capital city of the republic of france in western europe"
+    corpus = spark.createDataFrame(
+        [
+            # 13-gram of the eval question quoted inside unrelated text
+            (1, "filler words around a quote " + eval_q + " more filler"),
+            # unrelated document, zero shared 13-grams
+            (2, "completely different content with no overlap at all " * 3),
+            # short doc (< 13 words) equal to a short eval doc: whole-text path
+            (3, "tiny shared snippet"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, eval_q), (101, "tiny shared snippet")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["corpus_id"]: r
+        for r in dd.ngram_membership_contamination(
+            corpus, ev, "doc_id", "text", n=13
+        ).collect()
+    }
+    assert set(rows) == {1, 3}
+    assert rows[1]["evals_hit"] == 1 and rows[1]["grams_hit"] >= 1
+    assert rows[3]["grams_hit"] == 1 and rows[3]["evals_hit"] == 1
