@@ -1017,6 +1017,49 @@ def doc_repetition_stats(
     )
 
 
+def doc_unigram_cross_entropy(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """CCNet-style statistical quality score (Wenzek et al. 2020 train a
+    KenLM and rank documents by perplexity; the unigram LM is the same
+    signal without the external model): per-document cross-entropy under
+    the corpus's own unigram distribution,
+
+        H(d) = −(1/n_d) Σ_w c_dw · ln(tf_w / T)
+
+    Low H = stopword-heavy boilerplate; high H = rare-token noise (both
+    tails get filtered in the published pipelines; the middle band is kept).
+
+    Shape: one explode into per-(doc, term) counts, the corpus term table
+    aggregated FROM those counts (no second scan), T as a one-row broadcast
+    crossJoin (lazy, same pattern as doc_top_tfidf), and the term
+    frequencies joined on ``term`` — not broadcast, so a web-scale
+    vocabulary never has to fit one executor."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\W+"), lambda x: x != ""
+    )
+    c = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tf = c.groupBy("term").agg(F.sum("c").alias("_tf"))
+    tot = tf.agg(F.sum("_tf").alias("_T"))
+    return (
+        c.join(tf, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            F.round(
+                -F.sum(F.col("c") * F.log(F.col("_tf") / F.col("_T")))
+                / F.sum("c"),
+                6,
+            ).alias("cross_entropy"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- language
 
 _STOPWORDS = {

@@ -3143,3 +3143,28 @@ def q_contaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("text"), F.lit(" tailword")).alias("text"),
     )
     return dd.ngram_membership_contamination(corpus, ev, "doc_id", "text", n=13)
+
+
+_UNIGRAM_CE_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')) AS term
+  FROM documents
+),
+c AS (SELECT doc_id, term, count(*) AS c FROM w GROUP BY 1, 2),
+tf AS (SELECT term, sum(c) AS tf FROM c GROUP BY 1),
+t AS (SELECT sum(tf) AS T FROM tf)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+       round(-sum(c * ln(tf / T)) / sum(c), 6) AS cross_entropy
+FROM c JOIN tf USING (term), t
+GROUP BY doc_id
+"""
+
+
+@register("doc_unigram_ce", _UNIGRAM_CE_ORACLE)
+def q_doc_unigram_ce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity-proxy quality score: per-doc cross-entropy
+    under the corpus's own unigram distribution (both tails are the filter
+    targets in the published pipeline)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tq.doc_unigram_cross_entropy(docs, "doc_id", "text")

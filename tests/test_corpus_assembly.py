@@ -193,3 +193,21 @@ def test_kappa_excludes_single_vote_items(spark):
     assert r["n_items"] == 1 and r["p_o"] == 1.0
     # the singleton item's vote must not leak into the marginals
     assert r["p_e"] == 1.0 or r["p_e"] == pytest.approx(1.0)
+
+
+# ------------------------------------------------------ unigram entropy
+
+
+def test_doc_unigram_cross_entropy_hand_computed(spark):
+    from prompture_spark.operators.textquality import doc_unigram_cross_entropy
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b")], "doc_id long, text string"
+    )
+    # corpus: tf(a)=3, tf(b)=2, T=5
+    rows = {r["doc_id"]: r for r in doc_unigram_cross_entropy(df, "doc_id", "text").collect()}
+    h1 = -(2 * math.log(3 / 5) + 1 * math.log(2 / 5)) / 3
+    h2 = -(math.log(3 / 5) + math.log(2 / 5)) / 2
+    assert rows[1]["cross_entropy"] == pytest.approx(h1, abs=1e-6)
+    assert rows[2]["cross_entropy"] == pytest.approx(h2, abs=1e-6)
+    assert rows[1]["n_words"] == 3 and rows[2]["n_words"] == 2
