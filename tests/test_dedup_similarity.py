@@ -644,3 +644,96 @@ def test_ngram_membership_contamination_flags_quotes(spark):
     assert set(rows) == {1, 3}
     assert rows[1]["evals_hit"] == 1 and rows[1]["grams_hit"] >= 1
     assert rows[3]["grams_hit"] == 1 and rows[3]["evals_hit"] == 1
+
+
+# ---------------------------------------- cross-document line/segment dedup
+
+
+@pytest.fixture(scope="module")
+def lined_docs(spark):
+    boiler = "subscribe to our newsletter"
+    cookie = "we use cookies to improve your experience"
+    rows = [
+        (1, f"unique alpha content\n{boiler}\n{cookie}"),
+        (2, f"{boiler}\nunique beta content here\n\n{cookie}"),
+        (3, "totally original document three"),
+        (4, f"{boiler}\n{cookie}"),          # all boilerplate
+        (5, ""),                              # empty doc
+        (6, f"  {boiler}  \nunique gamma"),   # whitespace noise around line
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_segment_newlines_normalizes_and_drops_empties(spark):
+    df = spark.createDataFrame(
+        [("a  b\r\n\n  c d \ne",), ("",)], "text string"
+    )
+    got = df.select(dd.segment_newlines("text").alias("s")).collect()
+    assert got[0].s == ["a b", "c d", "e"]
+    assert got[1].s == []
+
+
+def test_segment_word_chunks_shapes(spark):
+    df = spark.createDataFrame(
+        [("one two three four five",), ("solo",), ("",)], "text string"
+    )
+    got = df.select(dd.segment_word_chunks("text", k=3).alias("s")).collect()
+    assert got[0].s == ["one two three", "four five"]
+    assert got[1].s == ["solo"]
+    assert got[2].s == []  # sequence(0,-1) guard: empty, not [0,-1]
+
+
+def test_duplicated_segments_finds_boilerplate(spark, lined_docs):
+    dup = dd.duplicated_segments(
+        lined_docs, segmenter=dd.segment_newlines("text"), min_docs=2
+    )
+    got = {r.segment: r.n_docs for r in dup.collect()}
+    assert got == {
+        "subscribe to our newsletter": 4,
+        "we use cookies to improve your experience": 3,
+    }
+
+
+def test_line_dedup_stats_strikes_and_rebuilds(spark, lined_docs):
+    out = dd.line_dedup_stats(
+        lined_docs, segmenter=dd.segment_newlines("text"), min_docs=2, sep="\n"
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    # empty doc produces no segments -> absent from the frame (caller keeps
+    # it via a left join; n_segments=0 would divide by zero anyway)
+    assert set(rows) == {1, 2, 3, 4, 6}
+    assert rows[1].cleaned_text == "unique alpha content"
+    assert rows[1].n_segments == 3 and rows[1].n_removed == 2
+    assert rows[2].cleaned_text == "unique beta content here"
+    assert rows[3].n_removed == 0
+    assert rows[3].cleaned_text == "totally original document three"
+    # all-boilerplate doc surfaces with empty cleaned_text, frac 1.0
+    assert rows[4].cleaned_text == "" and rows[4].removed_frac == 1.0
+    # whitespace-noisy boilerplate line still matches after normalization
+    assert rows[6].cleaned_text == "unique gamma" and rows[6].n_removed == 1
+
+
+def test_line_dedup_order_preserved(spark):
+    """Kept segments must come back in ORIGINAL position order even when
+    collect_list sees them in shuffle order."""
+    text = "\n".join(f"line number {i} unique" for i in range(20))
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    out = dd.line_dedup_stats(
+        df.repartition(8), segmenter=dd.segment_newlines("text"), sep="\n"
+    ).collect()[0]
+    assert out.cleaned_text == text
+    assert out.n_removed == 0
+
+
+def test_duplicated_segments_approx_close_to_exact(spark, lined_docs):
+    exact = dd.duplicated_segments(
+        lined_docs, segmenter=dd.segment_newlines("text"), min_docs=2
+    )
+    approx = dd.duplicated_segments(
+        lined_docs, segmenter=dd.segment_newlines("text"), min_docs=2, approx=True
+    )
+    e = {r.segment: r.n_docs for r in exact.collect()}
+    a = {r.segment: r.n_docs for r in approx.collect()}
+    assert set(e) == set(a)
+    for k in e:
+        assert abs(e[k] - a[k]) <= max(1, 0.05 * e[k])
