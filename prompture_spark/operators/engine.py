@@ -35,13 +35,15 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from prompture_spark.plans.compiler import VIOLATIONS_COL, fail_flags, violation_array
 from prompture_spark.plans.spec import (
+    Alternation,
     Monotonic,
+    NoRepeatedText,
     Referential,
     Unique,
     ValidationSuite,
@@ -245,81 +247,216 @@ class ValidationEngine:
     def sequencing_violations(
         self, df: DataFrame, uq: Unique, mono: Monotonic, partition_col: str
     ) -> DataFrame:
-        """Fused uniqueness + monotonicity: ONE shuffle by conv_id feeds both.
+        """Fused uniqueness + monotonicity — kept as the named entry point;
+        delegates to the generalized :meth:`sequence_violations`."""
+        return self.sequence_violations(df, partition_col, uq=uq, mono=mono)
 
-        Sorted by the total key ``(turn_idx, ts)`` within each conversation,
-        a duplicate ``(conv_id, turn_idx)`` shows as ``turn_idx ==
-        lag(turn_idx)`` and a time regression as ``ts < lag(ts)`` — the same
-        window serves both, halving the dominant shuffle of the whole suite.
-        Output semantics identical to the standalone operators (per-key
-        multiplicity for duplicates; per-row regressions). Valid whenever the
-        Unique key is ``(group_by, <sort head>)`` of the Monotonic spec."""
-        w = Window.partitionBy(mono.group_by).orderBy(
-            *[F.col(k) for k in mono.sort_keys]
-        )
+    def sequence_violations(
+        self,
+        df: DataFrame,
+        partition_col: str,
+        uq: Unique | None = None,
+        mono: Monotonic | None = None,
+        alt: Alternation | None = None,
+        rep: NoRepeatedText | None = None,
+    ) -> DataFrame:
+        """All per-conversation SEQUENCE constraints in ONE window exchange.
+
+        Sorted by the total key (``sort_keys``, e.g. ``(turn_idx, ts)``)
+        within each conversation, every neighbouring-turn check is a ``lag``
+        over the same window:
+          * duplicate ``(conv_id, turn_idx)``  — ``turn_idx == lag(turn_idx)``
+          * time regression                    — ``ts < lag(ts)``
+          * role-alternation break             — ``role == lag(role)`` (roles
+            in ``allow_repeat`` exempt; null roles belong to row constraints)
+          * degenerate loop (repeated turn)    — same role AND identical text
+            as the previous turn
+        One shuffle by conv_id feeds all four — the dominant exchange of the
+        whole suite never multiplies with the number of sequence checks.
+        Output semantics are identical to the standalone operators (per-key
+        multiplicity for duplicates; per-row events otherwise). Callers pass
+        any subset; specs must share group_by/sort_keys (asserted)."""
+        specs = [c for c in (mono, alt, rep) if c is not None]
+        if not specs and uq is None:
+            raise ValueError("sequence_violations needs at least one constraint")
+        group_by = specs[0].group_by if specs else uq.keys[0]
+        sort_keys = tuple(specs[0].sort_keys) if specs else tuple(uq.keys[1:]) or ("turn_idx",)
+        for c in specs:
+            assert c.group_by == group_by and tuple(c.sort_keys) == sort_keys, (
+                f"unaligned sequence spec {c.constraint_id}: "
+                f"({c.group_by}, {c.sort_keys}) != ({group_by}, {sort_keys})"
+            )
+        if uq is not None:
+            assert tuple(uq.keys) == (group_by, sort_keys[0]), (
+                f"Unique key {uq.keys} does not align with window "
+                f"({group_by}, {sort_keys[0]})"
+            )
+        w = Window.partitionBy(group_by).orderBy(*[F.col(k) for k in sort_keys])
+
+        lag_cols: list[Column] = []
+        keep_exprs: list[Column] = []
+        keep_names: list[str] = []
+        if uq is not None:
+            lag_cols.append(F.lag("turn_idx").over(w).alias("_pti"))
+        if mono is not None:
+            keep_exprs.append(F.col(mono.order_col))  # no alias: same attr
+            keep_names.append(mono.order_col)
+            lag_cols.append(F.lag(F.col(mono.order_col)).over(w).alias("_prev"))
+        if alt is not None or rep is not None:
+            role_col = (alt or rep).role_col
+            keep_exprs.append(F.col(role_col).alias("_role"))
+            keep_names.append("_role")
+            lag_cols.append(F.lag(F.col(role_col)).over(w).alias("_prole"))
+        if rep is not None:
+            keep_exprs.append(F.col(rep.text_col).alias("_text"))
+            keep_names.append("_text")
+            lag_cols.append(F.lag(F.col(rep.text_col)).over(w).alias("_ptext"))
+
         base = df.select(
             "conv_id",
             "turn_idx",
             F.col(partition_col).alias("part_id"),
-            F.col(mono.order_col),
-            F.lag("turn_idx").over(w).alias("_pti"),
-            F.lag(F.col(mono.order_col)).over(w).alias("_prev"),
+            *keep_exprs,
+            *lag_cols,
         )
-        is_mono = F.col("_prev").isNotNull() & (F.col(mono.order_col) < F.col("_prev"))
-        is_dup = F.col("_pti").isNotNull() & (F.col("turn_idx") == F.col("_pti"))
+        flags: dict[str, Column] = {}
+        if mono is not None:
+            flags["_is_mono"] = F.col("_prev").isNotNull() & (
+                F.col(mono.order_col) < F.col("_prev")
+            )
+        if uq is not None:
+            flags["_is_dup"] = F.col("_pti").isNotNull() & (
+                F.col("turn_idx") == F.col("_pti")
+            )
+        if alt is not None or rep is not None:
+            same_role = F.col("_role").isNotNull() & (
+                F.col("_role") == F.col("_prole")
+            )
+        if alt is not None:
+            allowed = (
+                F.col("_role").isin(*alt.allow_repeat)
+                if alt.allow_repeat
+                else F.lit(False)
+            )
+            flags["_is_alt"] = same_role & ~allowed
+        if rep is not None:
+            flags["_is_rep"] = (
+                same_role
+                & F.col("_text").isNotNull()
+                & (F.col("_text") == F.col("_ptext"))
+            )
+
+        any_flag = None
+        for f in flags.values():
+            any_flag = f if any_flag is None else (any_flag | f)
         # Filter down to flagged rows (~defect rate) and persist: without
-        # this, Catalyst prunes the two output branches into two DIFFERENT
-        # window plans and the conv_id shuffle + sort runs twice.
+        # this, Catalyst prunes the output branches into DIFFERENT window
+        # plans and the conv_id shuffle + sort runs once per constraint.
         # Cache lifecycle: the returned union keeps this block referenced, so
         # (as with validate()'s violations frame) the CALLER owns release —
         # materialize the result, then spark.catalog.clearCache() or let LRU
         # evict; the cached frame is ~defect-rate × |input|, not the table.
-        events = base.filter(is_mono | is_dup).select(
+        events = base.filter(any_flag).select(
             "conv_id",
             "turn_idx",
             "part_id",
-            F.col(mono.order_col),
-            is_mono.alias("_is_mono"),
-            is_dup.alias("_is_dup"),
+            *keep_names,
+            *[f.alias(n) for n, f in flags.items()],
         ).persist()
-        mono_v = events.filter("_is_mono").select(
-            "conv_id",
-            "turn_idx",
-            "part_id",
-            F.lit(mono.constraint_id).alias("constraint_id"),
-            F.date_format(F.col(mono.order_col), "yyyy-MM-dd HH:mm:ss").alias("observed_value"),
-        )
-        # k duplicates of a key flag k-1 rows; re-aggregate the (tiny) flagged
-        # stream to report one violation per key with its multiplicity.
-        dup_v = (
-            events.filter("_is_dup")
-            .groupBy("conv_id", "turn_idx", "part_id")
-            .agg((F.count(F.lit(1)) + 1).alias("_k"))
-            .select(
-                "conv_id",
-                "turn_idx",
-                "part_id",
-                F.lit(uq.constraint_id).alias("constraint_id"),
-                F.col("_k").cast("string").alias("observed_value"),
+
+        parts: list[DataFrame] = []
+        if mono is not None:
+            parts.append(
+                events.filter("_is_mono").select(
+                    "conv_id",
+                    "turn_idx",
+                    "part_id",
+                    F.lit(mono.constraint_id).alias("constraint_id"),
+                    F.date_format(
+                        F.col(mono.order_col), "yyyy-MM-dd HH:mm:ss"
+                    ).alias("observed_value"),
+                )
             )
-        )
-        return mono_v.unionByName(dup_v)
+        if uq is not None:
+            # k duplicates of a key flag k-1 rows; re-aggregate the (tiny)
+            # flagged stream to report one violation per key + multiplicity.
+            parts.append(
+                events.filter("_is_dup")
+                .groupBy("conv_id", "turn_idx", "part_id")
+                .agg((F.count(F.lit(1)) + 1).alias("_k"))
+                .select(
+                    "conv_id",
+                    "turn_idx",
+                    "part_id",
+                    F.lit(uq.constraint_id).alias("constraint_id"),
+                    F.col("_k").cast("string").alias("observed_value"),
+                )
+            )
+        if alt is not None:
+            parts.append(
+                events.filter("_is_alt").select(
+                    "conv_id",
+                    "turn_idx",
+                    "part_id",
+                    F.lit(alt.constraint_id).alias("constraint_id"),
+                    F.col("_role").alias("observed_value"),
+                )
+            )
+        if rep is not None:
+            # Bound the violation row: 80 chars of the repeated text is the
+            # evidence, never the full payload.
+            parts.append(
+                events.filter("_is_rep").select(
+                    "conv_id",
+                    "turn_idx",
+                    "part_id",
+                    F.lit(rep.constraint_id).alias("constraint_id"),
+                    F.substring(F.col("_text"), 1, 80).alias("observed_value"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def table_violations(self, df: DataFrame, suite: ValidationSuite) -> DataFrame:
         constraints = list(suite.table_constraints)
         parts = []
-        # Fuse Unique+Monotonic into one window pass when their keys line up.
-        uqs = [c for c in constraints if isinstance(c, Unique)]
-        monos = [c for c in constraints if isinstance(c, Monotonic)]
-        if (
-            len(uqs) == 1
-            and len(monos) == 1
-            and uqs[0].keys == (monos[0].group_by, monos[0].sort_keys[0])
-        ):
+        # Fuse every aligned per-conversation sequence constraint (Monotonic,
+        # Alternation, NoRepeatedText, plus a Unique whose key is the window
+        # head) into ONE window pass. The anchor spec sets the window keys;
+        # anything unaligned falls through to a standalone operator.
+        seq_like = [
+            c for c in constraints
+            if isinstance(c, (Monotonic, Alternation, NoRepeatedText))
+        ]
+        if seq_like:
+            gb = seq_like[0].group_by
+            sk = tuple(seq_like[0].sort_keys)
+            kwargs: dict = {}
+            for c in seq_like:
+                slot = (
+                    "mono" if isinstance(c, Monotonic)
+                    else "alt" if isinstance(c, Alternation)
+                    else "rep"
+                )
+                if (
+                    slot not in kwargs
+                    and c.group_by == gb
+                    and tuple(c.sort_keys) == sk
+                ):
+                    kwargs[slot] = c
+            uqs = [
+                c for c in constraints
+                if isinstance(c, Unique) and tuple(c.keys) == (gb, sk[0])
+            ]
+            if uqs:
+                kwargs["uq"] = uqs[0]
+            fused = {id(c) for c in kwargs.values()}
             parts.append(
-                self.sequencing_violations(df, uqs[0], monos[0], suite.partition_col)
+                self.sequence_violations(df, suite.partition_col, **kwargs)
             )
-            constraints = [c for c in constraints if c not in (uqs[0], monos[0])]
+            constraints = [c for c in constraints if id(c) not in fused]
         for c in constraints:
             if isinstance(c, Unique):
                 parts.append(self.uniqueness_violations(df, c, suite.partition_col))
@@ -327,6 +464,11 @@ class ValidationEngine:
                 parts.append(self.referential_violations(df, c, suite.partition_col))
             elif isinstance(c, Monotonic):
                 parts.append(self.monotonicity_violations(df, c, suite.partition_col))
+            elif isinstance(c, (Alternation, NoRepeatedText)):
+                kw = "alt" if isinstance(c, Alternation) else "rep"
+                parts.append(
+                    self.sequence_violations(df, suite.partition_col, **{kw: c})
+                )
             else:
                 raise TypeError(f"unknown table constraint {type(c)}")
         if not parts:

@@ -173,6 +173,38 @@ class Monotonic(TableConstraint):
 
 
 @dataclass(frozen=True)
+class Alternation(TableConstraint):
+    """No two consecutive turns within a conversation share the same role.
+
+    The multi-turn shape invariant the reference's append-order conversation
+    model implies (prompture/agents/conversation.py:658-659 alternates
+    user/assistant appends): a repeated role means a dropped counterpart turn
+    or two merged messages. Roles in ``allow_repeat`` may legitimately chain
+    (consecutive tool results from one assistant fan-out). Null roles never
+    flag here — the role NotNull/InSet row constraints own those rows.
+    Executes in the engine's fused per-conversation window (one ``lag``)."""
+
+    group_by: str = "conv_id"
+    role_col: str = "role"
+    sort_keys: tuple[str, ...] = ("turn_idx", "ts")
+    allow_repeat: tuple[str, ...] = ("tool",)
+
+
+@dataclass(frozen=True)
+class NoRepeatedText(TableConstraint):
+    """Degenerate-loop detector: consecutive turns from the SAME role with
+    byte-identical text — the signature of a stuck agent replaying itself.
+    A validation constraint no per-row check can express (needs the previous
+    turn); rides the same fused conversation window as Monotonic/Unique/
+    Alternation, so it costs zero extra shuffles."""
+
+    group_by: str = "conv_id"
+    role_col: str = "role"
+    text_col: str = "text"
+    sort_keys: tuple[str, ...] = ("turn_idx", "ts")
+
+
+@dataclass(frozen=True)
 class ValidationSuite:
     """A named set of constraints evaluated in one engine run — the analogue
     of the reference's spec suites (specs/schema_validation.json, run by

@@ -21,6 +21,7 @@ from prompture_spark import model
 from prompture_spark.functions import coercion
 from prompture_spark.operators import drift, skew, stats
 from prompture_spark.operators.engine import ValidationEngine
+from prompture_spark.plans import spec
 from prompture_spark.plans.spec import default_transcript_suite
 from prompture_spark.sources.transcripts import (
     ORACLE_TRANSCRIPTS_CTE,
@@ -144,6 +145,59 @@ def q_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_monotonicity(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng, df, suite = _suite(spark, sf_dir)
     return eng.monotonicity_violations(df, suite.table_constraints[2], suite.partition_col)
+
+
+# All four per-conversation sequence checks out of ONE window exchange:
+# duplicates, time regressions, role-alternation breaks (tool chains exempt),
+# and degenerate loops (same role + identical text as the previous turn).
+_SEQUENCE_ORACLE = """
+, ordered AS (
+  SELECT conv_id, turn_idx, part_id, role, text, ts,
+         lag(turn_idx) OVER w AS _pti,
+         lag(ts)       OVER w AS _prev,
+         lag(role)     OVER w AS _prole,
+         lag(text)     OVER w AS _ptext
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, ts)
+)
+SELECT conv_id, turn_idx, part_id,
+       'ts_monotonic_per_conv' AS constraint_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS observed_value
+FROM ordered WHERE _prev IS NOT NULL AND ts < _prev
+UNION ALL
+SELECT conv_id, turn_idx, part_id, 'unique_conv_turn',
+       CAST(cnt + 1 AS STRING)
+FROM (
+  SELECT conv_id, turn_idx, part_id, count(*) AS cnt
+  FROM ordered WHERE _pti IS NOT NULL AND turn_idx = _pti
+  GROUP BY conv_id, turn_idx, part_id
+)
+UNION ALL
+SELECT conv_id, turn_idx, part_id, 'role_alternation', role
+FROM ordered WHERE role IS NOT NULL AND role = _prole AND role <> 'tool'
+UNION ALL
+SELECT conv_id, turn_idx, part_id, 'no_repeated_turn', substr(text, 1, 80)
+FROM ordered
+WHERE role IS NOT NULL AND role = _prole
+  AND text IS NOT NULL AND text = _ptext
+"""
+
+
+@register(
+    "turn_sequence_violations", ORACLE_TRANSCRIPTS_CTE + "\n" + _SEQUENCE_ORACLE
+)
+def q_turn_sequence_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused sequence suite: Unique + Monotonic + Alternation + NoRepeatedText
+    violations from a single per-conversation window pass."""
+    eng, df, suite = _suite(spark, sf_dir)
+    return eng.sequence_violations(
+        df,
+        suite.partition_col,
+        uq=spec.Unique("unique_conv_turn", keys=("conv_id", "turn_idx")),
+        mono=spec.Monotonic("ts_monotonic_per_conv"),
+        alt=spec.Alternation("role_alternation"),
+        rep=spec.NoRepeatedText("no_repeated_turn"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -174,3 +174,101 @@ def test_uniqueness_string_second_key_ansi_safe(spark):
     assert got[0].conv_id == "alice"
     assert got[0].turn_idx is None  # 'login' does not cast to int -> null
     assert got[0].observed_value == "2"
+
+
+# -------------------------- sequence constraints: alternation, repeated text
+
+
+@pytest.fixture(scope="module")
+def seq_micro(spark):
+    from prompture_spark.model import TRANSCRIPT_SCHEMA
+
+    rows = [
+        # conv 2: proper alternation, consecutive tool turns (exempt)
+        ("conv-00000002", 0, "user", "q1", None, _ts(0), 2),
+        ("conv-00000002", 1, "assistant", "a1", None, _ts(1), 2),
+        ("conv-00000002", 2, "tool", "r1", "click", _ts(2), 2),
+        ("conv-00000002", 3, "tool", "r2", "view", _ts(3), 2),   # tool chain OK
+        ("conv-00000002", 4, "assistant", "a2", None, _ts(4), 2),
+        # conv 3: user speaks twice (alternation break), assistant loops the
+        # exact same text twice (alternation break AND repeated-turn)
+        ("conv-00000003", 0, "user", "first", None, _ts(0), 3),
+        ("conv-00000003", 1, "user", "second", None, _ts(1), 3),          # alt
+        ("conv-00000003", 2, "assistant", "I am stuck", None, _ts(2), 3),
+        ("conv-00000003", 3, "assistant", "I am stuck", None, _ts(3), 3),  # alt+rep
+        # conv 4: null roles never flag sequence checks (row constraints own them)
+        ("conv-00000004", 0, None, "x", None, _ts(0), 4),
+        ("conv-00000004", 1, None, "x", None, _ts(1), 4),
+    ]
+    return spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+
+
+def test_alternation_and_repeated_turn_exact(spark, seq_micro):
+    from prompture_spark.plans.spec import Alternation, NoRepeatedText
+
+    eng = ValidationEngine(spark)
+    out = eng.sequence_violations(
+        seq_micro,
+        "part_id",
+        alt=Alternation("role_alternation"),
+        rep=NoRepeatedText("no_repeated_turn"),
+    )
+    got = {
+        (r.conv_id, r.turn_idx, r.constraint_id, r.observed_value)
+        for r in out.collect()
+    }
+    assert got == {
+        ("conv-00000003", 1, "role_alternation", "user"),
+        ("conv-00000003", 3, "role_alternation", "assistant"),
+        ("conv-00000003", 3, "no_repeated_turn", "I am stuck"),
+    }
+
+
+def test_alternation_allow_repeat_configurable(spark, seq_micro):
+    from prompture_spark.plans.spec import Alternation
+
+    eng = ValidationEngine(spark)
+    out = eng.sequence_violations(
+        seq_micro,
+        "part_id",
+        alt=Alternation("role_alternation", allow_repeat=()),
+    )
+    got = {(r.conv_id, r.turn_idx) for r in out.collect()}
+    # with no exemption the tool chain now flags too
+    assert ("conv-00000002", 3) in got
+    assert ("conv-00000003", 1) in got and ("conv-00000003", 3) in got
+
+
+def test_sequence_constraints_in_suite_fuse(spark, seq_micro, micro):
+    """A suite carrying all four sequence constraints produces the union of
+    each standalone result through table_violations."""
+    from prompture_spark.plans.spec import (
+        Alternation,
+        Monotonic,
+        NoRepeatedText,
+        Unique,
+        ValidationSuite,
+    )
+
+    _, dirty = micro
+    df = dirty.unionByName(seq_micro)
+    suite = ValidationSuite(
+        name="seq",
+        table_constraints=(
+            Unique("unique_conv_turn", keys=("conv_id", "turn_idx")),
+            Monotonic("ts_monotonic_per_conv"),
+            Alternation("role_alternation"),
+            NoRepeatedText("no_repeated_turn"),
+        ),
+    )
+    eng = ValidationEngine(spark)
+    got = {
+        (r.conv_id, r.turn_idx, r.constraint_id)
+        for r in eng.table_violations(df, suite).collect()
+    }
+    assert ("conv-00000001", 3, "unique_conv_turn") in got
+    assert ("conv-00000001", 4, "ts_monotonic_per_conv") in got
+    assert ("conv-00000003", 1, "role_alternation") in got
+    assert ("conv-00000003", 3, "no_repeated_turn") in got
+    # micro's duplicate rows ("dup"/"dup2") differ in text: no repeat flag
+    assert ("conv-00000001", 3, "no_repeated_turn") not in got

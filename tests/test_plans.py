@@ -202,3 +202,27 @@ def test_pack_concat_chunks_single_exchange(spark, sf_small):
     import re
 
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p[:2000]
+
+
+def test_four_way_sequence_fusion_single_exchange(spark, parquet_transcripts):
+    """Unique + Monotonic + Alternation + NoRepeatedText from ONE conv_id
+    window exchange — adding sequence checks must not multiply the shuffle."""
+    from prompture_spark.plans.spec import Alternation, Monotonic, NoRepeatedText, Unique
+
+    eng = ValidationEngine(spark)
+    p = plan_of(
+        eng.sequence_violations(
+            parquet_transcripts,
+            "part_id",
+            uq=Unique("unique_conv_turn", keys=("conv_id", "turn_idx")),
+            mono=Monotonic("ts_monotonic_per_conv"),
+            alt=Alternation("role_alternation"),
+            rep=NoRepeatedText("no_repeated_turn"),
+        )
+    )
+    single_shuffle = (
+        p.count("Exchange hashpartitioning(conv_id") <= 1
+        or "ReusedExchange" in p
+        or "InMemoryTableScan" in p
+    )
+    assert single_shuffle, p[:2000]
