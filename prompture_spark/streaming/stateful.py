@@ -144,3 +144,125 @@ def stream_sessionize(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming sequence validation: the streaming twin of
+# ``ValidationEngine.sequence_violations`` (operators/engine.py). A stream
+# cannot lag() over full history, so the "previous turn" lives in per-
+# conversation state: the literal last row's (turn_idx, ts, role, text-hash).
+# Violations relative to that neighbour are emitted per micro-batch:
+#   unique_conv_turn      — turn_idx == previous turn_idx
+#   ts_monotonic_per_conv — ts < previous ts
+#   role_alternation      — same role as previous turn (allow_repeat exempt)
+#   no_repeated_turn      — same role AND identical text as previous turn
+# Text identity across batches compares (md5-derived 64-bit hash, length) —
+# state stays O(1) per conversation regardless of text size; collision odds
+# ~n/2^64 per conversation are the documented approximation vs the batch
+# operator's byte compare. State is evicted via event-time timeout once the
+# watermark passes last_ts + ttl_s (bounded state on an infinite stream).
+# Divergence from batch (pinned in tests/test_streaming.py): batch sorts the
+# WHOLE conversation by (turn_idx, ts) before lagging; the stream sorts only
+# within each micro-batch and carries the last row across — equal to batch
+# whenever conversations arrive in order within the watermark, which is the
+# operating regime the watermark contract promises.
+# ---------------------------------------------------------------------------
+
+SEQCHECK_OUTPUT_SCHEMA = (
+    "conv_id string, turn_idx int, constraint_id string, observed_value string"
+)
+# literal previous row: (turn_idx, ts epoch-s, role, text hash, text len)
+SEQCHECK_STATE_SCHEMA = (
+    "lti int, lts bigint, lrole string, lhash bigint, llen int"
+)
+
+
+def _text_key(text) -> tuple:
+    """Deterministic 64-bit digest + length (never Python hash(): it is
+    process-seeded)."""
+    import hashlib
+
+    if text is None:
+        return None, None
+    b = text.encode("utf-8", "surrogatepass")
+    h = int.from_bytes(hashlib.md5(b).digest()[:8], "big", signed=True)
+    return h, len(b)
+
+
+def _make_seqcheck_fn(ttl_s: int, allow_repeat: tuple):
+    allow = set(allow_repeat)
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        cols = ["conv_id", "turn_idx", "constraint_id", "observed_value"]
+        conv_id = key[0]
+        if state.hasTimedOut:
+            state.remove()
+            return
+        batch = pd.concat(list(pdfs)).sort_values(
+            ["turn_idx", "ts"], na_position="last", kind="stable"
+        )
+        if state.exists:
+            lti, lts, lrole, lhash, llen = state.get
+        else:
+            lti = lts = lrole = lhash = llen = None
+        out = []
+        max_ts = lts
+        for row in batch.itertuples(index=False):
+            ti = None if pd.isna(row.turn_idx) else int(row.turn_idx)
+            ts_s = None if pd.isna(row.ts) else int(row.ts.timestamp())
+            role = row.role if isinstance(row.role, str) else None
+            thash, tlen = _text_key(row.text if isinstance(row.text, str) else None)
+            if ti is not None and lti is not None and ti == lti:
+                out.append((conv_id, ti, "unique_conv_turn", str(ti)))
+            if ts_s is not None and lts is not None and ts_s < lts:
+                out.append(
+                    (conv_id, ti, "ts_monotonic_per_conv",
+                     pd.Timestamp(ts_s, unit="s").strftime("%Y-%m-%d %H:%M:%S"))
+                )
+            if role is not None and lrole is not None and role == lrole:
+                if role not in allow:
+                    out.append((conv_id, ti, "role_alternation", role))
+                if thash is not None and thash == lhash and tlen == llen:
+                    out.append(
+                        (conv_id, ti, "no_repeated_turn",
+                         (row.text or "")[:80])
+                    )
+            lti, lts, lrole, lhash, llen = ti, ts_s, role, thash, tlen
+            if ts_s is not None:
+                max_ts = ts_s if max_ts is None else max(max_ts, ts_s)
+        state.update((lti, lts, lrole, lhash, llen))
+        # evict once no on-time event can arrive for ttl_s past the newest
+        # turn; clamp above the watermark (other keys may have advanced it)
+        base_ms = (max_ts + ttl_s) * 1000 if max_ts is not None else (
+            state.getCurrentWatermarkMs() + ttl_s * 1000
+        )
+        state.setTimeoutTimestamp(max(base_ms, state.getCurrentWatermarkMs() + 1))
+        if out:
+            yield pd.DataFrame(out, columns=cols)
+
+    return fn
+
+
+def stream_sequence_check(
+    stream_df: DataFrame,
+    watermark: str = "30 minutes",
+    ttl_s: int = 3600,
+    allow_repeat: tuple = ("tool",),
+) -> DataFrame:
+    """Streaming per-conversation sequence validation; returns the streaming
+    violations DataFrame (caller attaches the sink). Constraint ids match the
+    batch engine's defaults so downstream verdict plumbing is shared."""
+    wm = stream_df.withWatermark("ts", watermark)
+    return (
+        wm.select("conv_id", "turn_idx", "role", "text", "ts")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _make_seqcheck_fn(ttl_s, allow_repeat),
+            SEQCHECK_OUTPUT_SCHEMA,
+            SEQCHECK_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -360,3 +360,78 @@ def test_stream_redaction_and_refusal_stateless(spark, tmp_path, landed):
     expected = project(df)
     assert got.count() == expected.count() > 0
     assert got.exceptAll(expected).count() == 0
+
+
+def test_stream_sequence_check_matches_batch_in_order(spark, tmp_path):
+    """Streaming sequence validation must equal the batch engine's fused
+    sequence_violations for an in-order stream, with the 'previous turn'
+    carried ACROSS micro-batches (the cross-batch repeated-turn below is
+    invisible to any single batch)."""
+    import datetime as dt
+
+    from prompture_spark import ValidationEngine
+    from prompture_spark.plans.spec import (
+        Alternation,
+        Monotonic,
+        NoRepeatedText,
+        Unique,
+    )
+    from prompture_spark.streaming.stateful import stream_sequence_check
+
+    t = lambda m: dt.datetime(2024, 1, 1, 9, m, 0)
+    rows_a = [
+        ("conv-a", 0, "user", "hi", None, t(0), 0),
+        ("conv-a", 1, "assistant", "looping", None, t(1), 0),
+        ("conv-b", 0, "user", "q", None, t(0), 1),
+        ("conv-b", 1, "user", "q again", None, t(1), 1),      # alternation
+        ("conv-b", 2, "assistant", "a", None, t(0), 1),       # ts regression
+    ]
+    rows_b = [
+        ("conv-a", 2, "assistant", "looping", None, t(2), 0),  # cross-batch alt+rep
+        ("conv-a", 3, "user", "next", None, t(3), 0),
+        ("conv-b", 2, "tool", "r", "click", t(3), 1),          # dup turn_idx
+        ("conv-b", 3, "tool", "r2", "view", t(4), 1),          # tool chain: exempt
+    ]
+    src = str(tmp_path / "landing")
+    for batch in (rows_a, rows_b):
+        spark.createDataFrame(batch, TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_sequence_check(stream, watermark="10 minutes", ttl_s=3600)
+        .writeStream.format("memory")
+        .queryName("seqcheck_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_seq"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.conv_id, r.turn_idx, r.constraint_id)
+        for r in spark.sql("SELECT * FROM seqcheck_out").collect()
+    }
+    assert ("conv-a", 2, "role_alternation") in got       # cross-batch
+    assert ("conv-a", 2, "no_repeated_turn") in got       # cross-batch, via hash
+    assert ("conv-b", 3, "role_alternation") not in got   # tool chain exempt
+
+    eng = ValidationEngine(spark)
+    full = spark.createDataFrame(rows_a + rows_b, TRANSCRIPT_SCHEMA)
+    batch_got = {
+        (r.conv_id, r.turn_idx, r.constraint_id)
+        for r in eng.sequence_violations(
+            full,
+            "part_id",
+            uq=Unique("unique_conv_turn", keys=("conv_id", "turn_idx")),
+            mono=Monotonic("ts_monotonic_per_conv"),
+            alt=Alternation("role_alternation"),
+            rep=NoRepeatedText("no_repeated_turn"),
+        ).collect()
+    }
+    assert got == batch_got
