@@ -1191,3 +1191,64 @@ def quality_score(col: Column | str, target_len: int = 400) -> Column:
     # +1e-12: ratio sums land exactly on .5 decimal boundaries for some
     # inputs; the nudge makes tie-breaking engine-independent (see consensus)
     return F.round(0.4 * length_part + 0.3 * sw_part + 0.3 * punct_part + F.lit(1e-12), 6)
+
+
+# ----------------------------------------------- encoding noise (mojibake)
+
+# Common UTF-8-decoded-as-cp1252 digraphs (ftfy's core signal) plus the
+# "curly punctuation exploded" trigraphs. Printable-only, no regex
+# metacharacters, so the alternation below is a literal match in both Java
+# regex (Spark) and RE2 (the DuckDB oracle).
+MOJIBAKE_MARKS: tuple[str, ...] = (
+    "Ã©", "Ã¨", "Ã¡", "Ã¤", "Ã¶", "Ã¼", "Ã±", "Ã³", "Ãº", "Ã§", "Ã£", "Ãª",
+    "Ã¯", "Ã­", "â€™", "â€œ", "â€“", "â€”", "â€¦", "Â«", "Â»", "Â°", "Â·",
+)
+MOJIBAKE_PATTERN = "|".join(MOJIBAKE_MARKS)
+# C0 controls except \t \n \r — legitimate text never carries these; their
+# presence means binary spill or a transcoding accident.
+CONTROL_CHAR_PATTERN = r"[\x00-\x08\x0B\x0C\x0E-\x1F]"
+REPLACEMENT_CHAR = "�"
+
+
+def encoding_noise_score(col: Column | str) -> Column:
+    """Noise density in [0, ~1]: replacement chars and mojibake digraphs
+    weighted 2× (each one corrupts a full grapheme), raw C0 controls 1×,
+    per character. The continuous gate for drop/repair policies; all
+    expression-only (three regexp/replace counts, codegen row path)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_repl = F.length(c) - F.length(F.replace(c, F.lit(REPLACEMENT_CHAR), F.lit("")))
+    n_ctrl = F.regexp_count(c, F.lit(CONTROL_CHAR_PATTERN))
+    n_moji = F.regexp_count(c, F.lit(MOJIBAKE_PATTERN))
+    # +1e-12 nudge: keep round() ties engine-independent (see quality_score)
+    return F.round(
+        (2.0 * n_repl + 2.0 * n_moji + n_ctrl)
+        / F.greatest(F.length(c), F.lit(1)).cast("double")
+        + F.lit(1e-12),
+        6,
+    )
+
+
+def encoding_noise_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.002,
+) -> DataFrame:
+    """Per-document encoding-health report:
+    ``(id, n_repl, n_ctrl, n_moji, noise_score, noisy)``.
+
+    The web-corpus transcoding gate the reference has no analogue for (its
+    clean_json_text strips markdown fences only, prompture/tools.py): U+FFFD
+    replacement chars mean lossy decoding upstream, C0 controls mean binary
+    spill, and cp1252-mojibake digraphs mean a double-encoding bug. Pure
+    projection — no shuffle, whole-stage codegen."""
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        (F.length(c) - F.length(F.replace(c, F.lit(REPLACEMENT_CHAR), F.lit(""))))
+        .cast("bigint").alias("n_repl"),
+        F.regexp_count(c, F.lit(CONTROL_CHAR_PATTERN)).cast("bigint").alias("n_ctrl"),
+        F.regexp_count(c, F.lit(MOJIBAKE_PATTERN)).cast("bigint").alias("n_moji"),
+        encoding_noise_score(c).alias("noise_score"),
+        (encoding_noise_score(c) >= F.lit(threshold)).alias("noisy"),
+    )

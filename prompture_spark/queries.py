@@ -690,6 +690,56 @@ def q_line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.line_dedup_stats(docs, "doc_id", "text", min_docs=2)
 
 
+# Mojibake / encoding-noise gate. The documents fixture is clean ASCII, so
+# deterministic twins carry the defects: every doc_id % 7 == 0 gains a
+# mojibake+control+replacement-char suffix. The suffix constant is embedded
+# verbatim in BOTH the Spark plan and the oracle SQL.
+_MOJI_INJECTION = " caf\u00c3\u00a9 na\u00c3\u00afve \u00e2\u20ac\u201d \u00c2\u00ab q \u00c2\u00bb \ufffd\x07"
+
+
+def _moji_oracle() -> str:
+    from prompture_spark.operators.textquality import (
+        CONTROL_CHAR_PATTERN,
+        MOJIBAKE_PATTERN,
+        REPLACEMENT_CHAR,
+    )
+
+    inj = _MOJI_INJECTION.replace("'", "''")
+    return f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text || '{inj}' AS text
+  FROM documents WHERE doc_id % 7 = 0
+)
+SELECT doc_id,
+  CAST(length(text) - length(replace(text, '{REPLACEMENT_CHAR}', '')) AS BIGINT) AS n_repl,
+  CAST(len(regexp_extract_all(text, '{CONTROL_CHAR_PATTERN}')) AS BIGINT) AS n_ctrl,
+  CAST(len(regexp_extract_all(text, '{MOJIBAKE_PATTERN}')) AS BIGINT) AS n_moji,
+  round((2.0 * (length(text) - length(replace(text, '{REPLACEMENT_CHAR}', '')))
+         + 2.0 * len(regexp_extract_all(text, '{MOJIBAKE_PATTERN}'))
+         + len(regexp_extract_all(text, '{CONTROL_CHAR_PATTERN}')))
+        / greatest(length(text), 1) + 1e-12, 6) AS noise_score,
+  (round((2.0 * (length(text) - length(replace(text, '{REPLACEMENT_CHAR}', '')))
+          + 2.0 * len(regexp_extract_all(text, '{MOJIBAKE_PATTERN}'))
+          + len(regexp_extract_all(text, '{CONTROL_CHAR_PATTERN}')))
+         / greatest(length(text), 1) + 1e-12, 6) >= 0.002) AS noisy
+FROM aug
+"""
+
+
+@register("encoding_noise_docs", _moji_oracle())
+def q_encoding_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ftfy-style transcoding-health gate over documents (+ planted-defect
+    twins): replacement chars, C0 controls, cp1252 mojibake digraphs."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    twins = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_MOJI_INJECTION)).alias("text"),
+    )
+    return tq.encoding_noise_stats(docs.unionByName(twins), "doc_id", "text")
+
+
 _CONTAMINATION_ORACLE = r"""
 WITH ev AS (
   SELECT doc_id + 100000 AS doc_id, text || ' tailword' AS text

@@ -294,3 +294,41 @@ def test_doc_top_tfidf_is_lazy(spark):
     assert acc.value == 0, "doc_top_tfidf construction triggered a Spark job"
     assert out.count() > 0
     assert acc.value > 0
+
+
+# ------------------------------------------------- encoding noise (mojibake)
+
+
+def test_encoding_noise_counts_exact(spark):
+    from prompture_spark.operators import textquality as tq
+
+    rows = [
+        (1, "perfectly clean ascii text"),
+        (2, "cafÃ© con leche"),                # one mojibake digraph
+        (3, "bad �� bytes"),                   # two replacement chars
+        (4, "bell\x07 and null\x00 controls"),           # two C0 controls
+        (5, "tab\tand\nnewline\rare fine"),              # exempt whitespace
+        (6, ""),                                         # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r.doc_id: (r.n_repl, r.n_ctrl, r.n_moji)
+        for r in tq.encoding_noise_stats(df, "doc_id", "text").collect()
+    }
+    assert got[1] == (0, 0, 0)
+    assert got[2] == (0, 0, 1)
+    assert got[3] == (2, 0, 0)
+    assert got[4] == (0, 2, 0)
+    assert got[5] == (0, 0, 0)
+    assert got[6] == (0, 0, 0)
+
+
+def test_encoding_noise_score_flags_dirty_not_clean(spark):
+    from prompture_spark.operators import textquality as tq
+
+    clean = "the quick brown fox jumps over the lazy dog " * 20
+    dirty = clean + " cafÃ© �"
+    df = spark.createDataFrame([(1, clean), (2, dirty)], "doc_id int, text string")
+    got = {r.doc_id: r for r in tq.encoding_noise_stats(df).collect()}
+    assert got[1].noisy is False and got[1].noise_score < 0.002
+    assert got[2].noisy is True and got[2].noise_score > got[1].noise_score
