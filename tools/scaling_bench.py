@@ -212,6 +212,29 @@ elif job == "dedupchain":
     spark.catalog.clearCache()
     def run_once():
         chain_run(df, expected)
+elif job == "seqcheck":
+    from prompture_spark.operators.engine import ValidationEngine
+    from prompture_spark.plans.spec import (
+        Alternation, Monotonic, NoRepeatedText, Unique)
+    from prompture_spark.sources.transcripts import generate_transcripts
+    if not os.path.exists(path):
+        generate_transcripts(spark, n_turns, seed=42, skew=True).repartition(
+            128).write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    eng = ValidationEngine(spark)
+    units = n_turns
+    def run_once():
+        # all four per-conversation sequence constraints from ONE window
+        # exchange (the round-5 generalized fusion); count() drains every
+        # output branch of the persisted flagged-event stream
+        eng.sequence_violations(
+            df, "part_id",
+            uq=Unique("unique_conv_turn", keys=("conv_id", "turn_idx")),
+            mono=Monotonic("ts_monotonic_per_conv"),
+            alt=Alternation("role_alternation"),
+            rep=NoRepeatedText("no_repeated_turn"),
+        ).count()
+        spark.catalog.clearCache()
 elif job == "contam":
     from prompture_spark.operators import dedup as dd
     # corpus: 40 pseudo-words from a 40k vocabulary; eval: 1000 twins of
@@ -317,6 +340,10 @@ JOB_DESC = {
     "ivf": f"IVF top-10 serving path (assign + probe-8 of 64 k-means centroids "
            f"+ rerank; index build offline) for {N_QUERIES} queries over "
            f"{N_VECS:,} generated 64-d embeddings",
+    "seqcheck": "fused four-constraint sequence validation (duplicate turn, "
+                "ts regression, role-alternation break, repeated-turn loop — "
+                "ONE conv_id window exchange + persisted flagged stream) over "
+                "{n:,} skewed generated transcript turns",
     "contam": f"train/eval decontamination (word-5-gram Jaccard, broadcast "
               f"eval postings — corpus side never shuffles) of a 2,000-doc "
               f"eval set against {N_CONTAM:,} generated corpus docs; "
@@ -342,6 +369,7 @@ def main() -> None:
     n_draws = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     paths = {
         "flagship": f"/tmp/prompture_bench/turns_{n_turns}",
+        "seqcheck": f"/tmp/prompture_bench/turns_{n_turns}",
         "minhash": f"/tmp/prompture_bench/docs_pre_{N_DOCS}",
         "ivf": f"/tmp/prompture_bench/vecs_{N_VECS}",
         "dedupchain": f"/tmp/prompture_bench/chain_{N_CHAIN}",
