@@ -173,3 +173,64 @@ def ks_statistic(
         .groupBy("part_id")
         .agg(F.round(F.max("diff"), round_to).alias("ks"))
     )
+
+
+def rolling_psi(
+    df: DataFrame,
+    time_col: str = "ts",
+    dim: str = "event_type",
+    threshold: float = 0.2,
+    round_to: int = 6,
+) -> DataFrame:
+    """PSI of each calendar day's categorical distribution vs the PREVIOUS
+    day: (day, psi, drifted) — the temporal complement of ``psi_vs_baseline``
+    (which compares against a fixed stored snapshot). Rolling day-over-day
+    drift catches a gradual shift a stale baseline would average away, and
+    is the on-arrival check for a continuously ingested transcript table.
+
+    Same dense-alignment rule as ``psi``: the bucket universe is all buckets
+    observed in ANY period, so a category vanishing for one day contributes
+    its (EPS, q) term instead of silently dropping. Days with no previous
+    calendar day in the data (the first day, or the day after a gap) emit no
+    row — there is nothing sound to compare against.
+
+    Shape: one map-side-partial hash agg over the scan → histogram-sized
+    frames (|days| × |buckets|) for everything else; the self-join on
+    day-1 is tiny and broadcast.
+    """
+    hist = (
+        df.filter(F.col(dim).isNotNull())
+        .groupBy(
+            F.to_date(F.col(time_col)).alias("_d"), F.col(dim).alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = hist.groupBy("_d").agg(F.sum("cnt").alias("total"))
+    freq = hist.join(totals, "_d").select(
+        "_d", "bucket", (F.col("cnt") / F.col("total")).alias("freq")
+    )
+    days = freq.select("_d").distinct()
+    buckets = freq.select("bucket").distinct()
+    dense = (
+        days.crossJoin(F.broadcast(buckets))
+        .join(freq, ["_d", "bucket"], "left")
+        .select("_d", "bucket", F.coalesce(F.col("freq"), F.lit(EPS)).alias("p"))
+    )
+    prev = dense.select(
+        F.date_add(F.col("_d"), 1).alias("_d"), "bucket", F.col("p").alias("q")
+    )
+    return (
+        dense.join(F.broadcast(prev), ["_d", "bucket"])
+        .groupBy("_d")
+        .agg(
+            F.round(
+                F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))),
+                round_to,
+            ).alias("psi")
+        )
+        .select(
+            F.date_format("_d", "yyyy-MM-dd").alias("day"),
+            "psi",
+            (F.col("psi") > threshold).alias("drifted"),
+        )
+    )

@@ -1,0 +1,238 @@
+"""Data-profiling validation checks: functional dependencies, robust
+outliers, and semi-structured (JSON) schema profiling.
+
+These extend the engine's constraint surface (plans/spec.py, operators/
+engine.py) with the profile-then-assert checks a validation run performs
+before trusting a new transcript drop. The reference's analogous surface is
+its field-level validators and stats accounting (prompture/validator.py,
+prompture/infra/tracker.py:170-226); the checks here are the corpus-level
+complements that have no per-row expression: "does this key column determine
+that one", "which numeric values are robust outliers for their group", and
+"what keys/coverage does the JSON payload column actually have".
+
+Execution shapes (all 100 TB-safe):
+  * fd_violations       — two chained hash aggs (det,dep) → (det); output is
+    bounded by |distinct det with >1 dep|, never row count.
+  * robust_outliers     — two grouped exact-median aggs (group cardinality is
+    tiny) + two broadcast joins of the per-group constants back onto the
+    stream; the row scan stays map-side.
+  * json_key_profile    — json_object_keys + explode (bounded by keys/row,
+    not text length) → one hash agg keyed by (group, key); output is
+    |groups| × |distinct keys|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def fd_violations(df: DataFrame, determinant: str, dependent: str) -> DataFrame:
+    """Approximate functional-dependency check ``determinant → dependent``.
+
+    Returns one row per determinant value that maps to MORE than one distinct
+    dependent value — i.e. the violations of the FD — with:
+
+      * ``n_rows``          rows carrying that determinant value
+      * ``n_dep_values``    distinct dependent values observed (>1 by filter)
+      * ``max_dep_rows``    rows of the best-represented dependent value
+      * ``g3_rows_to_fix``  n_rows − max_dep_rows: the classic g3 error
+        measure (minimum rows to delete for the FD to hold exactly)
+
+    All columns are plain aggregates (no tie-breaking on which dependent is
+    the majority), so the result is deterministic across engines. NULL
+    dependent values count as a distinct value: conv "x" mapped to partitions
+    {7, NULL} IS a violation worth surfacing, so the first agg keeps NULL
+    groups (Spark/DuckDB groupBy both retain a NULL group).
+    """
+    per_pair = df.groupBy(determinant, dependent).agg(F.count(F.lit(1)).alias("cnt"))
+    agg = per_pair.groupBy(determinant).agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_dep_values"),
+        F.max("cnt").alias("max_dep_rows"),
+    )
+    return agg.filter(F.col("n_dep_values") > 1).select(
+        F.col(determinant),
+        F.col("n_rows"),
+        F.col("n_dep_values"),
+        F.col("max_dep_rows"),
+        (F.col("n_rows") - F.col("max_dep_rows")).alias("g3_rows_to_fix"),
+    )
+
+
+def robust_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: float = 3.5,
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-group robust outlier rows via the median/MAD z-score.
+
+    robust_z = (value − median) / (1.4826 · MAD), MAD = median(|value −
+    median|); |robust_z| > k flags the row (k=3.5 is the standard
+    Iglewicz–Hoberg cut). Exact interpolated medians (``percentile``) so the
+    DuckDB oracle (``quantile_cont``) reproduces them bit-for-bit at test
+    scale; a production 10^12-row run swaps in ``percentile_approx`` the same
+    way column_stats does (operators/stats.py:27-49).
+
+    Groups with MAD = 0 (over half the group identical) yield NULL z — such
+    groups carry no robust scale and flagging everything off-mode would be
+    noise, so their rows never flag (NULL > k is false in both engines;
+    guarded by nullif, division by zero is never evaluated).
+
+    Shape: the per-group median/MAD frames are |groups| rows → broadcast
+    joined back; the scan itself never shuffles.
+    """
+    med = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("_med")
+    )
+    dev = df.join(F.broadcast(med), group_col).withColumn(
+        "_adev", F.abs(F.col(value_col) - F.col("_med"))
+    )
+    mad = dev.groupBy(group_col).agg(F.expr("percentile(_adev, 0.5)").alias("_mad"))
+    z = (F.col(value_col) - F.col("_med")) / (
+        F.lit(1.4826) * F.nullif(F.col("_mad"), F.lit(0.0))
+    )
+    return (
+        dev.join(F.broadcast(mad), group_col)
+        .withColumn("robust_z", F.round(z, round_to))
+        .filter(F.abs(F.col("robust_z")) > k)
+        .drop("_med", "_adev", "_mad")
+    )
+
+
+def json_key_profile(
+    df: DataFrame,
+    json_col: str,
+    group_col: str,
+    round_to: int = 4,
+) -> DataFrame:
+    """Schema profile of a JSON-string column: key frequency + coverage per
+    group — the schema-drift primitive for semi-structured payloads (a new
+    key appearing, an old key's coverage collapsing).
+
+    Returns (group, key, n_rows, coverage) where coverage = fraction of the
+    group's rows (including rows whose payload is NULL or unparseable —
+    those are exactly the rows a schema check must not silently drop) that
+    contain the key at the top level.
+    """
+    totals = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_total"))
+    keys = df.select(
+        group_col,
+        F.explode(F.expr(f"json_object_keys({json_col})")).alias("key"),
+    )
+    counts = keys.groupBy(group_col, "key").agg(F.count(F.lit(1)).alias("n_rows"))
+    return counts.join(F.broadcast(totals), group_col).select(
+        group_col,
+        "key",
+        "n_rows",
+        F.round(F.col("n_rows") / F.col("_total"), round_to).alias("coverage"),
+    )
+
+
+def profile_columns(df: DataFrame, cols: list[str], exact: bool = True) -> DataFrame:
+    """Deequ-style column profile: one output row per profiled column with
+    ``(column, n_rows, n_null, null_frac, n_distinct)`` — the
+    pre-validation census that decides which constraints are worth
+    asserting (a column at 40% nulls gets a completeness constraint, a
+    distinct-ratio≈1 column is a key candidate).
+
+    Single scan: ALL columns' aggregates run in one ``agg`` pass, then the
+    1-row result unpivots via ``stack`` into row-per-column form (no
+    collect; the unpivot input is one row). With ``exact=True`` multiple
+    ``count(DISTINCT)`` aggregates make Catalyst plan an Expand (row
+    multiplied ×|cols| map-side) — fine at test scale and for the oracle;
+    production profiling at 10^12 rows passes ``exact=False`` →
+    ``approx_count_distinct`` sketches that fold into ONE pass with no
+    Expand, same output shape (the column_stats exact/approx pattern,
+    operators/stats.py:10-15).
+    """
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"_null_{c}"))
+        nd = F.countDistinct(c) if exact else F.approx_count_distinct(c, rsd=0.01)
+        aggs.append(nd.cast("long").alias(f"_nd_{c}"))
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', _null_{c}, _nd_{c}" for c in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS (col_name, n_null, n_distinct)"
+        ),
+        F.col("_n").alias("n_rows"),
+    ).select(
+        "col_name",
+        "n_rows",
+        "n_null",
+        F.round(F.col("n_null") / F.col("n_rows"), 6).alias("null_frac"),
+        "n_distinct",
+    )
+
+
+def benford_check(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    threshold: float = 15.51,
+    round_to: int = 4,
+) -> DataFrame:
+    """First-significant-digit Benford conformance per group:
+    ``(group, n_values, chi2, anomalous)``.
+
+    chi² over digits 1-9 between the observed first-digit histogram of
+    positive values and Benford's law p(d) = log10(1 + 1/d); the default
+    threshold is χ²(0.05, 8 df) = 15.51. A fabricated or truncated numeric
+    column (costs, latencies, token counts) departs from Benford long
+    before its mean/quantiles move — the classic forensic validation check.
+
+    Digits with zero observations still contribute their full expected
+    term, via the same dense group×digit grid the PSI checks use
+    (operators/drift.py): all post-scan frames are histogram-sized.
+    """
+    v = F.col(value_col)
+    # first significant digit via the decimal rendering, not floor(log10):
+    # at exact powers of ten log10 can land a hair under the integer in one
+    # engine and on it in another, flipping the digit between 1 and 10; the
+    # first nonzero digit of the string form (plain or scientific — the
+    # mantissa leads either way) is representation-stable in both engines.
+    digit = F.regexp_extract(v.cast("string"), "[1-9]", 0).cast("int")
+    vd = v.cast("double")
+    obs = (
+        # NaN > 0 is TRUE under Spark's NaN ordering and ±Inf renders with
+        # no digit — both would feed '' into the ANSI int cast; exclude them.
+        df.filter(
+            v.isNotNull()
+            & (v > 0)
+            & ~F.isnan(vd)
+            & (vd != F.lit(float("inf")))
+        )
+        .select(F.col(group_col).alias("grp"), digit.alias("digit"))
+        .groupBy("grp", "digit")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = obs.groupBy("grp").agg(F.sum("cnt").alias("n_values"))
+    digits = df.sparkSession.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    grid = totals.crossJoin(F.broadcast(digits))
+    exp_p = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    dense = (
+        grid.join(obs, ["grp", "digit"], "left")
+        .select(
+            "grp",
+            "n_values",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("o"),
+            (F.col("n_values") * exp_p).alias("e"),
+        )
+    )
+    chi2 = F.round(F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")), round_to)
+    return (
+        dense.groupBy("grp", "n_values")
+        .agg(chi2.alias("chi2"))
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n_values"),
+            "chi2",
+            (F.col("chi2") > threshold).alias("anomalous"),
+        )
+    )

@@ -1252,3 +1252,88 @@ def encoding_noise_stats(
         encoding_noise_score(c).alias("noise_score"),
         (encoding_noise_score(c) >= F.lit(threshold)).alias("noisy"),
     )
+
+
+# ------------------------------------------------- Gopher quality rules
+
+# Rae et al. 2021 (Gopher), appendix A1.1 — the published web-corpus
+# document-quality rule battery. Thresholds are the paper's; word-count
+# bounds default lower here because the rule set is applied to individual
+# transcript turns as well as full documents (callers pass the paper's
+# 50/100k for document corpora).
+GOPHER_STOPWORDS: tuple[str, ...] = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 10,
+    max_words: int = 100_000,
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-document Gopher rule battery: one boolean per published rule plus
+    the conjunction, all as a single codegen projection (no UDF, no shuffle).
+
+      * words_ok      min_words ≤ n_words ≤ max_words
+      * word_len_ok   3 ≤ mean word length ≤ 10
+      * symbols_ok    (# + …) per word ≤ 0.1
+      * bullets_ok    ≤ 90% of lines start with a bullet
+      * ellipsis_ok   ≤ 30% of lines end with an ellipsis
+      * alpha_ok      ≥ 80% of words contain an alphabetic character
+      * stopwords_ok  ≥ 2 distinct words from the 8-stopword probe list
+      * keep          AND of all rules
+
+    Ratio rules compare on the ROUNDED value (round_to decimals) so the
+    boolean cannot flip between engines on the last float bit; the oracle
+    rounds identically. Empty/whitespace-only docs fail words_ok and define
+    their ratios against max(n,1) guards rather than NULLs.
+    """
+    c = F.col(text_col)
+    words = F.filter(F.split(F.lower(c), r"\s+"), lambda x: x != "")
+    n_words = F.size(words)
+    w_div = F.greatest(n_words, F.lit(1)).cast("double")
+    # total word chars / n_words — length minus whitespace, same on both sides
+    mean_wl = F.round(
+        (F.length(c) - F.regexp_count(c, F.lit(r"\s"))) / w_div + F.lit(1e-12),
+        round_to,
+    )
+    n_sym = F.regexp_count(c, F.lit(r"#|\.\.\.|…"))
+    sym_ratio = F.round(n_sym / w_div + F.lit(1e-12), round_to)
+    lines = F.split(c, "\n")
+    l_div = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    n_bullet = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]")))
+    n_ellip = F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$")))
+    bullet_frac = F.round(n_bullet / l_div + F.lit(1e-12), round_to)
+    ellip_frac = F.round(n_ellip / l_div + F.lit(1e-12), round_to)
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+    alpha_frac = F.round(n_alpha / w_div + F.lit(1e-12), round_to)
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(words), F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+        )
+    )
+    out = df.select(
+        F.col(id_col),
+        n_words.cast("bigint").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellip_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.cast("bigint").alias("stopword_hits"),
+    )
+    rules = {
+        "words_ok": (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words),
+        "word_len_ok": (F.col("mean_word_len") >= 3.0) & (F.col("mean_word_len") <= 10.0),
+        "symbols_ok": F.col("symbol_ratio") <= 0.1,
+        "bullets_ok": F.col("bullet_line_frac") <= 0.9,
+        "ellipsis_ok": F.col("ellipsis_line_frac") <= 0.3,
+        "alpha_ok": F.col("alpha_word_frac") >= 0.8,
+        "stopwords_ok": F.col("stopword_hits") >= 2,
+    }
+    keep = F.lit(True)
+    for name, expr in rules.items():
+        out = out.withColumn(name, expr)
+        keep = keep & F.col(name)
+    return out.withColumn("keep", keep)

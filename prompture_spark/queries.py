@@ -3336,3 +3336,266 @@ def q_doc_unigram_ce(spark: SparkSession, sf_dir: str) -> DataFrame:
     targets in the published pipeline)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return tq.doc_unigram_cross_entropy(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Q: data-profiling validation family (operators/profiling.py, drift.py,
+# textquality.py Gopher battery) — round 5
+# ---------------------------------------------------------------------------
+
+_ROLLING_PSI_ORACLE = """
+WITH h AS (
+  SELECT CAST(ts AS DATE) AS d, event_type AS bucket, count(*) AS cnt
+  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+),
+t AS (SELECT d, sum(cnt) AS total FROM h GROUP BY 1),
+f AS (SELECT h.d, bucket, cnt / total AS freq FROM h JOIN t USING (d)),
+dense AS (
+  SELECT dd.d, bb.bucket, coalesce(f.freq, 1e-6) AS p
+  FROM (SELECT DISTINCT d FROM f) dd
+  CROSS JOIN (SELECT DISTINCT bucket FROM f) bb
+  LEFT JOIN f ON f.d = dd.d AND f.bucket = bb.bucket
+)
+SELECT strftime(c.d, '%Y-%m-%d') AS day,
+       round(sum((c.p - q.p) * ln(c.p / q.p)), 6) AS psi,
+       round(sum((c.p - q.p) * ln(c.p / q.p)), 6) > 0.2 AS drifted
+FROM dense c JOIN dense q ON q.d = c.d - 1 AND q.bucket = c.bucket
+GROUP BY c.d
+"""
+
+
+@register("drift_psi_rolling", _ROLLING_PSI_ORACLE)
+def q_drift_psi_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day rolling PSI of the event_type distribution — the
+    temporal drift check (vs `drift_psi_role`'s fixed-baseline one). One
+    hash agg over the scan; everything after is histogram-sized."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return drift.rolling_psi(ev, "ts", "event_type")
+
+
+_FD_ORACLE = """
+, t2 AS (
+  SELECT conv_id, part_id FROM transcripts
+  UNION ALL
+  SELECT conv_id, part_id + 1000 FROM transcripts
+  WHERE turn_idx = 0 AND substr(conv_id, 13, 1) = '7'
+),
+g AS (SELECT conv_id, part_id, count(*) AS c FROM t2 GROUP BY 1, 2)
+SELECT conv_id, CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_dep_values,
+       CAST(max(c) AS BIGINT) AS max_dep_rows,
+       CAST(sum(c) - max(c) AS BIGINT) AS g3_rows_to_fix
+FROM g GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+@register("fd_violations_conv_part", ORACLE_TRANSCRIPTS_CTE + _FD_ORACLE)
+def q_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency validation conv_id → part_id ("each
+    conversation lives in exactly one partition") with a deterministic
+    planted violation population (conv ids ending in '7' get their
+    turn-0 row duplicated into a shifted partition). Reports the g3 error
+    measure per violating conversation (operators/profiling.py)."""
+    from prompture_spark.operators import profiling
+
+    df = transcripts_from_events(spark, sf_dir).select("conv_id", "part_id", "turn_idx")
+    planted = df.filter(
+        (F.col("turn_idx") == 0) & (F.substring("conv_id", 13, 1) == "7")
+    ).withColumn("part_id", F.col("part_id") + 1000)
+    return profiling.fd_violations(
+        df.unionByName(planted).select("conv_id", "part_id"), "conv_id", "part_id"
+    )
+
+
+_OUTLIER_ORACLE = """
+WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1),
+dev AS (
+  SELECT e.event_id, e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1)
+SELECT d.event_id, d.event_type, d.value,
+       round((d.value - d.med) / (1.4826 * nullif(m.mad, 0)), 4) AS robust_z
+FROM dev d JOIN mad m USING (event_type)
+WHERE abs(round((d.value - d.med) / (1.4826 * nullif(m.mad, 0)), 4)) > 3.5
+"""
+
+
+@register("value_outliers_mad", _OUTLIER_ORACLE)
+def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event_type robust outliers (median/MAD z-score, |z| > 3.5) —
+    the numeric-column anomaly check of the validation battery. Exact
+    interpolated medians here so the oracle matches; production swaps
+    percentile_approx (operators/profiling.py docstring)."""
+    from prompture_spark.operators import profiling
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    return profiling.robust_outliers(ev, "event_type", "value", k=3.5).select(
+        "event_id", "event_type", "value", "robust_z"
+    )
+
+
+_PROPS_KEYS_ORACLE = r"""
+WITH ev AS (
+  SELECT event_type,
+         CASE WHEN event_id % 7 = 0
+              THEN regexp_replace(props, '\}$', '') || ', "retry": 1, "source": "web"}'
+              WHEN event_id % 13 = 0 THEN NULL
+              ELSE props END AS props
+  FROM events
+),
+tot AS (SELECT event_type, count(*) AS total FROM ev GROUP BY 1),
+k AS (SELECT event_type, unnest(json_keys(props)) AS key FROM ev)
+SELECT k.event_type, k.key, CAST(count(*) AS BIGINT) AS n_rows,
+       round(count(*) / tot.total, 4) AS coverage
+FROM k JOIN tot USING (event_type)
+GROUP BY k.event_type, k.key, tot.total
+"""
+
+
+@register("props_key_profile", _PROPS_KEYS_ORACLE)
+def q_props_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-payload schema profile: per-event_type key frequency + coverage
+    (operators/profiling.py). The fixture's props always carries one key, so
+    the query deterministically plants schema heterogeneity first (extra
+    keys on id%7, NULL payloads on id%13) — the planted population rule both
+    engines restate independently."""
+    from prompture_spark.operators import profiling
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    planted = (
+        F.when(
+            F.col("event_id") % 7 == 0,
+            F.concat(
+                F.regexp_replace("props", r"\}$", ""),
+                F.lit(', "retry": 1, "source": "web"}'),
+            ),
+        )
+        .when(F.col("event_id") % 13 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("props"))
+    )
+    return profiling.json_key_profile(
+        ev.withColumn("props", planted), "props", "event_type"
+    )
+
+
+_GOPHER_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws,
+         string_split(text, chr(10)) AS ls
+  FROM documents
+),
+b AS (
+  SELECT doc_id,
+    CAST(len(ws) AS BIGINT) AS n_words,
+    round((length(text) - len(regexp_extract_all(text, '\s'))) / greatest(len(ws), 1) + 1e-12, 4) AS mean_word_len,
+    round(len(regexp_extract_all(text, '#|\.\.\.|…')) / greatest(len(ws), 1) + 1e-12, 4) AS symbol_ratio,
+    round(len(list_filter(ls, l -> regexp_matches(l, '^\s*[-*•]'))) / greatest(len(ls), 1) + 1e-12, 4) AS bullet_line_frac,
+    round(len(list_filter(ls, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) / greatest(len(ls), 1) + 1e-12, 4) AS ellipsis_line_frac,
+    round(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) / greatest(len(ws), 1) + 1e-12, 4) AS alpha_word_frac,
+    CAST(len(list_intersect(list_distinct(ws),
+         ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS BIGINT) AS stopword_hits
+  FROM w
+)
+SELECT *,
+  (words_ok AND word_len_ok AND symbols_ok AND bullets_ok
+   AND ellipsis_ok AND alpha_ok AND stopwords_ok) AS keep
+FROM (
+  SELECT b.*,
+    (n_words >= 10 AND n_words <= 100000) AS words_ok,
+    (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS word_len_ok,
+    (symbol_ratio <= 0.1) AS symbols_ok,
+    (bullet_line_frac <= 0.9) AS bullets_ok,
+    (ellipsis_line_frac <= 0.3) AS ellipsis_ok,
+    (alpha_word_frac >= 0.8) AS alpha_ok,
+    (stopword_hits >= 2) AS stopwords_ok
+  FROM b
+)
+"""
+
+
+@register("gopher_quality_flags", _GOPHER_ORACLE)
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher document-quality rule battery (Rae et al. 2021
+    A1.1) per document: one boolean per rule + the keep conjunction, single
+    codegen projection (operators/textquality.py gopher_quality_flags)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tq.gopher_quality_flags(docs, "doc_id", "text", min_words=10)
+
+
+_PROFILE_ORACLE = """
+SELECT 'user_id' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(user_id) AS BIGINT) AS n_null,
+       round((count(*) - count(user_id)) / count(*), 6) AS null_frac,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events
+UNION ALL
+SELECT 'event_type', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(event_type) AS BIGINT),
+       round((count(*) - count(event_type)) / count(*), 6),
+       CAST(count(DISTINCT event_type) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'value', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(value) AS BIGINT),
+       round((count(*) - count(value)) / count(*), 6),
+       CAST(count(DISTINCT value) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'props', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(props) AS BIGINT),
+       round((count(*) - count(props)) / count(*), 6),
+       CAST(count(DISTINCT props) AS BIGINT)
+FROM events
+"""
+
+
+@register("profile_columns_events", _PROFILE_ORACLE)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style pre-validation column census over events (single-pass
+    agg + 1-row stack unpivot; operators/profiling.py profile_columns).
+    The oracle restates it as four independent full-table aggregates."""
+    from prompture_spark.operators import profiling
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return profiling.profile_columns(ev, ["user_id", "event_type", "value", "props"])
+
+
+_BENFORD_ORACLE = """
+WITH obs AS (
+  SELECT event_type AS grp,
+         CAST(regexp_extract(CAST(value AS VARCHAR), '[1-9]', 0) AS INT) AS digit,
+         count(*) AS cnt
+  FROM events WHERE value IS NOT NULL AND value > 0 GROUP BY 1, 2
+),
+tot AS (SELECT grp, sum(cnt) AS n_values FROM obs GROUP BY 1),
+grid AS (
+  SELECT grp, n_values, d.digit
+  FROM tot CROSS JOIN (SELECT unnest(range(1, 10)) AS digit) d
+),
+dense AS (
+  SELECT grp, n_values, coalesce(cnt, 0) AS o,
+         n_values * log10(1.0 + 1.0 / digit) AS e
+  FROM grid LEFT JOIN obs USING (grp, digit)
+)
+SELECT grp AS event_type, CAST(n_values AS BIGINT) AS n_values,
+       round(sum((o - e) * (o - e) / e), 4) AS chi2,
+       round(sum((o - e) * (o - e) / e), 4) > 15.51 AS anomalous
+FROM dense GROUP BY grp, n_values
+"""
+
+
+@register("benford_value_check", _BENFORD_ORACLE)
+def q_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit conformance of events.value per event_type —
+    the forensic fabricated-numbers check (operators/profiling.py
+    benford_check). The synthetic fixture's uniform-ish values are
+    expected NOT to follow Benford: the flag fires deterministically,
+    and both engines must agree on every chi² to 4 decimals."""
+    from prompture_spark.operators import profiling
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return profiling.benford_check(ev, "event_type", "value")

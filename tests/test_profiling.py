@@ -1,0 +1,271 @@
+"""Profiling-validation operator tests: rolling PSI, functional-dependency
+violations, robust (median/MAD) outliers, JSON key profiling, and the Gopher
+quality-rule battery — planted inputs with hand-computed expectations."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from prompture_spark.operators import drift, profiling
+from prompture_spark.operators.textquality import gopher_quality_flags
+
+
+# ------------------------------------------------------------- rolling PSI
+
+
+def _day_events(spark, day: int, counts: dict[str, int]):
+    rows = []
+    for etype, n in counts.items():
+        for i in range(n):
+            rows.append((datetime.datetime(2024, 3, day, 12, 0, i % 60), etype))
+    return spark.createDataFrame(rows, "ts timestamp, event_type string")
+
+
+def test_rolling_psi_flags_shifted_day_only(spark):
+    d1 = _day_events(spark, 1, {"click": 80, "view": 20})
+    d2 = _day_events(spark, 2, {"click": 80, "view": 20})   # identical mix
+    d3 = _day_events(spark, 3, {"click": 5, "view": 95})    # hard shift
+    out = {
+        r.day: (r.psi, r.drifted)
+        for r in drift.rolling_psi(d1.union(d2).union(d3)).collect()
+    }
+    # first day has no predecessor -> no row
+    assert set(out) == {"2024-03-02", "2024-03-03"}
+    assert out["2024-03-02"][0] == pytest.approx(0.0, abs=1e-9)
+    assert out["2024-03-02"][1] is False
+    assert out["2024-03-03"][1] is True
+
+
+def test_rolling_psi_vanished_category_contributes(spark):
+    d1 = _day_events(spark, 1, {"click": 50, "view": 50})
+    d2 = _day_events(spark, 2, {"click": 100})  # 'view' vanished entirely
+    (row,) = drift.rolling_psi(d1.union(d2)).collect()
+    # the vanished bucket enters as (EPS, 0.5): dominant PSI contribution
+    assert row.psi > 2.0 and bool(row.drifted)
+
+
+# ------------------------------------------------- functional dependencies
+
+
+def test_fd_violations_reports_g3(spark):
+    df = spark.createDataFrame(
+        [("a", 1)] * 5 + [("a", 2)] * 2 + [("b", 7)] * 4 + [("c", 1), ("c", 2), ("c", 3)],
+        "det string, dep int",
+    )
+    out = {r.det: r for r in profiling.fd_violations(df, "det", "dep").collect()}
+    assert set(out) == {"a", "c"}  # b holds the FD
+    assert (out["a"].n_rows, out["a"].n_dep_values, out["a"].max_dep_rows,
+            out["a"].g3_rows_to_fix) == (7, 2, 5, 2)
+    assert (out["c"].n_dep_values, out["c"].g3_rows_to_fix) == (3, 2)
+
+
+def test_fd_violations_null_dependent_counts_as_value(spark):
+    df = spark.createDataFrame(
+        [("x", 1), ("x", None), ("y", None), ("y", None)], "det string, dep int"
+    )
+    out = {r.det: r for r in profiling.fd_violations(df, "det", "dep").collect()}
+    assert set(out) == {"x"}  # y maps only to NULL -> consistent
+    assert out["x"].n_dep_values == 2 and out["x"].g3_rows_to_fix == 1
+
+
+def test_fd_violations_empty_when_fd_holds(spark):
+    df = spark.createDataFrame([("a", 1), ("a", 1), ("b", 2)], "det string, dep int")
+    assert profiling.fd_violations(df, "det", "dep").count() == 0
+
+
+# --------------------------------------------------------- robust outliers
+
+
+def test_robust_outliers_flags_planted_extreme(spark):
+    vals = [(i, "g", float(v)) for i, v in enumerate([10, 11, 12, 13, 14, 15, 16, 500])]
+    df = spark.createDataFrame(vals, "event_id long, event_type string, value double")
+    out = profiling.robust_outliers(df, "event_type", "value", k=3.5).collect()
+    assert [r.event_id for r in out] == [7]
+    # med=13.5, MAD=2.0 -> z=(500-13.5)/(1.4826*2) = 164.06...
+    assert out[0].robust_z == pytest.approx(164.06, abs=0.01)
+
+
+def test_robust_outliers_mad_zero_group_never_flags(spark):
+    # >half identical values -> MAD 0 -> no robust scale -> nothing flagged
+    vals = [(i, "g", 5.0) for i in range(6)] + [(6, "g", 9e9)]
+    df = spark.createDataFrame(vals, "event_id long, event_type string, value double")
+    assert profiling.robust_outliers(df, "event_type", "value").count() == 0
+
+
+def test_robust_outliers_groups_independent(spark):
+    a = [(i, "a", float(10 + i % 3)) for i in range(10)] + [(10, "a", 1000.0)]
+    b = [(20 + i, "b", float(1000 + i % 3)) for i in range(10)]  # 1000 normal here
+    df = spark.createDataFrame(a + b, "event_id long, event_type string, value double")
+    out = profiling.robust_outliers(df, "event_type", "value").collect()
+    assert [(r.event_id, r.event_type) for r in out] == [(10, "a")]
+
+
+# ------------------------------------------------------ JSON key profiling
+
+
+def test_json_key_profile_counts_and_coverage(spark):
+    rows = [
+        ("t1", '{"a": 1, "b": 2}'),
+        ("t1", '{"a": 3}'),
+        ("t1", None),             # null payload still counts in the total
+        ("t1", "not json"),       # unparseable ditto
+        ("t2", '{"c": true}'),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, props string")
+    out = {(r.event_type, r.key): (r.n_rows, r.coverage)
+           for r in profiling.json_key_profile(df, "props", "event_type").collect()}
+    assert out[("t1", "a")] == (2, 0.5)
+    assert out[("t1", "b")] == (1, 0.25)
+    assert out[("t2", "c")] == (1, 1.0)
+    assert set(out) == {("t1", "a"), ("t1", "b"), ("t2", "c")}
+
+
+# ------------------------------------------------------- Gopher rule battery
+
+
+def _gopher_one(spark, text: str, **kw):
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    (row,) = gopher_quality_flags(df, "doc_id", "text", **kw).collect()
+    return row
+
+
+def test_gopher_good_document_keeps(spark):
+    text = ("the quick brown fox jumps over that lazy dog and we have seen it "
+            "run to the barn with great speed of motion every day")
+    row = _gopher_one(spark, text)
+    assert row.keep is True
+    assert row.stopword_hits >= 2 and row.alpha_word_frac == 1.0
+
+
+def test_gopher_short_doc_fails_words_only(spark):
+    row = _gopher_one(spark, "the cat and that dog have fun with it")
+    assert row.n_words == 9 and row.words_ok is False
+    assert row.stopwords_ok is True and row.keep is False
+
+
+def test_gopher_bullet_wall_fails(spark):
+    lines = "\n".join(f"- item {i} of the list and that thing" for i in range(10))
+    row = _gopher_one(spark, lines)
+    assert row.bullet_line_frac == 1.0 and row.bullets_ok is False
+
+
+def test_gopher_ellipsis_lines_fail(spark):
+    lines = "\n".join(
+        ["the story continues and trails off..."] * 4 + ["a normal line of text here"]
+    )
+    row = _gopher_one(spark, lines)
+    assert row.ellipsis_line_frac == 0.8 and row.ellipsis_ok is False
+
+
+def test_gopher_symbol_spam_fails(spark):
+    text = "the " * 20 + "# " * 10  # 30 words, 10 symbols -> ratio 0.333
+    row = _gopher_one(spark, text)
+    assert row.symbols_ok is False and row.symbol_ratio == pytest.approx(0.3333)
+
+
+def test_gopher_numeric_words_fail_alpha_rule(spark):
+    text = " ".join(str(n) for n in range(40)) + " the cat and dog sat"
+    row = _gopher_one(spark, text)
+    assert row.alpha_word_frac < 0.8 and row.alpha_ok is False
+
+
+def test_gopher_mean_word_length_bounds(spark):
+    longwords = " ".join(["pneumonoultramicroscopic"] * 30)
+    assert _gopher_one(spark, longwords).word_len_ok is False
+    shortwords = " ".join(["a", "i", "o"] * 20)
+    assert _gopher_one(spark, shortwords).word_len_ok is False
+
+
+# ------------------------------------------------------- column profiling
+
+
+def test_profile_columns_census(spark):
+    rows = [(1, "a", None), (2, "a", 1.5), (3, None, 1.5), (4, "b", 2.5)]
+    df = spark.createDataFrame(rows, "id long, cat string, v double")
+    out = {r.col_name: r for r in
+           profiling.profile_columns(df, ["id", "cat", "v"]).collect()}
+    assert out["id"].n_rows == 4 and out["id"].n_null == 0
+    assert out["id"].n_distinct == 4
+    assert out["cat"].n_null == 1 and out["cat"].null_frac == 0.25
+    assert out["cat"].n_distinct == 2          # NULL not counted as distinct
+    assert out["v"].n_distinct == 2 and out["v"].n_null == 1
+
+
+def test_profile_columns_approx_close_to_exact(spark, sf_small):
+    ev = spark.read.parquet(f"{sf_small}/events.parquet")
+    cols = ["user_id", "event_type"]
+    exact = {r.col_name: r.n_distinct
+             for r in profiling.profile_columns(ev, cols, exact=True).collect()}
+    approx = {r.col_name: r.n_distinct
+              for r in profiling.profile_columns(ev, cols, exact=False).collect()}
+    for c in cols:  # rsd=0.01; tiny cardinalities are near-exact under HLL
+        assert abs(approx[c] - exact[c]) <= max(1, int(0.05 * exact[c]))
+
+
+# ----------------------------------------------------------- Benford check
+
+
+def test_benford_conforming_vs_uniform(spark):
+    import math
+    # conforming sample: first digits drawn to Benford proportions
+    conf = []
+    n = 1000
+    for d in range(1, 10):
+        cnt = round(n * math.log10(1 + 1 / d))
+        conf += [("conf", float(d * 10 + 1))] * cnt
+    # uniform first digits: strongly non-Benford
+    unif = [("unif", float(d * 10 + 1)) for d in range(1, 10) for _ in range(111)]
+    df = spark.createDataFrame(conf + unif, "event_type string, value double")
+    out = {r.event_type: r for r in
+           profiling.benford_check(df, "event_type", "value").collect()}
+    assert out["conf"].anomalous is False
+    assert out["unif"].anomalous is True and out["unif"].chi2 > 100
+
+
+def test_benford_first_digit_from_rendering(spark):
+    # exact powers of ten and sub-1 values: digit must come out right
+    vals = [("g", 100.0), ("g", 0.05), ("g", 1000.0), ("g", 0.00012)]
+    df = spark.createDataFrame(vals, "event_type string, value double")
+    (row,) = profiling.benford_check(df, "event_type", "value").collect()
+    assert row.n_values == 4  # all rows got a digit in 1..9 (no digit-10 loss)
+
+
+def test_benford_ignores_nonpositive(spark):
+    vals = [("g", -5.0), ("g", 0.0), ("g", None)] + [("g", float(i)) for i in range(1, 21)]
+    df = spark.createDataFrame(vals, "event_type string, value double")
+    (row,) = profiling.benford_check(df, "event_type", "value").collect()
+    assert row.n_values == 20
+
+
+# ------------------------------------------------------------- plan shapes
+
+
+def _plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_profile_columns_single_scan(spark, sf_small):
+    """The whole census is ONE pass over the table (one scan node), even
+    with several exact count-distincts (Expand, not extra scans)."""
+    import re
+
+    ev = spark.read.parquet(f"{sf_small}/events.parquet")
+    p = _plan_of(profiling.profile_columns(ev, ["user_id", "event_type", "value"]))
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", p, re.M))
+    assert n_scans == 1, f"expected one table scan, plan has {n_scans}"
+
+
+def test_robust_outliers_group_constants_broadcast(spark, sf_small):
+    """The per-group median/MAD frames join back via broadcast — the event
+    stream itself must never sort-merge shuffle."""
+    ev = spark.read.parquet(f"{sf_small}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    p = _plan_of(profiling.robust_outliers(ev, "event_type", "value"))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
