@@ -234,3 +234,53 @@ def rolling_psi(
             (F.col("psi") > threshold).alias("drifted"),
         )
     )
+
+
+def embedding_centroid_drift(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    threshold: float = 0.98,
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-space drift per group: cosine similarity between each
+    group's centroid and the whole table's centroid —
+    ``(group, n_vecs, centroid_cos, drifted)``.
+
+    The vector complement of the categorical PSI checks: a retrained
+    encoder, a corrupted embedding batch, or a topic shift moves a group's
+    centroid off the global one long before any scalar column flags.
+
+    Shape: posexplode to (group, dim, value) → ONE map-side-partial hash agg
+    keyed by (group, dim) — |groups|×|dims| rows — then the global centroid
+    (|dims| rows) broadcast-joined and folded into a cosine per group. The
+    explode multiplies rows ×dims but stays inside the scan stage
+    (projection + partial agg, no extra pass); nothing downstream scales
+    with row count. Averages accumulate in double; cosine rounds to
+    ``round_to`` so both engines agree on the flag.
+    """
+    exploded = df.select(
+        F.col(group_col).alias("grp"),
+        F.posexplode(F.col(vec_col)).alias("dim", "v"),
+    ).select("grp", "dim", F.col("v").cast("double").alias("v"))
+    per_group = exploded.groupBy("grp", "dim").agg(
+        F.avg("v").alias("c"), F.count(F.lit(1)).alias("_n")
+    )
+    global_c = exploded.groupBy("dim").agg(F.avg("v").alias("g"))
+    joined = per_group.join(F.broadcast(global_c), "dim")
+    cos = F.sum(F.col("c") * F.col("g")) / (
+        F.sqrt(F.sum(F.col("c") * F.col("c"))) * F.sqrt(F.sum(F.col("g") * F.col("g")))
+    )
+    return (
+        joined.groupBy("grp")
+        .agg(
+            F.max("_n").alias("n_vecs"),
+            F.round(cos, round_to).alias("centroid_cos"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n_vecs"),
+            "centroid_cos",
+            (F.col("centroid_cos") < threshold).alias("drifted"),
+        )
+    )

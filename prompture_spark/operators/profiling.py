@@ -236,3 +236,52 @@ def benford_check(
             (F.col("chi2") > threshold).alias("anomalous"),
         )
     )
+
+
+def suggest_constraints(
+    profile: DataFrame,
+    completeness_floor: float = 0.95,
+    enum_max_distinct: int = 20,
+) -> DataFrame:
+    """Deequ-style constraint suggestion from a ``profile_columns`` frame:
+    ``(col_name, suggestion, observed)`` — the bridge from profiling to the
+    declarative spec system (plans/spec.py): a clean run's suggestions are
+    reviewed once and frozen into the suite the engine then enforces.
+
+      * ``not_null``      null_frac == 0 → assert it stays that way
+      * ``completeness``  0 < null_frac ≤ 1−floor → pin the observed rate
+      * ``unique_key``    every non-null value distinct (and column fully
+        non-null) → key-candidate uniqueness constraint
+      * ``enum_values``   1 < n_distinct ≤ enum_max_distinct → closed-set
+        membership constraint (observed = the cardinality to freeze)
+
+    Pure expression transform over the |columns|-row profile — suggestions
+    for a 10^12-row table cost exactly the profile that produced them.
+    """
+    sug = F.array_compact(
+        F.array(
+            F.when(
+                F.col("null_frac") == 0,
+                F.struct(F.lit("not_null").alias("suggestion"), F.lit("0.0").alias("observed")),
+            ),
+            F.when(
+                (F.col("null_frac") > 0) & (F.col("null_frac") <= 1.0 - completeness_floor),
+                F.struct(
+                    F.lit("completeness").alias("suggestion"),
+                    F.round(1.0 - F.col("null_frac"), 6).cast("string").alias("observed"),
+                ),
+            ),
+            F.when(
+                (F.col("n_null") == 0) & (F.col("n_distinct") == F.col("n_rows")),
+                F.struct(F.lit("unique_key").alias("suggestion"), F.col("n_distinct").cast("string").alias("observed")),
+            ),
+            F.when(
+                (F.col("n_distinct") > 1) & (F.col("n_distinct") <= enum_max_distinct),
+                F.struct(F.lit("enum_values").alias("suggestion"), F.col("n_distinct").cast("string").alias("observed")),
+            ),
+        )
+    )
+    return (
+        profile.select("col_name", F.explode(sug).alias("s"))
+        .select("col_name", F.col("s.suggestion").alias("suggestion"), F.col("s.observed").alias("observed"))
+    )

@@ -3599,3 +3599,82 @@ def q_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return profiling.benford_check(ev, "event_type", "value")
+
+
+_CENTROID_DRIFT_ORACLE = """
+WITH e AS (
+  SELECT label AS grp, generate_subscripts(embedding, 1) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+pg AS (SELECT grp, dim, avg(v) AS c, count(*) AS n FROM e GROUP BY 1, 2),
+gc AS (SELECT dim, avg(v) AS gv FROM e GROUP BY 1)
+SELECT grp AS label, CAST(max(n) AS BIGINT) AS n_vecs,
+       round(sum(c * gv) / (sqrt(sum(c * c)) * sqrt(sum(gv * gv))), 6) AS centroid_cos,
+       round(sum(c * gv) / (sqrt(sum(c * c)) * sqrt(sum(gv * gv))), 6) < 0.98 AS drifted
+FROM pg JOIN gc USING (dim) GROUP BY grp
+"""
+
+
+@register("embedding_centroid_drift", _CENTROID_DRIFT_ORACLE)
+def q_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-centroid drift vs the global centroid
+    (operators/drift.py embedding_centroid_drift). The fixture's labels ARE
+    distinct clusters, so every group sits far off the global centroid
+    (cos 0.13-0.45) and flags — deterministically, to 6 decimals, in both
+    engines; the no-drift discrimination case is pinned in pytest."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return drift.embedding_centroid_drift(emb, "label", "embedding")
+
+
+_SUGGEST_ORACLE = """
+WITH p AS (
+  SELECT 'event_id' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(*) - count(event_id) AS BIGINT) AS n_null,
+         round((count(*) - count(event_id)) / count(*), 6) AS null_frac,
+         CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct
+  FROM events
+  UNION ALL
+  SELECT 'user_id', CAST(count(*) AS BIGINT),
+         CAST(count(*) - count(user_id) AS BIGINT),
+         round((count(*) - count(user_id)) / count(*), 6),
+         CAST(count(DISTINCT user_id) AS BIGINT)
+  FROM events
+  UNION ALL
+  SELECT 'event_type', CAST(count(*) AS BIGINT),
+         CAST(count(*) - count(event_type) AS BIGINT),
+         round((count(*) - count(event_type)) / count(*), 6),
+         CAST(count(DISTINCT event_type) AS BIGINT)
+  FROM events
+  UNION ALL
+  SELECT 'value', CAST(count(*) AS BIGINT),
+         CAST(count(*) - count(value) AS BIGINT),
+         round((count(*) - count(value)) / count(*), 6),
+         CAST(count(DISTINCT value) AS BIGINT)
+  FROM events
+)
+SELECT col_name, 'not_null' AS suggestion, '0.0' AS observed
+FROM p WHERE null_frac = 0
+UNION ALL
+SELECT col_name, 'completeness', CAST(round(1.0 - null_frac, 6) AS VARCHAR)
+FROM p WHERE null_frac > 0 AND null_frac <= 0.05
+UNION ALL
+SELECT col_name, 'unique_key', CAST(n_distinct AS VARCHAR)
+FROM p WHERE n_null = 0 AND n_distinct = n_rows
+UNION ALL
+SELECT col_name, 'enum_values', CAST(n_distinct AS VARCHAR)
+FROM p WHERE n_distinct > 1 AND n_distinct <= 20
+"""
+
+
+@register("constraint_suggestions", _SUGGEST_ORACLE)
+def q_constraint_suggestions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile → suggested constraints (operators/profiling.py
+    suggest_constraints): event_id comes back as a unique key candidate,
+    user_id/event_type as closed enums, everything non-null as not_null —
+    the suggestions a clean run freezes into the enforced suite."""
+    from prompture_spark.operators import profiling
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    prof = profiling.profile_columns(ev, ["event_id", "user_id", "event_type", "value"])
+    return profiling.suggest_constraints(prof)

@@ -269,3 +269,58 @@ def test_robust_outliers_group_constants_broadcast(spark, sf_small):
     p = _plan_of(profiling.robust_outliers(ev, "event_type", "value"))
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+# ------------------------------------------------- constraint suggestions
+
+
+def test_suggest_constraints_rules(spark):
+    rows = [
+        (1, "a", "x", None),
+        (2, "b", "x", 1.0),
+        (3, "c", "y", 2.0),
+        (4, "d", "y", 3.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, cat string, v double")
+    prof = profiling.profile_columns(df, ["id", "name", "cat", "v"])
+    out = {(r.col_name, r.suggestion): r.observed
+           for r in profiling.suggest_constraints(prof).collect()}
+    assert ("id", "not_null") in out and out[("id", "unique_key")] == "4"
+    assert ("name", "unique_key") in out
+    assert out[("cat", "enum_values")] == "2"
+    # v: 25% nulls -> no not_null, no completeness (floor 0.95), enum fires (3 values)
+    assert ("v", "not_null") not in out and ("v", "completeness") not in out
+    assert out[("v", "enum_values")] == "3"
+
+
+def test_suggest_constraints_completeness_band(spark):
+    rows = [(i, "k" if i % 50 else None) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, c string")
+    prof = profiling.profile_columns(df, ["c"])
+    out = {(r.col_name, r.suggestion): r.observed
+           for r in profiling.suggest_constraints(prof).collect()}
+    # 2% nulls -> inside the completeness band, pinned at the observed rate
+    assert out[("c", "completeness")] == "0.98"
+
+
+# ------------------------------------------------ embedding centroid drift
+
+
+def test_embedding_centroid_drift_discriminates(spark):
+    import random
+
+    rnd = random.Random(7)
+    base = [rnd.gauss(0, 1) for _ in range(16)]
+    rows = []
+    for i in range(60):  # group 0: noise around the shared centroid
+        rows.append((0, [v + rnd.gauss(0, 0.05) for v in base]))
+    for i in range(60):  # group 1: same distribution -> no drift
+        rows.append((1, [v + rnd.gauss(0, 0.05) for v in base]))
+    for i in range(60):  # group 2: orthogonal-ish shifted cloud -> drift
+        rows.append((2, [-v + rnd.gauss(0, 0.05) for v in base]))
+    df = spark.createDataFrame(rows, "label int, embedding array<double>")
+    out = {r.label: r for r in
+           drift.embedding_centroid_drift(df, "label", "embedding").collect()}
+    assert out[0].drifted is False and out[1].drifted is False
+    assert out[2].drifted is True and out[2].centroid_cos < 0.0
+    assert out[0].n_vecs == 60
