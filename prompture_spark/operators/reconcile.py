@@ -1,0 +1,181 @@
+"""Cross-snapshot reconciliation: did the new table version change what it
+was supposed to change — and nothing else?
+
+Reference parity: Prompture persists every extraction run and re-compares
+stored results against fresh ones field-by-field
+(/root/reference/prompture/persistence/manager.py save/load round-trip,
+/root/reference/prompture/tools.py values_equal compare loop). This module is
+that verify-after-write idea at table scale: a backfill, compaction, or
+migration produces a new snapshot of a 10^12-turn table, and the engine must
+certify which partitions are byte-identical, which changed, and exactly
+which rows differ — without ever materializing both snapshots side-by-side
+on one node.
+
+Design for 100 TB:
+
+* ``snapshot_summary`` reduces each snapshot to |partitions| rows with ONE
+  map-side-partial hash aggregate per snapshot (count + order-independent
+  checksum). No join, no sort, no shuffle wider than |partitions|.
+* The checksum is the SUM of a 60-bit row digest (first 15 hex chars of
+  md5 over a canonical field encoding), accumulated in decimal(38,0):
+  commutative, so it is independent of row order AND of how rows are
+  distributed across tasks — two snapshots stored with different file
+  layouts still reconcile. Sum (not xor) so duplicate rows cannot cancel.
+  md5 is bit-identical across Spark, DuckDB, and Python, which is what
+  makes the checksums engine-portable (same rationale as
+  operators/sampling.py hash splits).
+* ``snapshot_reconcile`` full-outer-joins the two |partitions|-row
+  summaries — trivially small — and classifies each partition
+  added/removed/changed/unchanged. A 10^12-row reconcile therefore costs
+  exactly two table scans.
+* ``snapshot_row_diff`` is the drill-down for partitions flagged
+  ``changed``: a keyed full-outer join of row digests that emits ONLY
+  differing rows (added/removed/modified). One co-partitioned shuffle on
+  the key; unchanged rows (the overwhelming majority) never leave the
+  join. Callers should filter both sides to the flagged partitions first
+  so the shuffle is sized by the change set, not the table.
+
+Caveats, stated rather than hidden: 38-digit decimal accumulation is exact
+up to ~10^19 rows per partition; the canonical encoding casts each field
+with Spark/DuckDB-agreeing semantics, so restrict ``content_cols`` to
+string/integer/boolean/date columns when a cross-engine oracle must agree
+(float and timestamp rendering differs between engines — digest them via an
+explicit round/format expression instead). Keys passed to
+``snapshot_row_diff`` must be unique per snapshot — exactly the uniqueness
+constraint the engine validates separately (operators/engine.py); run that
+check first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Field separator / null sentinel for the canonical row encoding. \x1f
+#: (unit separator) cannot appear in the fixture text domains; the null
+#: token is distinct from the empty string so NULL != ''.
+_SEP = "\x1f"
+_NULL_TOKEN = "\x00NULL"
+
+
+def row_digest(content_cols: list[str]) -> Column:
+    """60-bit engine-portable row digest: md5 over the canonical encoding
+    of ``content_cols`` (each cast to string, NULL -> sentinel, joined by
+    \\x1f), first 15 hex chars parsed base-16, as decimal(38,0).
+
+    15 hex chars = 60 bits: small enough that base-16 parse is exact in an
+    int64 intermediate on every engine, large enough that partition-level
+    sums collide with probability ~n^2/2^61.
+    """
+    canon = [
+        F.coalesce(F.col(c).cast("string"), F.lit(_NULL_TOKEN)) for c in content_cols
+    ]
+    hex15 = F.substring(F.md5(F.concat_ws(_SEP, *canon)), 1, 15)
+    return F.conv(hex15, 16, 10).cast("decimal(38,0)")
+
+
+def snapshot_summary(
+    df: DataFrame,
+    part_col: str,
+    content_cols: list[str],
+) -> DataFrame:
+    """One row per partition value: ``(part, n_rows, checksum)``.
+
+    checksum is the order/layout-independent decimal sum of row digests,
+    emitted as a string so drivers/oracles compare it without decimal-type
+    coercion surprises. ONE aggregate over ONE scan; partial aggregation
+    map-side, so the shuffle carries |partitions| rows per task.
+    """
+    return (
+        df.groupBy(F.col(part_col).alias("part"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(row_digest(content_cols)).alias("_sum"),
+        )
+        .select(
+            "part",
+            "n_rows",
+            F.col("_sum").cast("decimal(38,0)").cast("string").alias("checksum"),
+        )
+    )
+
+
+def snapshot_reconcile(
+    old: DataFrame,
+    new: DataFrame,
+    part_col: str,
+    content_cols: list[str],
+) -> DataFrame:
+    """Partition-level reconciliation of two snapshots:
+    ``(part_col, old_rows, new_rows, rows_delta, old_checksum,
+    new_checksum, status)`` with status one of ``partition_added`` /
+    ``partition_removed`` / ``changed`` / ``unchanged``.
+
+    Cost: two scans (one per snapshot) + a full-outer join of two
+    |partitions|-row summaries. The join cannot broadcast (full outer)
+    but both sides are tiny by construction.
+    """
+    o = (
+        snapshot_summary(old, part_col, content_cols)
+        .withColumnRenamed("n_rows", "old_rows")
+        .withColumnRenamed("checksum", "old_checksum")
+    )
+    n = (
+        snapshot_summary(new, part_col, content_cols)
+        .withColumnRenamed("n_rows", "new_rows")
+        .withColumnRenamed("checksum", "new_checksum")
+    )
+    j = o.join(n, "part", "full_outer")
+    status = (
+        F.when(F.col("old_rows").isNull(), F.lit("partition_added"))
+        .when(F.col("new_rows").isNull(), F.lit("partition_removed"))
+        .when(
+            (F.col("old_checksum") == F.col("new_checksum"))
+            & (F.col("old_rows") == F.col("new_rows")),
+            F.lit("unchanged"),
+        )
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(
+        F.col("part").alias(part_col),
+        "old_rows",
+        "new_rows",
+        (
+            F.coalesce(F.col("new_rows"), F.lit(0))
+            - F.coalesce(F.col("old_rows"), F.lit(0))
+        ).alias("rows_delta"),
+        "old_checksum",
+        "new_checksum",
+        status.alias("status"),
+    )
+
+
+def snapshot_row_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    content_cols: list[str],
+) -> DataFrame:
+    """Row-level diff between two snapshots keyed by ``key_cols``:
+    ``(key_cols..., change)`` with change ``added`` / ``removed`` /
+    ``modified`` — rows whose digests match are dropped INSIDE the join
+    stage and never materialize.
+
+    One shuffle, co-partitioned on the key, on both sides projected down
+    to key + 16-byte digest before the exchange — the shuffle payload is
+    ~24 bytes/row regardless of row width. Keys must be unique per
+    snapshot (validate with the engine's uniqueness constraint first);
+    duplicate keys would fan out in the full-outer join.
+    """
+    o = old.select(*key_cols, row_digest(content_cols).alias("_od"))
+    n = new.select(*key_cols, row_digest(content_cols).alias("_nd"))
+    j = o.join(n, key_cols, "full_outer")
+    change = (
+        F.when(F.col("_nd").isNull(), F.lit("removed"))
+        .when(F.col("_od").isNull(), F.lit("added"))
+        .when(F.col("_od") != F.col("_nd"), F.lit("modified"))
+    )
+    return (
+        j.select(*key_cols, change.alias("change"))
+        .where(F.col("change").isNotNull())
+    )

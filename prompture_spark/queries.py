@@ -3678,3 +3678,115 @@ def q_constraint_suggestions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     prof = profiling.profile_columns(ev, ["event_id", "user_id", "event_type", "value"])
     return profiling.suggest_constraints(prof)
+
+
+# --------------------------------------------------------------- reconcile
+
+
+def _snapshot_pair(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Deterministic old/new snapshot pair derived from events: the 'new'
+    version drops every 97th row (a purge), rewrites props on every 101st
+    (a backfill touch), and appends a 'backfill' partition built from every
+    499th row under shifted ids — every mutation SQL-expressible so the
+    DuckDB oracle constructs the identical pair."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type", "props"
+    )
+    modified = ev.where(F.col("event_id") % 97 != 0).withColumn(
+        "props",
+        F.when(F.col("event_id") % 101 == 0, F.lit('{"k": -1}')).otherwise(
+            F.col("props")
+        ),
+    )
+    appended = ev.where(F.col("event_id") % 499 == 0).select(
+        (F.col("event_id") + 10000000).alias("event_id"),
+        "user_id",
+        F.lit("backfill").alias("event_type"),
+        "props",
+    )
+    return ev, modified.unionByName(appended)
+
+
+_RECONCILE_NEW_CTE = """
+old AS (SELECT event_id, user_id, event_type, props FROM events),
+new AS (
+  SELECT event_id, user_id, event_type,
+         CASE WHEN event_id % 101 = 0 THEN '{"k": -1}' ELSE props END AS props
+  FROM events WHERE event_id % 97 <> 0
+  UNION ALL
+  SELECT event_id + 10000000, user_id, 'backfill', props
+  FROM events WHERE event_id % 499 = 0
+)
+"""
+
+_RECONCILE_DIGEST = (
+    "CAST(('0x' || substr(md5(concat_ws(chr(31), event_id, user_id, "
+    "event_type, props)), 1, 15)) AS BIGINT)"
+)
+
+_SNAPSHOT_RECONCILE_ORACLE = f"""
+WITH {_RECONCILE_NEW_CTE},
+os AS (
+  SELECT event_type AS part, count(*) AS old_rows,
+         CAST(sum({_RECONCILE_DIGEST}) AS VARCHAR) AS old_checksum
+  FROM old GROUP BY 1
+),
+ns AS (
+  SELECT event_type AS part, count(*) AS new_rows,
+         CAST(sum({_RECONCILE_DIGEST}) AS VARCHAR) AS new_checksum
+  FROM new GROUP BY 1
+)
+SELECT coalesce(os.part, ns.part) AS event_type,
+       old_rows, new_rows,
+       coalesce(new_rows, 0) - coalesce(old_rows, 0) AS rows_delta,
+       old_checksum, new_checksum,
+       CASE WHEN old_rows IS NULL THEN 'partition_added'
+            WHEN new_rows IS NULL THEN 'partition_removed'
+            WHEN old_checksum = new_checksum AND old_rows = new_rows
+              THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM os FULL OUTER JOIN ns ON os.part = ns.part
+"""
+
+
+@register("snapshot_reconcile_events", _SNAPSHOT_RECONCILE_ORACLE)
+def q_snapshot_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-level cross-snapshot reconciliation
+    (operators/reconcile.py): order-independent md5-sum checksums certify
+    which event_type partitions a simulated purge+backfill actually touched
+    — the post-migration audit a 10^12-row Iceberg table needs at the cost
+    of two scans."""
+    from prompture_spark.operators import reconcile
+
+    old, new = _snapshot_pair(spark, sf_dir)
+    return reconcile.snapshot_reconcile(
+        old, new, "event_type", ["event_id", "user_id", "event_type", "props"]
+    )
+
+
+_ROW_DIFF_ORACLE = f"""
+WITH {_RECONCILE_NEW_CTE},
+o AS (SELECT event_id, {_RECONCILE_DIGEST} AS od FROM old),
+n AS (SELECT event_id, {_RECONCILE_DIGEST} AS nd FROM new)
+SELECT event_id, change FROM (
+  SELECT coalesce(o.event_id, n.event_id) AS event_id,
+         CASE WHEN nd IS NULL THEN 'removed'
+              WHEN od IS NULL THEN 'added'
+              WHEN od <> nd THEN 'modified' END AS change
+  FROM o FULL OUTER JOIN n ON o.event_id = n.event_id
+) WHERE change IS NOT NULL
+"""
+
+
+@register("snapshot_row_diff_events", _ROW_DIFF_ORACLE)
+def q_snapshot_row_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level snapshot drill-down (operators/reconcile.py
+    snapshot_row_diff): emits ONLY the rows the purge+backfill added,
+    removed, or modified — unchanged rows are dropped inside the one keyed
+    join and never materialize."""
+    from prompture_spark.operators import reconcile
+
+    old, new = _snapshot_pair(spark, sf_dir)
+    return reconcile.snapshot_row_diff(
+        old, new, ["event_id"], ["user_id", "event_type", "props"]
+    )

@@ -1,0 +1,152 @@
+"""Cross-snapshot reconciliation tests: planted add/remove/modify mutations
+with exact expected statuses, digest canonicalization edge cases (NULL vs
+empty string), order/layout independence of the checksum, and plan pins
+(map-side partial agg; digest-projected join)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from prompture_spark.operators import reconcile
+
+
+def _plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, part string, payload string")
+
+
+BASE = [
+    (1, "a", "x1"),
+    (2, "a", "x2"),
+    (3, "b", "y1"),
+    (4, "b", "y2"),
+    (5, "c", "z1"),
+]
+
+
+def test_reconcile_statuses(spark):
+    old = _df(spark, BASE)
+    new_rows = [
+        (1, "a", "x1"),
+        (2, "a", "x2-EDITED"),   # modified -> partition a changed
+        (3, "b", "y1"),
+        (4, "b", "y2"),          # b untouched
+        # id 5 / partition c dropped entirely -> partition_removed
+        (6, "d", "w1"),          # new partition -> partition_added
+    ]
+    new = _df(spark, new_rows)
+    out = {
+        r.part: r
+        for r in reconcile.snapshot_reconcile(
+            old, new, "part", ["id", "part", "payload"]
+        ).collect()
+    }
+    assert out["a"].status == "changed"
+    assert out["b"].status == "unchanged"
+    assert out["c"].status == "partition_removed"
+    assert out["d"].status == "partition_added"
+    assert out["a"].rows_delta == 0
+    assert out["c"].rows_delta == -1 and out["d"].rows_delta == 1
+    assert out["b"].old_checksum == out["b"].new_checksum
+    assert out["a"].old_checksum != out["a"].new_checksum
+    assert out["d"].old_rows is None and out["c"].new_rows is None
+
+
+def test_row_diff_emits_only_changes(spark):
+    old = _df(spark, BASE)
+    new = _df(
+        spark,
+        [
+            (1, "a", "x1"),
+            (2, "a", "x2-EDITED"),
+            (3, "b", "y1"),
+            (4, "b", "y2"),
+            (6, "d", "w1"),
+        ],
+    )
+    out = {
+        r.id: r.change
+        for r in reconcile.snapshot_row_diff(
+            old, new, ["id"], ["part", "payload"]
+        ).collect()
+    }
+    assert out == {2: "modified", 5: "removed", 6: "added"}
+
+
+def test_checksum_is_order_and_layout_independent(spark):
+    old = _df(spark, BASE)
+    shuffled = _df(spark, list(reversed(BASE))).repartition(7)
+    cols = ["id", "part", "payload"]
+    a = {r.part: r.checksum for r in reconcile.snapshot_summary(old, "part", cols).collect()}
+    b = {r.part: r.checksum for r in reconcile.snapshot_summary(shuffled, "part", cols).collect()}
+    assert a == b
+
+
+def test_digest_distinguishes_null_from_empty(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "")], "id long, payload string"
+    )
+    vals = {
+        r.id: r.d
+        for r in df.select("id", reconcile.row_digest(["payload"]).alias("d")).collect()
+    }
+    assert vals[1] != vals[2]
+
+
+def test_digest_matches_python_md5(spark):
+    # pin the canonical encoding against an independent Python computation
+    df = spark.createDataFrame([(7, "a", "hello")], "id long, part string, payload string")
+    got = df.select(reconcile.row_digest(["id", "part", "payload"]).alias("d")).first().d
+    expect = int(hashlib.md5("7\x1fa\x1fhello".encode()).hexdigest()[:15], 16)
+    assert int(got) == expect
+
+
+def test_duplicate_rows_do_not_cancel(spark):
+    # xor-style checksums are blind to an even number of duplicate rows;
+    # the sum checksum must see them
+    one = _df(spark, [(1, "a", "x")])
+    two = _df(spark, [(1, "a", "x"), (1, "a", "x")])
+    cols = ["id", "part", "payload"]
+    c1 = reconcile.snapshot_summary(one, "part", cols).first()
+    c2 = reconcile.snapshot_summary(two, "part", cols).first()
+    assert c1.checksum != c2.checksum
+
+
+def test_summary_plan_single_scan_partial_agg(spark, sf_small):
+    ev = spark.read.parquet(f"{sf_small}/events.parquet")
+    p = _plan_of(
+        reconcile.snapshot_summary(ev, "event_type", ["event_id", "props"])
+    )
+    # ONE scan, partial-then-final hash aggregate around one exchange
+    tree = p.split("\n\n(1)")[0]
+    assert tree.count("Scan parquet") == 1
+    assert tree.count("HashAggregate") == 2
+    assert tree.count("Exchange") == 1
+    assert "partial_sum" in p  # map-side combine carries the checksum
+
+
+def test_row_diff_plan_projects_before_join(spark, sf_small):
+    ev = spark.read.parquet(f"{sf_small}/events.parquet")
+    new = ev.where(F.col("event_id") % 2 == 0)
+    p = _plan_of(
+        reconcile.snapshot_row_diff(
+            ev, new, ["event_id"], ["user_id", "event_type", "props"]
+        )
+    )
+    # join input is (key, digest) only: the wide text columns must be
+    # projected away below the join, so each exchange ships ~24 bytes/row
+    import re
+
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    inputs = re.findall(r"\(\d+\) Exchange\n(Input \[\d+\]: \[[^\]]*\])", p)
+    assert len(inputs) == 2
+    for line in inputs:
+        assert line.startswith("Input [2]:")
+        assert "props" not in line and "event_type" not in line
