@@ -285,3 +285,95 @@ def suggest_constraints(
         profile.select("col_name", F.explode(sug).alias("s"))
         .select("col_name", F.col("s.suggestion").alias("suggestion"), F.col("s.observed").alias("observed"))
     )
+
+
+def volume_anomalies(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window: int = 7,
+    max_ratio: float = 1.5,
+    z_thresh: float = 3.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Deequ-style ingest-volume anomaly detection over the daily row-count
+    series: ``(day, n_rows, ratio_prev, trail_mean, trail_std, z,
+    anomalous)``.
+
+    Two detectors, both exact and engine-portable:
+
+      * relative rate of change — ``n_rows / lag(n_rows)`` outside
+        ``[1/max_ratio, max_ratio]`` (Deequ's RelativeRateOfChangeStrategy)
+      * trailing z-score — |n_rows − mean| > ``z_thresh``·stddev over the
+        preceding ``window`` days (OnlineNormalStrategy without decay)
+
+    A detector with insufficient history (day 1; trailing std of <2 points
+    or 0) abstains rather than flags. Shape: ONE hash agg collapses the
+    table to |days| rows map-side; the unpartitioned window that follows
+    orders those |days| rows on one task — fine at any table size because
+    day cardinality is bounded (a decade is ~3.7k rows). The anomaly scan
+    over a 10^12-row table therefore costs exactly one scan.
+    """
+    from pyspark.sql.window import Window
+
+    daily = df.groupBy(
+        F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    w_lag = Window.orderBy("day")
+    w_trail = Window.orderBy("day").rowsBetween(-window, -1)
+    cur = F.col("n_rows").cast("double")
+    ratio = cur / F.lag("n_rows").over(w_lag)
+    mean = F.avg("n_rows").over(w_trail)
+    std = F.stddev_samp("n_rows").over(w_trail)
+    z = F.when(std > 0, (cur - mean) / std)
+    ratio_bad = F.coalesce(
+        (ratio > max_ratio) | (ratio < 1.0 / max_ratio), F.lit(False)
+    )
+    z_bad = F.coalesce(F.abs(z) > z_thresh, F.lit(False))
+    return daily.select(
+        "day",
+        "n_rows",
+        F.round(ratio, round_to).alias("ratio_prev"),
+        F.round(mean, round_to).alias("trail_mean"),
+        F.round(std, round_to).alias("trail_std"),
+        F.round(z, round_to).alias("z"),
+        (ratio_bad | z_bad).alias("anomalous"),
+    )
+
+
+def freshness_check(
+    df: DataFrame,
+    part_col: str,
+    ts_col: str,
+    as_of: str,
+    max_lag_hours: float = 24.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-partition freshness: ``(part_col, latest_ts, lag_hours, stale)``
+    — has every partition received data within ``max_lag_hours`` of the
+    (injected, never wall-clock) ``as_of`` instant?
+
+    ``as_of`` is an explicit ISO timestamp string so runs are reproducible
+    and testable — same injectable-clock policy as the template engine
+    (plans/suite_runner.py). ONE map-side-partial max() per partition; a
+    silent partition (present in the catalog but absent from the data) is
+    the uniqueness/referential engine's job, not this one's — freshness
+    reports only partitions that exist.
+    """
+    # parquet timestamps load as TIMESTAMP_NTZ, which has no direct long
+    # cast; route both instants through the session-UTC timestamp type so
+    # the epoch arithmetic matches DuckDB's epoch() exactly
+    as_of_s = F.lit(as_of).cast("timestamp").cast("long")
+    lag_h = F.round(
+        (as_of_s - F.col("latest_ts").cast("timestamp").cast("long")) / 3600.0,
+        round_to,
+    )
+    return (
+        df.groupBy(F.col(part_col).alias("part"))
+        .agg(F.max(ts_col).alias("latest_ts"))
+        .select(
+            F.col("part").alias(part_col),
+            "latest_ts",
+            lag_h.alias("lag_hours"),
+            (lag_h > max_lag_hours).alias("stale"),
+        )
+    )

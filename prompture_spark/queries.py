@@ -3790,3 +3790,78 @@ def q_snapshot_row_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reconcile.snapshot_row_diff(
         old, new, ["event_id"], ["user_id", "event_type", "props"]
     )
+
+
+_VOLUME_ANOMALY_ORACLE = """
+WITH src AS (
+  SELECT ts FROM events
+  UNION ALL SELECT ts FROM events WHERE strftime(ts, '%Y-%m-%d') = '2024-01-15'
+  UNION ALL SELECT ts FROM events WHERE strftime(ts, '%Y-%m-%d') = '2024-01-15'
+),
+d AS (SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_rows FROM src GROUP BY 1),
+w AS (
+  SELECT day, n_rows,
+         CAST(n_rows AS DOUBLE) / lag(n_rows) OVER (ORDER BY day) AS ratio,
+         avg(n_rows) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS m,
+         stddev_samp(n_rows) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS s
+  FROM d
+)
+SELECT day, n_rows,
+       round(ratio, 6) AS ratio_prev,
+       round(m, 6) AS trail_mean,
+       round(s, 6) AS trail_std,
+       round(CASE WHEN s > 0 THEN (n_rows - m) / s END, 6) AS z,
+       coalesce(ratio > 1.5 OR ratio < 1.0 / 1.5, false)
+         OR coalesce(abs(CASE WHEN s > 0 THEN (n_rows - m) / s END) > 3.0, false)
+         AS anomalous
+FROM w
+"""
+
+
+@register("volume_anomalies_daily", _VOLUME_ANOMALY_ORACLE)
+def q_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily ingest-volume anomaly detection (operators/profiling.py
+    volume_anomalies) over events with a deterministically planted 3× spike
+    on 2024-01-15: the spike day fires both detectors and the collapse back
+    on the 16th fires the ratio detector — same construction in both
+    engines."""
+    from prompture_spark.operators import profiling
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("ts")
+    day = F.date_format("ts", "yyyy-MM-dd")
+    spike = ev.where(day == "2024-01-15")
+    return profiling.volume_anomalies(ev.unionByName(spike).unionByName(spike))
+
+
+_FRESHNESS_ORACLE = """
+WITH src AS (
+  SELECT event_type, ts FROM events
+  WHERE NOT (event_type = 'error' AND ts >= TIMESTAMP '2024-01-25 00:00:00')
+)
+SELECT event_type, max(ts) AS latest_ts,
+       round((floor(epoch(TIMESTAMP '2024-01-31 12:00:00'))
+              - floor(epoch(max(ts)))) / 3600.0, 6) AS lag_hours,
+       round((floor(epoch(TIMESTAMP '2024-01-31 12:00:00'))
+              - floor(epoch(max(ts)))) / 3600.0, 6) > 24.0 AS stale
+FROM src GROUP BY 1
+"""
+
+
+@register("freshness_per_partition", _FRESHNESS_ORACLE)
+def q_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition freshness vs an injected as-of instant
+    (operators/profiling.py freshness_check): the 'error' partition is
+    deterministically truncated at 2024-01-25 so it alone exceeds the 24 h
+    staleness budget."""
+    from prompture_spark.operators import profiling
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = ev.where(
+        ~(
+            (F.col("event_type") == "error")
+            & (F.col("ts") >= F.lit("2024-01-25 00:00:00").cast("timestamp"))
+        )
+    )
+    return profiling.freshness_check(
+        src, "event_type", "ts", "2024-01-31 12:00:00", max_lag_hours=24.0
+    )

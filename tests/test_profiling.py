@@ -324,3 +324,69 @@ def test_embedding_centroid_drift_discriminates(spark):
     assert out[0].drifted is False and out[1].drifted is False
     assert out[2].drifted is True and out[2].centroid_cos < 0.0
     assert out[0].n_vecs == 60
+
+
+# ----------------------------------------------- volume anomaly detection
+
+
+def test_volume_anomalies_flags_spike_and_collapse(spark):
+    rows = []
+    for day in range(1, 11):
+        n = 100 if day != 7 else 300   # 3x spike on day 7
+        for i in range(n):
+            rows.append((datetime.datetime(2024, 5, day, 8, 0, i % 60),))
+    df = spark.createDataFrame(rows, "ts timestamp")
+    out = {r.day: r for r in profiling.volume_anomalies(df).collect()}
+    assert len(out) == 10
+    first = out["2024-05-01"]
+    # day 1: no predecessor, no trailing window -> all detectors abstain
+    assert first.ratio_prev is None and first.z is None
+    assert first.anomalous is False
+    assert out["2024-05-07"].anomalous is True        # ratio 3.0 and huge z
+    assert out["2024-05-07"].ratio_prev == 3.0
+    assert out["2024-05-08"].anomalous is True        # collapse: ratio 1/3
+    assert out["2024-05-06"].anomalous is False
+    # steady tail day: trailing window absorbs the spike but z stays small
+    assert out["2024-05-02"].anomalous is False
+
+
+def test_volume_anomalies_zero_variance_history(spark):
+    # identical counts -> stddev 0 -> z abstains, ratio 1.0 -> clean
+    rows = [
+        (datetime.datetime(2024, 5, d, 8, 0, i),)
+        for d in range(1, 6)
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp")
+    out = profiling.volume_anomalies(df).collect()
+    assert all(r.anomalous is False for r in out)
+    assert all(r.z is None for r in out)   # std is 0 or null everywhere
+
+
+def test_volume_anomalies_single_scan_partial_agg(spark, sf_small):
+    ev = spark.read.parquet(f"{sf_small}/events.parquet")
+    p = _plan_of(profiling.volume_anomalies(ev))
+    tree = p.split("\n\n(1)")[0]
+    assert tree.count("Scan parquet") == 1
+    assert "partial_count" in p   # daily counts combine map-side
+
+
+# --------------------------------------------------------------- freshness
+
+
+def test_freshness_check(spark):
+    rows = [
+        ("a", datetime.datetime(2024, 6, 1, 10, 0, 0)),
+        ("a", datetime.datetime(2024, 6, 2, 9, 30, 0)),
+        ("b", datetime.datetime(2024, 5, 20, 0, 0, 0)),
+    ]
+    df = spark.createDataFrame(rows, "part string, ts timestamp")
+    out = {
+        r.part: r
+        for r in profiling.freshness_check(
+            df, "part", "ts", "2024-06-02 12:00:00", max_lag_hours=24.0
+        ).collect()
+    }
+    assert out["a"].lag_hours == 2.5 and out["a"].stale is False
+    assert out["b"].stale is True
+    assert out["b"].latest_ts == datetime.datetime(2024, 5, 20, 0, 0, 0)
