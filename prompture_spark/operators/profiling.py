@@ -377,3 +377,36 @@ def freshness_check(
             (lag_h > max_lag_hours).alias("stale"),
         )
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    min_frac: float = 0.01,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact heavy hitters: every value of ``col`` carried by at least
+    ``min_frac`` of the rows — ``(value, cnt, frac)``.
+
+    The frequency-skew complement of the enum suggestion in
+    ``suggest_constraints``: a role/tool column whose top value suddenly
+    owns 95% of a drop is corrupt long before any schema rule fires, and
+    conversely a key expected to be hot (e.g. role='assistant' ≈ 50%)
+    falling out of the list flags a filter bug upstream.
+
+    Shape: ONE hash agg (map-side partial) to |distinct| rows, a 1-row
+    total broadcast-joined in, and a frac filter — no global sort, no
+    top-k heap, output bounded by 1/min_frac rows by pigeonhole. NULL is
+    a legitimate heavy hitter (a null-flood is exactly the incident this
+    catches), so the aggregate keeps the NULL group.
+    """
+    counts = df.groupBy(F.col(col).alias("value")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    total = df.groupBy().agg(F.count(F.lit(1)).alias("_total"))
+    return (
+        counts.join(F.broadcast(total))
+        .withColumn("frac", F.round(F.col("cnt") / F.col("_total"), round_to))
+        .where(F.col("cnt") / F.col("_total") >= min_frac)
+        .select("value", "cnt", "frac")
+    )

@@ -179,3 +179,48 @@ def snapshot_row_diff(
         j.select(*key_cols, change.alias("change"))
         .where(F.col("change").isNotNull())
     )
+
+
+def schema_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Schema-evolution audit between two snapshots:
+    ``(col_name, change, old_type, new_type)`` with change one of
+    ``added`` / ``removed`` / ``type_changed`` / ``nullability_changed``.
+    Columns identical in both schemas emit nothing.
+
+    Pure metadata — built from the two schemas without running a single
+    job, so it is free at any table size and belongs at the FRONT of a
+    reconcile pipeline: a type change makes the content checksums
+    incomparable (casting changes the canonical encoding), so callers
+    should gate ``snapshot_reconcile`` on this returning no
+    ``type_changed`` rows.
+    """
+    o = {f.name: f for f in old.schema.fields}
+    n = {f.name: f for f in new.schema.fields}
+    rows: list[tuple[str, str, str | None, str | None]] = []
+    for name in list(o) + [x for x in n if x not in o]:
+        fo, fn = o.get(name), n.get(name)
+        if fo is None:
+            rows.append((name, "added", None, fn.dataType.simpleString()))
+        elif fn is None:
+            rows.append((name, "removed", fo.dataType.simpleString(), None))
+        elif fo.dataType != fn.dataType:
+            rows.append(
+                (
+                    name,
+                    "type_changed",
+                    fo.dataType.simpleString(),
+                    fn.dataType.simpleString(),
+                )
+            )
+        elif fo.nullable != fn.nullable:
+            rows.append(
+                (
+                    name,
+                    "nullability_changed",
+                    fo.dataType.simpleString(),
+                    fn.dataType.simpleString(),
+                )
+            )
+    return old.sparkSession.createDataFrame(
+        rows, "col_name string, change string, old_type string, new_type string"
+    )

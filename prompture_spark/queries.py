@@ -3865,3 +3865,24 @@ def q_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profiling.freshness_check(
         src, "event_type", "ts", "2024-01-31 12:00:00", max_lag_hours=24.0
     )
+
+
+_HEAVY_HITTERS_ORACLE = """
+WITH c AS (SELECT user_id AS value, count(*) AS cnt FROM events GROUP BY 1),
+t AS (SELECT count(*) AS total FROM events)
+SELECT value, cnt, round(CAST(cnt AS DOUBLE) / total, 6) AS frac
+FROM c, t WHERE CAST(cnt AS DOUBLE) / total >= 0.007
+"""
+
+
+@register("heavy_hitters_user", _HEAVY_HITTERS_ORACLE)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters over events.user_id at 0.7% (operators/
+    profiling.py heavy_hitters): one map-side-partial hash agg + a 1-row
+    broadcast total; output bounded by 1/min_frac rows by pigeonhole —
+    the hot-key census that feeds skew salting decisions
+    (operators/skew.py)."""
+    from prompture_spark.operators import profiling
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return profiling.heavy_hitters(ev, "user_id", min_frac=0.007)

@@ -390,3 +390,23 @@ def test_freshness_check(spark):
     assert out["a"].lag_hours == 2.5 and out["a"].stale is False
     assert out["b"].stale is True
     assert out["b"].latest_ts == datetime.datetime(2024, 5, 20, 0, 0, 0)
+
+
+# ------------------------------------------------------------ heavy hitters
+
+
+def test_heavy_hitters_exact_and_null_group(spark):
+    rows = [("a",)] * 50 + [("b",)] * 30 + [(None,)] * 15 + [("c",)] * 5
+    df = spark.createDataFrame(rows, "k string")
+    out = {r.value: r for r in profiling.heavy_hitters(df, "k", 0.10).collect()}
+    assert set(out) == {"a", "b", None}     # c at 5% misses the 10% bar
+    assert out["a"].cnt == 50 and out["a"].frac == 0.5
+    assert out[None].cnt == 15              # null-flood is a heavy hitter
+
+
+def test_heavy_hitters_plan_no_global_sort(spark, sf_small):
+    ev = spark.read.parquet(f"{sf_small}/events.parquet")
+    p = _plan_of(profiling.heavy_hitters(ev, "user_id", 0.01))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "Sort " not in p and "TakeOrdered" not in p
+    assert "partial_count" in p

@@ -150,3 +150,27 @@ def test_row_diff_plan_projects_before_join(spark, sf_small):
     for line in inputs:
         assert line.startswith("Input [2]:")
         assert "props" not in line and "event_type" not in line
+
+
+# --------------------------------------------------------------- schema diff
+
+
+def test_schema_diff(spark):
+    old = spark.createDataFrame([(1, "a", 2.0)], "id long, name string, v double")
+    new = spark.createDataFrame([(1, "a", 2)], "id long, name string, v int").withColumn(
+        "extra", F.lit("x")
+    )
+    out = {r.col_name: r for r in reconcile.schema_diff(old, new).collect()}
+    assert out["v"].change == "type_changed"
+    assert out["v"].old_type == "double" and out["v"].new_type == "int"
+    assert out["extra"].change == "added" and out["extra"].old_type is None
+    assert "id" not in out and "name" not in out
+
+
+def test_schema_diff_removed_and_identical(spark):
+    old = spark.createDataFrame([(1, "a")], "id long, name string")
+    new = old.drop("name")
+    out = reconcile.schema_diff(old, new).collect()
+    assert len(out) == 1
+    assert out[0].col_name == "name" and out[0].change == "removed"
+    assert reconcile.schema_diff(old, old).count() == 0
