@@ -1,0 +1,68 @@
+"""End-to-end test of the deployed form: package the engine with
+tools/make_pyfiles.py and run tools/run_validation.py under REAL
+spark-submit --py-files, from a foreign cwd with no PYTHONPATH — the only
+way the job can import prompture_spark is via the zip, exactly as on a
+multi-executor cluster."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import zipfile
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_SUBMIT = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+
+
+def test_make_pyfiles_deterministic(tmp_path):
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import make_pyfiles
+
+    a = make_pyfiles.build(str(tmp_path / "a.zip"))
+    b = make_pyfiles.build(str(tmp_path / "b.zip"))
+    assert open(a, "rb").read() == open(b, "rb").read()
+    names = zipfile.ZipFile(a).namelist()
+    assert "prompture_spark/operators/engine.py" in names
+    assert not any("test" in n or "__pycache__" in n for n in names)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(SPARK_SUBMIT), reason="spark-submit not installed"
+)
+def test_spark_submit_py_files_end_to_end(tmp_path):
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import make_pyfiles
+
+    zip_path = make_pyfiles.build(str(tmp_path / "prompture_spark.zip"))
+    out_dir = str(tmp_path / "out")
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    proc = subprocess.run(
+        [
+            SPARK_SUBMIT,
+            "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_path,
+            os.path.join(REPO, "tools", "run_validation.py"),
+            "--input", "/root/testdata/sf0.001",
+            "--output", out_dir,
+        ],
+        cwd=str(tmp_path),     # foreign cwd: repo not importable by accident
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=280,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    # same fixture the entry() smoke pins: 80 verdict cells on sf0.001
+    assert summary["verdict_cells"] == 80
+    assert summary["violations"] > 0
+    assert summary["failed_cells"] > 0
+    for sub in ("violations", "verdicts", "stats", "drift"):
+        assert os.path.isdir(os.path.join(out_dir, sub))

@@ -1,0 +1,43 @@
+"""Package ``prompture_spark`` into the ``--py-files`` zip for spark-submit.
+
+Usage::
+
+    python tools/make_pyfiles.py [dist/prompture_spark.zip]
+
+The zip contains the package sources only (no tests, no caches) with
+deterministic member ordering, so re-building from the same tree yields a
+byte-comparable artifact for deploy diffing.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def build(out_path: str) -> str:
+    pkg = os.path.join(REPO, "prompture_spark")
+    members: list[str] = []
+    for root, dirs, files in os.walk(pkg):
+        dirs[:] = sorted(d for d in dirs if d != "__pycache__")
+        for f in sorted(files):
+            if f.endswith(".py"):
+                members.append(os.path.join(root, f))
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as z:
+        for m in members:
+            arc = os.path.relpath(m, REPO)
+            # pin the timestamp so identical sources produce identical zips
+            info = zipfile.ZipInfo(arc, date_time=(2024, 1, 1, 0, 0, 0))
+            info.external_attr = 0o644 << 16
+            with open(m, "rb") as fh:
+                z.writestr(info, fh.read(), zipfile.ZIP_DEFLATED)
+    return out_path
+
+
+if __name__ == "__main__":
+    out = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "dist", "prompture_spark.zip")
+    print(build(out))

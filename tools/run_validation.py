@@ -1,0 +1,98 @@
+"""spark-submit entrypoint: run the full validation suite over a transcript
+table and sink violations / verdicts / stats / drift to an output directory.
+
+This is the deployed form of the engine (the north rule's
+``spark-submit --py-files`` path)::
+
+    python tools/make_pyfiles.py dist/prompture_spark.zip
+    spark-submit --master <cluster> \
+      --py-files dist/prompture_spark.zip \
+      tools/run_validation.py \
+      --input  lake.db.transcripts            # Iceberg table, parquet path,
+                                              # or a testdata sf dir
+      --output /path/to/run_output \
+      [--exact-stats] [--drift-dim role]
+
+The script owns NO Spark configuration: master, executors, shuffle
+partitions, and AQE all come from spark-submit/cluster conf, so the same
+artifact runs on local[2] and a 1000-executor cluster unchanged. It prints
+exactly one JSON summary line on stdout for the calling orchestrator.
+
+Input resolution: an existing directory containing ``events.parquet`` is
+treated as a driver testdata sf dir (transcripts derived via the shared
+SQL); any other existing path is read as parquet; anything else is read as
+a catalog (Iceberg) table. Either way the frame must carry the transcript
+schema ``(conv_id, turn_idx, role, text, tool, ts, part_id)`` — events
+inputs are derived into it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True, help="Iceberg table / parquet path / sf dir")
+    ap.add_argument("--output", required=True, help="output directory for result tables")
+    ap.add_argument("--exact-stats", action="store_true", help="exact distinct/quantiles (default: HLL + approx)")
+    ap.add_argument("--drift-dim", default="role", help="categorical column for PSI drift")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("prompture-spark-validate").getOrCreate()
+
+    # imported after the session exists so --py-files placement is enough
+    from prompture_spark.operators.engine import ValidationEngine
+    from prompture_spark.plans.spec import default_transcript_suite
+    from prompture_spark.sources.loader import load_table
+    from prompture_spark.sources.transcripts import transcripts_from_events
+
+    t0 = time.monotonic()
+    if os.path.isdir(args.input) and os.path.exists(
+        os.path.join(args.input, "events.parquet")
+    ):
+        df = transcripts_from_events(spark, args.input)
+    else:
+        df = load_table(spark, args.input)
+        if "event_id" in df.columns:  # raw events shape -> derive
+            df.createOrReplaceTempView("events")
+            from prompture_spark.sources.transcripts import TRANSCRIPTS_FROM_EVENTS_SQL
+
+            df = spark.sql(TRANSCRIPTS_FROM_EVENTS_SQL)
+
+    suite = default_transcript_suite()
+    eng = ValidationEngine(spark)
+    res = eng.validate_full(df, suite, exact_stats=args.exact_stats, drift_dim=args.drift_dim)
+
+    out = args.output
+    res.violations.write.mode("overwrite").parquet(os.path.join(out, "violations"))
+    res.verdicts.write.mode("overwrite").parquet(os.path.join(out, "verdicts"))
+    res.stats.write.mode("overwrite").parquet(os.path.join(out, "stats"))
+    res.drift.write.mode("overwrite").parquet(os.path.join(out, "drift"))
+
+    n_violations = spark.read.parquet(os.path.join(out, "violations")).count()
+    verdicts = spark.read.parquet(os.path.join(out, "verdicts"))
+    n_verdicts = verdicts.count()
+    n_failed = verdicts.where("ok = false").count()
+    summary = {
+        "input": args.input,
+        "output": out,
+        "suite": suite.name,
+        "violations": n_violations,
+        "verdict_cells": n_verdicts,
+        "failed_cells": n_failed,
+        "wall_s": round(time.monotonic() - t0, 3),
+    }
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
