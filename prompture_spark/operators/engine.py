@@ -636,3 +636,60 @@ class ValidationEngine:
             stats=stats_df,
             drift=drift_df,
         )
+
+
+def readiness_scorecard(
+    engine: "ValidationEngine",
+    df: DataFrame,
+    suite: ValidationSuite,
+    as_of: str,
+    max_lag_hours: float = 24.0,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """One row per partition answering the operational question a training
+    pipeline actually asks: *is this partition fit to consume?*
+
+    ``(part_id, n_rows, failed_constraints, n_violations, lag_hours,
+    stale, ready, blocked_by)`` — ready iff every suite constraint passed
+    AND the partition received data within ``max_lag_hours`` of the
+    injected ``as_of`` instant; ``blocked_by`` names the dominant blocker
+    (``constraints`` before ``stale``) or is NULL when ready.
+
+    Composition, not recomputation: the verdict grid comes from ONE
+    engine run (violations persisted once, engine.py validate), the
+    row-count/latest-ts base is one map-side partial agg, and everything
+    joined afterwards is |partitions|-sized. Cost at 10^12 rows = the
+    validate run + one extra aggregate pass.
+    """
+    res = engine.validate(df, suite)
+    failed = (
+        res.verdicts.where(~F.col("ok"))
+        .groupBy("part_id")
+        .agg(
+            F.count(F.lit(1)).alias("failed_constraints"),
+            F.sum("violation_count").alias("n_violations"),
+        )
+    )
+    as_of_s = F.lit(as_of).cast("timestamp").cast("long")
+    base = df.groupBy(F.col(suite.partition_col).alias("part_id")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max(ts_col).alias("_latest"),
+    )
+    lag_h = F.round(
+        (as_of_s - F.col("_latest").cast("timestamp").cast("long")) / 3600.0, 6
+    )
+    j = base.join(failed, "part_id", "left")
+    n_failed = F.coalesce(F.col("failed_constraints"), F.lit(0))
+    stale = lag_h > max_lag_hours
+    return j.select(
+        "part_id",
+        "n_rows",
+        n_failed.alias("failed_constraints"),
+        F.coalesce(F.col("n_violations"), F.lit(0)).cast("long").alias("n_violations"),
+        lag_h.alias("lag_hours"),
+        stale.alias("stale"),
+        ((n_failed == 0) & ~stale).alias("ready"),
+        F.when(n_failed > 0, F.lit("constraints"))
+        .when(stale, F.lit("stale"))
+        .alias("blocked_by"),
+    )

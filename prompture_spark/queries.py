@@ -206,9 +206,10 @@ def q_turn_sequence_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ALL_CIDS = list(ROW_FAIL_SQL) + ["unique_conv_turn", "tool_in_catalog", "ts_monotonic_per_conv"]
 
-_VERDICTS_ORACLE = (
-    ORACLE_TRANSCRIPTS_CTE
-    + ",\n_fails AS (\n"
+# shared by the verdicts and readiness oracles: per-(part, constraint)
+# violation counts, rows present only where count > 0
+_FAILS_CTE = (
+    ",\n_fails AS (\n"
     + "\nUNION ALL\n".join(
         f"SELECT part_id, '{cid}' AS constraint_id, CAST(count(*) AS BIGINT) AS violation_count "
         f"FROM transcripts WHERE {fail} GROUP BY part_id"
@@ -224,6 +225,11 @@ _VERDICTS_ORACLE = (
     " CAST(count(*) AS BIGINT) AS violation_count FROM (SELECT part_id, ts,"
     " lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx, ts) AS _prev FROM transcripts)"
     " WHERE _prev IS NOT NULL AND ts < _prev GROUP BY part_id\n)"
+)
+
+_VERDICTS_ORACLE = (
+    ORACLE_TRANSCRIPTS_CTE
+    + _FAILS_CTE
     + ",\n_grid AS (SELECT p.part_id, c.constraint_id FROM (SELECT DISTINCT part_id FROM"
     " transcripts) p CROSS JOIN (VALUES "
     + ", ".join(f"('{cid}')" for cid in _ALL_CIDS)
@@ -3886,3 +3892,49 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return profiling.heavy_hitters(ev, "user_id", min_frac=0.007)
+
+
+_READINESS_ORACLE = (
+    ORACLE_TRANSCRIPTS_CTE
+    + _FAILS_CTE
+    + """,
+_f AS (
+  SELECT part_id, CAST(count(*) AS BIGINT) AS failed_constraints,
+         CAST(sum(violation_count) AS BIGINT) AS n_violations
+  FROM _fails WHERE violation_count > 0 GROUP BY 1
+),
+_b AS (
+  SELECT part_id, CAST(count(*) AS BIGINT) AS n_rows, max(ts) AS latest
+  FROM transcripts GROUP BY 1
+)
+SELECT b.part_id, b.n_rows,
+       coalesce(f.failed_constraints, 0) AS failed_constraints,
+       coalesce(f.n_violations, 0) AS n_violations,
+       round((floor(epoch(TIMESTAMP '2024-02-01 00:00:00'))
+              - floor(epoch(b.latest))) / 3600.0, 6) AS lag_hours,
+       round((floor(epoch(TIMESTAMP '2024-02-01 00:00:00'))
+              - floor(epoch(b.latest))) / 3600.0, 6) > 24.3 AS stale,
+       coalesce(f.failed_constraints, 0) = 0
+         AND NOT round((floor(epoch(TIMESTAMP '2024-02-01 00:00:00'))
+              - floor(epoch(b.latest))) / 3600.0, 6) > 24.3 AS ready,
+       CASE WHEN coalesce(f.failed_constraints, 0) > 0 THEN 'constraints'
+            WHEN round((floor(epoch(TIMESTAMP '2024-02-01 00:00:00'))
+              - floor(epoch(b.latest))) / 3600.0, 6) > 24.3 THEN 'stale'
+            END AS blocked_by
+FROM _b b LEFT JOIN _f f ON b.part_id = f.part_id
+"""
+)
+
+
+@register("readiness_scorecard", _READINESS_ORACLE)
+def q_readiness_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition fit-to-consume scorecard (operators/engine.py
+    readiness_scorecard): constraint verdicts from ONE engine run joined
+    with a freshness check against an injected as-of instant; blocked_by
+    ranks constraints over staleness."""
+    from prompture_spark.operators.engine import readiness_scorecard
+
+    eng, df, suite = _suite(spark, sf_dir)
+    return readiness_scorecard(
+        eng, df, suite, "2024-02-01 00:00:00", max_lag_hours=24.3
+    )

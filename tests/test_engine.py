@@ -272,3 +272,36 @@ def test_sequence_constraints_in_suite_fuse(spark, seq_micro, micro):
     assert ("conv-00000003", 3, "no_repeated_turn") in got
     # micro's duplicate rows ("dup"/"dup2") differ in text: no repeat flag
     assert ("conv-00000001", 3, "no_repeated_turn") not in got
+
+
+def test_readiness_scorecard(spark, micro):
+    from prompture_spark.operators.engine import readiness_scorecard
+
+    _, df = micro
+    suite = default_transcript_suite()
+    eng = ValidationEngine(spark)
+    # as_of 26h after the latest turn, budget 30h -> nothing stale;
+    # part 0 is clean -> ready; part 1 fails constraints
+    out = {
+        r.part_id: r
+        for r in readiness_scorecard(
+            eng, df, suite, "2024-01-02 12:00:00", max_lag_hours=30.0
+        ).collect()
+    }
+    assert out[0].ready is True and out[0].blocked_by is None
+    assert out[0].failed_constraints == 0 and out[0].n_violations == 0
+    assert out[1].ready is False and out[1].blocked_by == "constraints"
+    assert out[1].failed_constraints >= 5 and out[1].n_violations >= 7
+    assert out[0].n_rows == 3
+
+    # same as_of, tight 2h budget -> even the clean partition goes stale,
+    # and constraints still outrank staleness in blocked_by
+    tight = {
+        r.part_id: r
+        for r in readiness_scorecard(
+            eng, df, suite, "2024-01-02 12:00:00", max_lag_hours=2.0
+        ).collect()
+    }
+    assert tight[0].ready is False and tight[0].blocked_by == "stale"
+    assert tight[1].blocked_by == "constraints"
+    assert tight[0].stale is True

@@ -235,6 +235,35 @@ elif job == "seqcheck":
             rep=NoRepeatedText("no_repeated_turn"),
         ).count()
         spark.catalog.clearCache()
+elif job == "reconcile":
+    from prompture_spark.operators import reconcile as rc
+    from prompture_spark.sources.transcripts import generate_transcripts
+    if not os.path.exists(path):
+        generate_transcripts(spark, n_turns, seed=42, skew=True).repartition(
+            128).write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    units = n_turns
+    # simulated next snapshot, derived on the fly (both sides stream from
+    # the same files; the job is two scans + two map-side partial aggs +
+    # an 8-row full-outer join): hash-purge ~1% of rows, edit ~1% of
+    # texts, but EXEMPT part_id 0 so the unchanged-partition path is
+    # exercised and asserted
+    mut = F.col("part_id") != 0
+    h97 = F.pmod(F.xxhash64("conv_id", "turn_idx", F.lit(1)), F.lit(97))
+    h101 = F.pmod(F.xxhash64("conv_id", "turn_idx", F.lit(2)), F.lit(101))
+    new = df.where(~(mut & (h97 == 0))).withColumn(
+        "text",
+        F.when(mut & (h101 == 0), F.concat(F.col("text"), F.lit(" EDIT")))
+         .otherwise(F.col("text")))
+    content = ["conv_id", "turn_idx", "role", "text", "tool"]
+    def run_once():
+        out = rc.snapshot_reconcile(df, new, "part_id", content).collect()
+        # hard correctness gate inside the timed run: exactly the exempt
+        # partition reads unchanged, every other partition reads changed
+        st = sorted((r["part_id"], r["status"]) for r in out)
+        assert st[0] == (0, "unchanged") and len(st) == 8, st
+        assert all(s == "changed" for _, s in st[1:]), st
+        spark.catalog.clearCache()
 elif job == "contam":
     from prompture_spark.operators import dedup as dd
     # corpus: 40 pseudo-words from a 40k vocabulary; eval: 1000 twins of
@@ -348,6 +377,12 @@ JOB_DESC = {
               f"eval postings — corpus side never shuffles) of a 2,000-doc "
               f"eval set against {N_CONTAM:,} generated corpus docs; "
               f"1000-planted-twin recovery asserted inside the timed run",
+    "reconcile": "cross-snapshot partition reconciliation (order-independent "
+                 "md5-sum checksums; two scans + two map-side partial aggs + "
+                 "an 8-row full-outer join) of {n:,} turns against an "
+                 "on-the-fly mutated snapshot (~1% hash-purged, ~1% edited, "
+                 "one exempt partition); expected per-partition statuses "
+                 "asserted inside the timed run",
     "dedupchain": f"config-driven dedup chain exact → shingle(k=9 inverted "
                   f"index, posting cap 1024) → semantic(Arrow-GEMM hyperplane "
                   f"LSH, 22 planes × 8 bands, bucket cap 256) over "
@@ -374,6 +409,7 @@ def main() -> None:
         "ivf": f"/tmp/prompture_bench/vecs_{N_VECS}",
         "dedupchain": f"/tmp/prompture_bench/chain_{N_CHAIN}",
         "contam": f"/tmp/prompture_bench/contam_{N_CONTAM}",
+        "reconcile": f"/tmp/prompture_bench/turns_{n_turns}",
     }
     ceil = cpu_ceiling()
     # results[job] = list of per-draw dicts; every draw reported, median graded
