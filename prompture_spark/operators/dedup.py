@@ -71,6 +71,66 @@ def exact_dedup(
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
+def group_exact_dedup(
+    df: DataFrame,
+    group_col: str,
+    sort_cols: list[str],
+    content_cols: list[str],
+) -> DataFrame:
+    """Entity-level exact dedup: two GROUPS (e.g. conversations) are
+    duplicates when their ordered multisets of row contents are identical.
+
+    The reference dedups single texts only (dataset/dedup.py:73-272); a
+    transcript corpus needs this at CONVERSATION granularity — the same
+    dialogue re-ingested under a new conv_id (retries, mirrored exports)
+    must collapse to one copy, which row-level dedup cannot see because
+    every individual turn also occurs in the keeper.
+
+    Each group folds to one md5 digest of its rows' canonical strings
+    (``content_cols`` joined with US, rows joined with RS in ``sort_cols``
+    + content order — the content tail makes the sort total, so the digest
+    is deterministic even when ``sort_cols`` tie, e.g. duplicate turn_idx
+    defect rows). Output: ``(group, keep_group)`` for every group to DROP,
+    keeper = smallest group id per digest.
+
+    Scale shape: one groupBy(``group_col``) exchange carrying only the
+    canonical strings (column-pruned scan), then a window over digest on
+    the |groups|-sized frame — no join back to the corpus. At 10^9
+    conversations the digest frame is ~40 B/row; skewed conv sizes are the
+    input's problem, not the plan's (a single conversation's turns land in
+    one task, same bound as any per-conversation window)."""
+    us, rs = "\x1f", "\x1e"
+    row_str = F.concat_ws(
+        us, *[F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL")) for c in content_cols]
+    )
+    sort_key = F.struct(
+        *[F.col(c) for c in sort_cols], row_str.alias("_row")
+    )
+    digests = (
+        df.select(F.col(group_col).alias("group"), sort_key.alias("_k"))
+        .groupBy("group")
+        .agg(
+            F.md5(
+                F.encode(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list("_k")), lambda s: s["_row"]
+                        ),
+                        rs,
+                    ),
+                    "UTF-8",
+                )
+            ).alias("_digest")
+        )
+    )
+    w = Window.partitionBy("_digest")
+    return (
+        digests.withColumn("keep_group", F.min("group").over(w))
+        .where(F.col("group") != F.col("keep_group"))
+        .select("group", "keep_group")
+    )
+
+
 # ------------------------------------------------------------- shingles/C12
 
 
@@ -847,19 +907,16 @@ def embedding_dedup_pairs(
 # --------------------------------------------------- cluster + keep policy
 
 
-def near_dup_drop_list(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
-    """Turn near-dup PAIRS into an actionable drop list: connected components
-    by iterative min-label propagation, keep the smallest id per component
-    (first-occurrence-wins at cluster granularity — the reference's dedup
-    keeps the earliest seen, dataset/dedup.py:84-96).
+def _component_labels(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Connected components over near-dup PAIRS by iterative min-label
+    propagation: returns ``(id, label)`` for every id participating in any
+    pair, where ``label`` is the component's minimum id.
 
-    Output: (doc_id, keep_id) for every id that should be DROPPED (its
-    component's keeper differs). Label propagation converges in
-    O(component diameter) rounds — near-dup clusters are shallow (twins,
-    boilerplate families), so a handful of joins; each round's label frame is
-    persisted and the loop exits early on fixpoint. This is the documented
-    iterative/non-single-pass operator: the oracle restates it with a
-    recursive CTE."""
+    Convergence is O(component diameter) rounds — near-dup clusters are
+    shallow (twins, boilerplate families), so a handful of joins; each
+    round's label frame is persisted and the loop exits early on fixpoint.
+    The returned frame is persisted AND materialized (the convergence count
+    touched it); it is tiny — one row per doc participating in any pair."""
     edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     edges = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -897,13 +954,67 @@ def near_dup_drop_list(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     # labels is persisted AND materialized (the convergence count touched
     # it), so the edge frame is no longer needed — release it now rather
     # than leaking cached blocks in a long-lived driver. The final labels
-    # frame stays cached until the caller materializes `out` (it is tiny:
-    # one row per doc participating in any near-dup pair).
+    # frame stays cached until the caller materializes its output.
     edges.unpersist()
-    out = labels.filter(F.col("id") != F.col("label")).select(
+    return labels
+
+
+def near_dup_drop_list(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Turn near-dup PAIRS into an actionable drop list: connected components
+    (min-label propagation, :func:`_component_labels`), keep the smallest id
+    per component (first-occurrence-wins at cluster granularity — the
+    reference's dedup keeps the earliest seen, dataset/dedup.py:84-96).
+
+    Output: (doc_id, keep_id) for every id that should be DROPPED (its
+    component's keeper differs). This is the documented iterative /
+    non-single-pass operator: the oracle restates it with a recursive CTE."""
+    labels = _component_labels(pairs, max_iterations)
+    return labels.filter(F.col("id") != F.col("label")).select(
         F.col("id").alias("doc_id"), F.col("label").alias("keep_id")
     )
-    return out
+
+
+def near_dup_keep_best(
+    pairs: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Quality-ranked representative selection: within each near-dup cluster
+    keep the HIGHEST-``score`` member (ties broken by smallest id) instead of
+    the first-seen one.
+
+    First-occurrence-wins (:func:`near_dup_drop_list`) matches the
+    reference's semantics (dataset/dedup.py:84-96) but a training-data
+    pipeline usually wants the best-quality member of each duplicate family
+    retained — e.g. the longest or highest-LM-score page among boilerplate
+    twins — which no single-pass keep-first scan can express.
+
+    ``scores`` is any ``(id_col, score_col)`` frame (a quality-score query
+    output, doc length, CCNet cross-entropy negated, ...). Output:
+    ``(doc_id, keep_id)`` for every id to DROP, where ``keep_id`` is its
+    component's argmax-score member.
+
+    Scale shape: component labels are |pairs-participants|-sized (tiny next
+    to the corpus), so the score attach is a broadcast join INTO the big
+    scores frame, and the argmax runs on the labeled subset only — the
+    corpus itself is scanned once for scores and never shuffled."""
+    labels = _component_labels(pairs, max_iterations)
+    sc = scores.select(F.col(id_col).alias("id"), F.col(score_col).alias("_score"))
+    labeled = sc.join(F.broadcast(labels), "id")
+    best = labeled.groupBy("label").agg(F.max("_score").alias("_best"))
+    keep = (
+        labeled.join(best, "label")
+        .where(F.col("_score") == F.col("_best"))
+        .groupBy("label")
+        .agg(F.min("id").alias("keep_id"))
+    )
+    return (
+        labels.join(keep, "label")
+        .where(F.col("id") != F.col("keep_id"))
+        .select(F.col("id").alias("doc_id"), "keep_id")
+    )
 
 
 # ------------------------------------- cross-document line/segment dedup

@@ -1867,7 +1867,10 @@ def q_usage_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DROP_LIST_ORACLE = (
+# shared by the drop-list and keep-best oracles: shingle Jaccard pairs over
+# the augmented docs -> connected components via a recursive CTE; `reach`
+# carries (id, keep_id=component min id) for every id in any pair
+_PAIRS_COMPONENTS_CTE = (
     _AUG_DOCS_CTE
     + """
 , padded AS (
@@ -1901,8 +1904,12 @@ reach AS (
   )
   SELECT id, min(seen) AS keep_id FROM r GROUP BY id
 )
-SELECT id AS doc_id, keep_id FROM reach WHERE id <> keep_id
 """
+)
+
+_DROP_LIST_ORACLE = (
+    _PAIRS_COMPONENTS_CTE
+    + "SELECT id AS doc_id, keep_id FROM reach WHERE id <> keep_id"
 )
 
 
@@ -1913,6 +1920,40 @@ def q_near_dup_drop_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive CTE."""
     pairs = dd.ngram_jaccard_pairs(_aug_docs(spark, sf_dir), "doc_id", "text")
     return dd.near_dup_drop_list(pairs)
+
+
+_KEEP_BEST_ORACLE = (
+    _PAIRS_COMPONENTS_CTE
+    + """
+, jb AS (
+  SELECT reach.id, reach.keep_id AS label, CAST(length(a.text) AS BIGINT) AS score
+  FROM reach JOIN aug a ON a.doc_id = reach.id
+),
+best AS (SELECT label, max(score) AS b FROM jb GROUP BY 1),
+keep AS (
+  SELECT jb.label, min(jb.id) AS keep_id
+  FROM jb JOIN best ON jb.label = best.label AND jb.score = best.b
+  GROUP BY 1
+)
+SELECT jb.id AS doc_id, keep.keep_id
+FROM jb JOIN keep ON jb.label = keep.label
+WHERE jb.id <> keep.keep_id
+"""
+)
+
+
+@register("near_dup_keep_best", _KEEP_BEST_ORACLE)
+def q_near_dup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked keeper selection (operators/dedup.py
+    near_dup_keep_best): same components as near_dup_drop_list but each
+    cluster retains its HIGHEST-score member (score = text length here, ties
+    to smallest id) — on the planted twins the ' tailword'-suffixed copy
+    outranks the original, so the keeper set provably differs from
+    first-occurrence-wins."""
+    aug = _aug_docs(spark, sf_dir)
+    pairs = dd.ngram_jaccard_pairs(aug, "doc_id", "text")
+    scores = aug.select("doc_id", F.length("text").cast("bigint").alias("score"))
+    return dd.near_dup_keep_best(pairs, scores)
 
 
 # ---------------------------------------------------------------------------
@@ -3938,3 +3979,55 @@ def q_readiness_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return readiness_scorecard(
         eng, df, suite, "2024-02-01 00:00:00", max_lag_hours=24.3
     )
+
+
+# ---------------------------------------------------------------------------
+# Q: conversation-level exact dedup (group_exact_dedup over transcripts)
+# ---------------------------------------------------------------------------
+
+_CONV_DEDUP_ORACLE = (
+    ORACLE_TRANSCRIPTS_CTE
+    + """
+, aug AS (
+  SELECT conv_id, turn_idx, role, text, tool FROM transcripts
+  UNION ALL
+  SELECT conv_id || '~b' AS conv_id, turn_idx, role, text, tool
+  FROM transcripts WHERE conv_id LIKE '%7'
+),
+canon AS (
+  SELECT conv_id,
+         md5(string_agg(rs, chr(30) ORDER BY turn_idx, rs)) AS d
+  FROM (
+    SELECT conv_id, turn_idx,
+           concat_ws(chr(31),
+                     coalesce(role, chr(0) || 'NULL'),
+                     coalesce(text, chr(0) || 'NULL'),
+                     coalesce(tool, chr(0) || 'NULL')) AS rs
+    FROM aug
+  ) GROUP BY conv_id
+),
+k AS (SELECT d, min(conv_id) AS keep_conv_id FROM canon GROUP BY 1)
+SELECT c.conv_id, k.keep_conv_id
+FROM canon c JOIN k USING (d)
+WHERE c.conv_id <> k.keep_conv_id
+"""
+)
+
+
+@register("conv_exact_dedup", _CONV_DEDUP_ORACLE)
+def q_conv_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-granularity exact dedup (operators/dedup.py
+    group_exact_dedup): conversations with identical ordered turn content
+    collapse to the smallest conv_id. Planted twins: every conversation
+    whose conv_id ends in '7' is re-ingested verbatim under conv_id||'~b'
+    (built identically in both engines), so each planted clone must appear
+    exactly once in the drop list with its original as keeper."""
+    t = transcripts_from_events(spark, sf_dir)
+    aug = t.unionByName(
+        t.where(F.col("conv_id").endswith("7")).withColumn(
+            "conv_id", F.concat(F.col("conv_id"), F.lit("~b"))
+        )
+    )
+    return dd.group_exact_dedup(
+        aug, "conv_id", ["turn_idx"], ["role", "text", "tool"]
+    ).select(F.col("group").alias("conv_id"), F.col("keep_group").alias("keep_conv_id"))

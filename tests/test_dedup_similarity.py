@@ -265,6 +265,72 @@ def test_near_dup_drop_list_components(spark):
     assert out == {2: 1, 3: 1, 9: 7, 10: 4}
 
 
+def test_near_dup_keep_best_argmax_and_ties(spark):
+    """Keeper = highest score per component; score ties break to min id."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (4, 10)], "id_a int, id_b int"
+    )
+    scores = spark.createDataFrame(
+        # component {1,2,3}: 2 has top score -> keep 2
+        # component {7,9}: tie -> keep min id 7
+        # component {4,10}: 10 outranks 4 -> keep 10
+        [(1, 5), (2, 9), (3, 1), (7, 4), (9, 4), (4, 2), (10, 3), (99, 100)],
+        "doc_id int, score int",
+    )
+    out = {
+        r.doc_id: r.keep_id
+        for r in dd.near_dup_keep_best(pairs, scores).collect()
+    }
+    assert out == {1: 2, 3: 2, 9: 7, 4: 10}
+
+
+def test_group_exact_dedup_conversations(spark):
+    """Groups with identical ordered content collapse; order of input rows
+    and tie rows (duplicate sort keys) don't change the digest."""
+    rows = [
+        # conv a == conv c (same turns, c listed in scrambled physical order)
+        ("a", 0, "user", "hi", None),
+        ("a", 1, "assistant", "hello", None),
+        ("c", 1, "assistant", "hello", None),
+        ("c", 0, "user", "hi", None),
+        # conv b: same turn 0, different turn 1 -> distinct
+        ("b", 0, "user", "hi", None),
+        ("b", 1, "assistant", "hey", None),
+        # conv d == conv e, both with a duplicated (turn_idx, content) row
+        ("d", 0, "user", "x", "t1"),
+        ("d", 0, "user", "x", "t1"),
+        ("e", 0, "user", "x", "t1"),
+        ("e", 0, "user", "x", "t1"),
+        # conv f: like d but only ONE copy of the row -> multiset differs
+        ("f", 0, "user", "x", "t1"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    )
+    out = {
+        r.group: r.keep_group
+        for r in dd.group_exact_dedup(
+            df, "conv_id", ["turn_idx"], ["role", "text", "tool"]
+        ).collect()
+    }
+    assert out == {"c": "a", "e": "d"}
+
+
+def test_group_exact_dedup_null_vs_sentinel_distinct(spark):
+    """A NULL field and the literal sentinel-less empty string are different
+    contents — the canonical row string must not conflate them."""
+    df = spark.createDataFrame(
+        [("g", 0, "user", None, None), ("h", 0, "user", "", None)],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    )
+    assert (
+        dd.group_exact_dedup(
+            df, "conv_id", ["turn_idx"], ["role", "text", "tool"]
+        ).count()
+        == 0
+    )
+
+
 def test_asof_join_semantics(spark):
     import datetime as dt
 

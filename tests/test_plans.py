@@ -226,3 +226,24 @@ def test_four_way_sequence_fusion_single_exchange(spark, parquet_transcripts):
         or "InMemoryTableScan" in p
     )
     assert single_shuffle, p[:2000]
+
+
+def test_group_exact_dedup_two_exchanges(spark, parquet_transcripts):
+    """Conversation-level exact dedup is exactly two narrow shuffles: the
+    per-group digest aggregate (partial collect map-side) and the digest
+    window; nothing joins back to the corpus."""
+    import re
+
+    from prompture_spark.operators.dedup import group_exact_dedup
+
+    p = plan_of(
+        group_exact_dedup(
+            parquet_transcripts, "conv_id", ["turn_idx"], ["role", "text", "tool"]
+        )
+    )
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2, p[:2000]
+    # scan is pruned to the group/sort/content columns only
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "conv_id", "turn_idx", "role", "text", "tool"
+    }, p[:2000]
