@@ -1,0 +1,187 @@
+"""Temperature-weighted corpus mixing — the Pile/GPT-3 source-balancing step.
+
+A web-scale training corpus is assembled from sources of wildly different
+sizes (Common-Crawl-like dumps vs. curated books); training recipes sample
+source *s* proportionally to ``n_s ** alpha`` (alpha<1 flattens the mix,
+alpha=1 reproduces natural proportions — the "temperature" in the GPT-3 /
+Pile data recipes). The reference's group runner weights member outputs the
+same way for consensus (prompture/groups/consensus.py weighted votes); here
+the weighting is applied to corpus composition.
+
+Everything is engine-portable and scale-sane:
+
+* :func:`corpus_mix_plan` — one map-side-combinable ``groupBy(source)``
+  over the corpus plus a window total over the (tiny: one row per source)
+  aggregate. At 100 TB this is a single partial-agg shuffle of #sources
+  rows per task.
+* :func:`corpus_mix_sample` — broadcast-joins the plan back (the plan is
+  never more than a few hundred rows) and keeps a row iff its deterministic
+  md5 prefix (see operators/sampling.py) falls below the source's rate.
+  The comparison is string-order on lowercase hex, identical byte order in
+  Spark and DuckDB, so the sampled corpus is bit-reproducible across
+  engines and partitionings — ``df.sample``'s per-partition RNG is neither.
+* :func:`dup_rate_per_source` — per-source exact-duplicate rate
+  (1 - distinct/total over an md5 content key): the measurement that tells
+  you which sources NEED the alpha flattening. Two-level agg, both
+  map-side combinable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from prompture_spark.operators.sampling import hash_prefix
+
+_HEX_SPAN = 16**8
+
+
+def _rate_to_hex_threshold(rate):  # Column[double] -> Column[string]
+    """Per-row hex threshold from a dynamic rate column: an 8-char lowercase
+    hex string such that a uniform 32-bit hex prefix sorts below it with
+    probability ``rate``. rate>=1 maps to 'g' (sorts after every hex char,
+    i.e. +inf) because 2**32 needs 9 hex digits."""
+    scaled = F.floor(rate * F.lit(float(_HEX_SPAN))).cast("bigint")
+    return F.when(scaled >= F.lit(_HEX_SPAN), F.lit("g")).otherwise(
+        F.lpad(F.lower(F.hex(F.greatest(scaled, F.lit(0)))), 8, "0")
+    )
+
+
+def corpus_mix_plan(
+    df: DataFrame,
+    source_col: str = "source",
+    alpha: float = 0.5,
+    total_fraction: float = 0.3,
+) -> DataFrame:
+    """Per-source sampling plan: ``weight = n**alpha / sum(n**alpha)``,
+    ``epochs = weight * total_fraction * N / n`` (the uncapped repeat factor
+    a LLaMA-style recipe table reports — >1 means the source is seen more
+    than once per pass), and ``sample_rate = min(1, epochs)`` so the
+    *sampled* corpus totals ~``total_fraction * N`` rows distributed by the
+    tempered weights (upsampling beyond one epoch is a separate
+    materialization concern).
+
+    Output is one row per source — safe to collect or broadcast at any
+    corpus scale."""
+    counts = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.partitionBy()  # aggregate is #sources rows: window-total is fine
+    tempered = F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha)))
+    plan = counts.withColumn("_t", tempered).withColumn(
+        "weight", F.col("_t") / F.sum("_t").over(w)
+    ).withColumn(
+        "epochs",
+        F.col("weight") * F.lit(float(total_fraction))
+        * F.sum("n_docs").over(w) / F.col("n_docs"),
+    ).withColumn("sample_rate", F.least(F.lit(1.0), F.col("epochs")))
+    return plan.select("source", "n_docs", "weight", "epochs", "sample_rate")
+
+
+def corpus_mix_sample(
+    df: DataFrame,
+    id_col: str,
+    source_col: str = "source",
+    alpha: float = 0.5,
+    total_fraction: float = 0.3,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministically sample the corpus to the tempered mix: broadcast
+    the plan, keep a row iff ``md5(id||salt)`` prefix < the source's rate
+    threshold. Per-row filter after a broadcast hash join — no shuffle of
+    the big side, reproducible across engines and repartitionings."""
+    plan = corpus_mix_plan(df, source_col, alpha, total_fraction)
+    thresholds = F.broadcast(
+        plan.select(
+            F.col("source").alias("_mix_source"),
+            _rate_to_hex_threshold(F.col("sample_rate")).alias("_mix_thr"),
+        )
+    )
+    joined = df.join(thresholds, df[source_col] == F.col("_mix_source"), "inner")
+    return joined.filter(hash_prefix(id_col, salt) < F.col("_mix_thr")).drop(
+        "_mix_source", "_mix_thr"
+    )
+
+
+def dup_rate_per_source(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source exact-duplicate rate over an md5 content key
+    (lower+trim — the cheap normalization; full near-dup rates come from
+    the dedup operators). ``count(DISTINCT key)`` shuffles (source, key)
+    with map-side partial aggregation — the canonical two-level distinct."""
+    key = F.md5(F.trim(F.lower(F.col(text_col))))
+    return (
+        df.groupBy(F.col(source_col).alias("source"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(key).alias("n_distinct"),
+        )
+        .withColumn(
+            "dup_rate",
+            F.round(
+                (F.col("n_docs") - F.col("n_distinct"))
+                / F.col("n_docs").cast("double"),
+                6,
+            ),
+        )
+    )
+
+
+def mix_plan_sql(
+    table: str, source_col: str, alpha: float, total_fraction: float
+) -> str:
+    """DuckDB restatement of :func:`corpus_mix_plan` for oracle checks."""
+    return f"""
+WITH counts AS (
+  SELECT {source_col} AS source, count(*) AS n_docs FROM {table} GROUP BY 1
+), plan AS (
+  SELECT source, n_docs,
+         pow(n_docs, {alpha}) / sum(pow(n_docs, {alpha})) OVER () AS weight,
+         pow(n_docs, {alpha}) / sum(pow(n_docs, {alpha})) OVER ()
+         * {total_fraction} * sum(n_docs) OVER () / n_docs AS epochs
+  FROM counts
+)
+SELECT source, n_docs, weight, epochs,
+       least(1.0, epochs) AS sample_rate
+FROM plan
+"""
+
+
+def mix_sample_sql(
+    table: str,
+    id_sql: str,
+    source_col: str,
+    alpha: float,
+    total_fraction: float,
+    salt: str,
+    select: str,
+) -> str:
+    """DuckDB restatement of :func:`corpus_mix_sample`: same plan CTE, same
+    hex-threshold rendering, same md5-prefix comparison."""
+    return f"""
+WITH counts AS (
+  SELECT {source_col} AS source, count(*) AS n_docs FROM {table} GROUP BY 1
+),
+plan AS (
+  SELECT source,
+         least(1.0,
+               pow(n_docs, {alpha}) / sum(pow(n_docs, {alpha})) OVER ()
+               * {total_fraction} * sum(n_docs) OVER () / n_docs) AS sample_rate
+  FROM counts
+),
+thr AS (
+  SELECT source,
+         CASE WHEN CAST(floor(sample_rate * 4294967296) AS BIGINT) >= 4294967296
+              THEN 'g'
+              ELSE lpad(lower(to_hex(greatest(
+                     CAST(floor(sample_rate * 4294967296) AS BIGINT), 0))), 8, '0')
+         END AS mix_thr
+  FROM plan
+)
+SELECT {select}
+FROM {table} t JOIN thr ON t.{source_col} = thr.source
+WHERE substr(md5(CAST({id_sql} AS VARCHAR) || '{salt}'), 1, 8) < mix_thr
+"""

@@ -4031,3 +4031,95 @@ def q_conv_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.group_exact_dedup(
         aug, "conv_id", ["turn_idx"], ["role", "text", "tool"]
     ).select(F.col("group").alias("conv_id"), F.col("keep_group").alias("keep_conv_id"))
+
+
+# ---------------------------------------------------------------------------
+# Q: temperature-weighted corpus mixing (operators/mixing.py, round 5)
+# ---------------------------------------------------------------------------
+
+from prompture_spark.operators import mixing as mx  # noqa: E402
+
+_MIX_ALPHA, _MIX_FRAC, _MIX_SALT = 0.5, 0.3, "mix5"
+
+_MIX_PLAN_ORACLE = f"""
+WITH counts AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY 1
+), plan AS (
+  SELECT source, n_docs,
+         pow(n_docs, {_MIX_ALPHA}) / sum(pow(n_docs, {_MIX_ALPHA})) OVER () AS weight,
+         pow(n_docs, {_MIX_ALPHA}) / sum(pow(n_docs, {_MIX_ALPHA})) OVER ()
+         * {_MIX_FRAC} * sum(n_docs) OVER () / n_docs AS epochs
+  FROM counts
+)
+SELECT source, n_docs, round(weight, 6) AS weight,
+       round(epochs, 6) AS epochs,
+       round(least(1.0, epochs), 6) AS sample_rate
+FROM plan
+"""
+
+
+@register("corpus_mix_plan", _MIX_PLAN_ORACLE)
+def q_corpus_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pile/GPT-3 temperature mix plan: per-source n^alpha weights and the
+    sampling rate that hits a 30% total budget at alpha=0.5 (the weighting
+    scheme the reference applies to member votes in groups/consensus.py,
+    here applied to corpus composition). One tiny agg — plan output is one
+    row per source at any corpus scale."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = mx.corpus_mix_plan(docs, "source", _MIX_ALPHA, _MIX_FRAC)
+    return plan.select(
+        "source", "n_docs",
+        F.round("weight", 6).alias("weight"),
+        F.round("epochs", 6).alias("epochs"),
+        F.round("sample_rate", 6).alias("sample_rate"),
+    )
+
+
+_MIX_SAMPLE_ORACLE = mx.mix_sample_sql(
+    "documents", "doc_id", "source", _MIX_ALPHA, _MIX_FRAC, _MIX_SALT,
+    select="t.doc_id, t.lang, t.source",
+)
+
+
+@register("corpus_mix_docs", _MIX_SAMPLE_ORACLE)
+def q_corpus_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic tempered-mix sample: broadcast the per-source rate
+    thresholds, keep rows whose md5 prefix sorts below their source's
+    threshold — engine-portable (byte-identical in DuckDB), zero shuffle of
+    the corpus side, filter pushed below everything but the broadcast join."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mx.corpus_mix_sample(
+        docs, "doc_id", "source", _MIX_ALPHA, _MIX_FRAC, _MIX_SALT
+    ).select("doc_id", "lang", "source")
+
+
+_DUP_RATE_ORACLE = """
+WITH aug AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, source, text
+  FROM documents WHERE doc_id % 10 = 0
+)
+SELECT source, count(*) AS n_docs,
+       count(DISTINCT md5(trim(lower(text)))) AS n_distinct,
+       round((count(*) - count(DISTINCT md5(trim(lower(text)))))
+             / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+FROM aug GROUP BY source
+"""
+
+
+@register("dup_rate_per_source", _DUP_RATE_ORACLE)
+def q_dup_rate_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate rate — the measurement that motivates the
+    alpha flattening. Planted signal: every 10th doc re-ingested verbatim
+    (id+200000), built identically in both engines. Two-level distinct agg,
+    map-side combinable on (source, md5)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    aug = docs.unionByName(
+        docs.where(F.col("doc_id") % 10 == 0).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(200000)
+        )
+    )
+    return mx.dup_rate_per_source(aug, "source", "text")

@@ -1,0 +1,96 @@
+"""Temperature-weighted corpus mixing (operators/mixing.py)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from prompture_spark.operators import mixing as mx
+
+
+def _corpus(spark):
+    # three sources with very different sizes: 800 / 160 / 40
+    return spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 800, "web")
+        .when(F.col("id") < 960, "books")
+        .otherwise("code")
+        .alias("source"),
+        F.concat(F.lit("doc "), F.col("id")).alias("text"),
+    )
+
+
+def test_mix_plan_weights_and_rates(spark):
+    plan = {
+        r["source"]: r
+        for r in mx.corpus_mix_plan(_corpus(spark), "source", 0.5, 0.3).collect()
+    }
+    assert plan["web"]["n_docs"] == 800
+    t = {s: math.sqrt(plan[s]["n_docs"]) for s in plan}
+    total_t = sum(t.values())
+    for s in plan:
+        assert plan[s]["weight"] == pytest.approx(t[s] / total_t, rel=1e-9)
+        epochs = (t[s] / total_t) * 0.3 * 1000 / plan[s]["n_docs"]
+        assert plan[s]["epochs"] == pytest.approx(epochs, rel=1e-9)
+        assert plan[s]["sample_rate"] == pytest.approx(min(1.0, epochs), rel=1e-9)
+    # alpha=0.5 flattens: the small source samples at a much higher rate
+    assert plan["code"]["sample_rate"] > 3 * plan["web"]["sample_rate"]
+    # alpha=1.0 reproduces natural proportions: every rate == total_fraction
+    nat = mx.corpus_mix_plan(_corpus(spark), "source", 1.0, 0.3).collect()
+    for r in nat:
+        assert r["sample_rate"] == pytest.approx(0.3, rel=1e-9)
+
+
+def test_mix_sample_hits_rates_and_is_deterministic(spark):
+    df = _corpus(spark)
+    out = mx.corpus_mix_sample(df, "doc_id", "source", 0.5, 0.3, salt="s")
+    got = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    plan = {r["source"]: r for r in mx.corpus_mix_plan(df, "source", 0.5, 0.3).collect()}
+    for s, r in plan.items():
+        exp = r["sample_rate"] * r["n_docs"]
+        sd = math.sqrt(exp * (1 - min(1.0, r["sample_rate"])) + 1)
+        assert abs(got.get(s, 0) - exp) < 5 * sd, (s, got.get(s, 0), exp)
+    # identical kept-set under repartitioning (df.sample would reshuffle)
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in mx.corpus_mix_sample(
+            df.repartition(17), "doc_id", "source", 0.5, 0.3, salt="s"
+        ).collect()
+    )
+    assert a == b
+    # salt changes the kept-set
+    c = sorted(
+        r["doc_id"]
+        for r in mx.corpus_mix_sample(
+            df, "doc_id", "source", 0.5, 0.3, salt="t"
+        ).collect()
+    )
+    assert a != c
+
+
+def test_mix_rate_one_keeps_everything(spark):
+    df = _corpus(spark)
+    out = mx.corpus_mix_sample(df, "doc_id", "source", 0.5, 10.0, salt="s")
+    assert out.count() == df.count()  # every rate caps at 1.0 -> 'g' threshold
+
+
+def test_dup_rate_per_source(spark):
+    df = _corpus(spark)
+    # plant verbatim dups: every 4th web doc re-ingested
+    aug = df.unionByName(
+        df.where((F.col("source") == "web") & (F.col("doc_id") % 4 == 0)).withColumn(
+            "doc_id", F.col("doc_id") + 10_000
+        )
+    )
+    got = {r["source"]: r for r in mx.dup_rate_per_source(aug, "source", "text").collect()}
+    assert got["web"]["n_docs"] == 1000 and got["web"]["n_distinct"] == 800
+    assert got["web"]["dup_rate"] == pytest.approx(0.2)
+    assert got["books"]["dup_rate"] == 0.0 and got["code"]["dup_rate"] == 0.0
+
+
+def test_mix_sample_plan_is_broadcast_join(spark):
+    df = _corpus(spark)
+    plan_str = mx.corpus_mix_sample(df, "doc_id", "source", 0.5, 0.3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_str
+    assert "SortMergeJoin" not in plan_str
