@@ -1,0 +1,246 @@
+"""Incremental re-validation across table snapshots.
+
+A 10^12-turn table is re-written constantly — backfills, compactions,
+late-arriving conversations. Re-running the full constraint suite over every
+snapshot wastes almost all of its cost: the overwhelming majority of
+partitions are byte-identical to the previously validated snapshot. This
+module makes validation INCREMENTAL:
+
+* each validated run records, per partition, the order/layout-independent
+  content checksum from ``operators/reconcile.snapshot_summary`` in a
+  :class:`SnapshotRegistry` (append-only parquet, latest-wins — the same
+  storage pattern as the manifest);
+* validating snapshot v2 costs ONE summary scan of v2 (map-side partial
+  agg, |partitions| result rows) + a join against v1's registered
+  checksums + a full engine run over ONLY the changed/added partitions;
+* unchanged partitions carry their prior verdicts forward: the runner
+  pre-seeds the new run's manifest with completed rows pointing at the OLD
+  batch_uid, so ``ResumableRunner.read_violations`` serves their violation
+  rows without recomputation and the resume anti-join skips them natively.
+
+Reference parity: this is the reference's cache-key idea
+(prompture/infra/cache.py make_cache_key — identical input + identical
+config ⇒ reuse the stored result) applied at partition granularity, joined
+with its checkpoint latest-wins semantics (checkpoints/core.py save/mark).
+
+Soundness: carrying a partition's verdict forward requires every constraint
+to be PARTITION-LOCAL — true for this engine by construction, since the
+sequence constraints scope per conversation and conversations map
+functionally into partitions, and ``ResumableRunner`` already validates
+partition batches independently under the same assumption. The referential
+check additionally depends on the tool catalog, which is part of the suite
+config hash: a changed catalog changes the hash and invalidates every
+carried row automatically.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from prompture_spark.checkpoints.manifest import (
+    ManifestStore,
+    ResumableRunner,
+    suite_config_hash,
+)
+from prompture_spark.operators.reconcile import snapshot_summary
+from prompture_spark.plans.spec import ValidationSuite
+
+REGISTRY_DDL = (
+    "run_config_hash string, partition_id int, n_rows long, "
+    "checksum string, updated_at timestamp"
+)
+
+
+class SnapshotRegistry:
+    """Per-(run_config_hash, partition) content checksums of validated
+    snapshots. Append-only parquet, latest row wins — identical durability
+    story to the manifest (atomic at file granularity)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def read(self, run_config_hash: str) -> DataFrame:
+        if not os.path.exists(self.path):
+            return self.spark.createDataFrame([], REGISTRY_DDL).select(
+                "partition_id", "n_rows", "checksum"
+            )
+        raw = self.spark.read.option("mergeSchema", "true").parquet(self.path)
+        w = Window.partitionBy("run_config_hash", "partition_id").orderBy(
+            F.desc("updated_at")
+        )
+        return (
+            raw.filter(F.col("run_config_hash") == run_config_hash)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("partition_id", "n_rows", "checksum")
+        )
+
+    def register(self, run_config_hash: str, summary: DataFrame) -> None:
+        """Persist a snapshot summary (``part``, ``n_rows``, ``checksum``
+        as produced by ``snapshot_summary``) under a run config hash."""
+        (
+            summary.select(
+                F.lit(run_config_hash).alias("run_config_hash"),
+                F.col("part").cast("int").alias("partition_id"),
+                F.col("n_rows").cast("long"),
+                # snapshot_summary emits the decimal digest-sum rendered as a
+                # string; keep that rendering so registry rows round-trip
+                # through collect/createDataFrame without decimal coercion
+                F.col("checksum").cast("string"),
+            )
+            .withColumn("updated_at", F.current_timestamp())
+            .write.mode("append")
+            .parquet(self.path)
+        )
+
+
+class IncrementalRunner(ResumableRunner):
+    """Validate a new snapshot by re-running the engine only where content
+    changed since the last validated snapshot of the same suite."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        manifest: ManifestStore,
+        registry: SnapshotRegistry,
+        violations_sink: str,
+    ):
+        super().__init__(spark, manifest, violations_sink)
+        self.registry = registry
+
+    def run_incremental(
+        self,
+        new_df: DataFrame,
+        suite: ValidationSuite,
+        prev_input_ref: str,
+        input_ref: str,
+        content_cols: list[str],
+        run_id: str | None = None,
+        batch_size: int = 4,
+    ) -> dict:
+        """Incrementally validate ``new_df`` (snapshot ``input_ref``) against
+        the registered checksums of ``prev_input_ref``.
+
+        Cost: one summary scan of the new snapshot, a |partitions|-row join,
+        a full engine run over changed/added partitions only, plus manifest/
+        registry appends. Returns the ``ResumableRunner.run`` summary dict
+        extended with ``partitions_carried`` / ``partitions_changed`` /
+        ``partitions_added`` / ``partitions_removed``.
+        """
+        cfg_prev = suite_config_hash(suite, prev_input_ref)
+        cfg_new = suite_config_hash(suite, input_ref)
+        part_col = suite.partition_col
+
+        new_sum = snapshot_summary(new_df, part_col, content_cols)
+        prev = self.registry.read(cfg_prev).withColumnRenamed("partition_id", "part")
+        # |partitions| rows — collected ONCE; classification and the final
+        # registry append both reuse this collect so the new snapshot is
+        # summary-scanned exactly one time.
+        j = new_sum.join(
+            prev.select(
+                "part",
+                F.col("n_rows").alias("_prev_rows"),
+                F.col("checksum").alias("_prev_sum"),
+            ),
+            "part",
+            "full_outer",
+        ).collect()
+
+        carried, changed, added, removed = [], [], [], []
+        for r in j:
+            if r["n_rows"] is None:
+                removed.append(r["part"])
+            elif r["_prev_rows"] is None:
+                added.append(r["part"])
+            elif r["n_rows"] == r["_prev_rows"] and r["checksum"] == r["_prev_sum"]:
+                carried.append(r["part"])
+            else:
+                changed.append(r["part"])
+
+        # Carry-forward: pre-seed the NEW run's manifest with the previous
+        # run's completed rows for unchanged partitions, keeping the OLD
+        # batch_uid so read_violations(cfg_new) serves their committed
+        # violation rows untouched. The resume anti-join then sees them as
+        # done and the engine never touches their data.
+        if carried:
+            prev_rows = {
+                r.partition_id: r
+                for r in self.manifest.read()
+                .filter(
+                    (F.col("run_config_hash") == cfg_prev)
+                    & (F.col("status") == "completed")
+                    & F.col("partition_id").isin(carried)
+                )
+                .collect()
+            }
+            missing = sorted(set(carried) - set(prev_rows))
+            if missing:
+                # unchanged content but no completed prior validation —
+                # must validate, silently carrying would skip real work
+                changed.extend(missing)
+                carried = [p for p in carried if p not in set(missing)]
+            if carried:
+                self.manifest.append(
+                    [
+                        {
+                            "run_id": (run_id or "incr") + "-carry",
+                            "run_config_hash": cfg_new,
+                            "partition_id": p,
+                            "status": "completed",
+                            "rows_checked": prev_rows[p].rows_checked,
+                            "violations": prev_rows[p].violations,
+                            "elapsed_ms": 0.0,
+                            "batch_uid": prev_rows[p].batch_uid,
+                        }
+                        for p in carried
+                    ]
+                )
+
+        summary = self.run(
+            new_df, suite, input_ref, run_id=run_id, batch_size=batch_size
+        )
+        # register the new snapshot's checksums from the collected summary
+        # rows — no second scan of the snapshot
+        self.registry.register(
+            cfg_new,
+            self.spark.createDataFrame(
+                [
+                    (r["part"], r["n_rows"], r["checksum"])
+                    for r in j
+                    if r["n_rows"] is not None
+                ],
+                "part int, n_rows long, checksum string",
+            ),
+        )
+        summary.update(
+            {
+                "partitions_carried": sorted(carried),
+                "partitions_changed": sorted(changed),
+                "partitions_added": sorted(added),
+                "partitions_removed": sorted(removed),
+            }
+        )
+        return summary
+
+    def run_full_and_register(
+        self,
+        df: DataFrame,
+        suite: ValidationSuite,
+        input_ref: str,
+        content_cols: list[str],
+        run_id: str | None = None,
+        batch_size: int = 4,
+    ) -> dict:
+        """Baseline full run that also registers the snapshot's checksums —
+        the starting point every incremental chain grows from."""
+        summary = self.run(df, suite, input_ref, run_id=run_id, batch_size=batch_size)
+        cfg = suite_config_hash(suite, input_ref)
+        self.registry.register(
+            cfg, snapshot_summary(df, suite.partition_col, content_cols)
+        )
+        return summary

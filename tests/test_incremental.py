@@ -1,0 +1,146 @@
+"""Incremental re-validation (checkpoints/incremental.py): a new snapshot
+re-runs the engine only over partitions whose content checksum changed;
+unchanged partitions carry their committed verdicts/violations forward."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from prompture_spark.checkpoints.incremental import (
+    IncrementalRunner,
+    SnapshotRegistry,
+)
+from prompture_spark.checkpoints.manifest import ManifestStore, suite_config_hash
+from prompture_spark.operators.engine import ValidationEngine
+from prompture_spark.plans.spec import default_transcript_suite
+from prompture_spark.sources.transcripts import generate_transcripts
+
+CONTENT = ["conv_id", "turn_idx", "role", "text", "tool"]
+
+
+@pytest.fixture()
+def runner(spark, tmp_path):
+    return IncrementalRunner(
+        spark,
+        ManifestStore(spark, str(tmp_path / "manifest")),
+        SnapshotRegistry(spark, str(tmp_path / "registry")),
+        str(tmp_path / "violations"),
+    )
+
+
+def _v1(spark):
+    return generate_transcripts(spark, 20000, n_convs=400, seed=11, n_parts=8)
+
+
+def _v2(spark):
+    # partition 3: inject a NEW role_enum violation (changed content);
+    # partition 5: drop entirely (removed); everything else byte-identical
+    v1 = _v1(spark)
+    return v1.where(F.col("part_id") != 5).withColumn(
+        "role",
+        F.when(
+            (F.col("part_id") == 3) & (F.col("turn_idx") == 0),
+            F.lit("not_a_role"),
+        ).otherwise(F.col("role")),
+    )
+
+
+def test_incremental_runs_only_changed_partitions(spark, runner):
+    suite = default_transcript_suite()
+    runner.run_full_and_register(_v1(spark), suite, "v1", CONTENT, run_id="full1")
+
+    summary = runner.run_incremental(
+        _v2(spark), suite, "v1", "v2", CONTENT, run_id="incr1"
+    )
+    assert summary["partitions_changed"] == [3]
+    assert summary["partitions_removed"] == [5]
+    assert summary["partitions_added"] == []
+    assert sorted(summary["partitions_carried"]) == [0, 1, 2, 4, 6, 7]
+    # the engine actually executed ONLY partition 3
+    assert summary["partitions_run"] == [3]
+    assert sorted(summary["partitions_skipped"]) == [0, 1, 2, 4, 6, 7]
+
+
+def test_incremental_violations_equal_full_recompute(spark, runner):
+    suite = default_transcript_suite()
+    runner.run_full_and_register(_v1(spark), suite, "v1", CONTENT, run_id="full1")
+    runner.run_incremental(_v2(spark), suite, "v1", "v2", CONTENT, run_id="incr1")
+
+    got = runner.read_violations(suite_config_hash(suite, "v2"))
+    expected = ValidationEngine(spark).validate(_v2(spark), suite).violations
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+    # the injected defect in the changed partition was caught
+    assert (
+        got.where(
+            (F.col("part_id") == 3) & (F.col("constraint_id") == "role_enum")
+        ).count()
+        > 0
+    )
+
+
+def test_identical_snapshot_carries_everything(spark, runner):
+    suite = default_transcript_suite()
+    runner.run_full_and_register(_v1(spark), suite, "v1", CONTENT, run_id="full1")
+    summary = runner.run_incremental(
+        _v1(spark), suite, "v1", "v1b", CONTENT, run_id="incr1"
+    )
+    assert summary["partitions_run"] == []
+    assert len(summary["partitions_carried"]) == 8
+    # carried violations still readable under the new config hash
+    got = runner.read_violations(suite_config_hash(suite, "v1b"))
+    expected = runner.read_violations(suite_config_hash(suite, "v1"))
+    assert got.count() == expected.count() > 0
+
+
+def test_registered_but_never_validated_partition_is_revalidated(spark, runner):
+    """Checksum equality alone must not carry a partition whose prior
+    validation never completed (crash before its batch committed)."""
+    from prompture_spark.operators.reconcile import snapshot_summary
+
+    suite = default_transcript_suite()
+    v1 = _v1(spark)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        runner.run(v1, suite, "v1", run_id="crash1", batch_size=3,
+                   fail_after_batches=1)
+    # register checksums for ALL partitions despite the partial run
+    runner.registry.register(
+        suite_config_hash(suite, "v1"),
+        snapshot_summary(v1, suite.partition_col, CONTENT),
+    )
+
+    summary = runner.run_incremental(v1, suite, "v1", "v2", CONTENT, run_id="incr1")
+    # 3 completed partitions carry; the 5 uncommitted ones re-validate even
+    # though their checksums match
+    assert len(summary["partitions_carried"]) == 3
+    assert len(summary["partitions_run"]) == 5
+    got = runner.read_violations(suite_config_hash(suite, "v2"))
+    expected = ValidationEngine(spark).validate(v1, suite).violations
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
+
+
+def test_incremental_chain_v1_v2_v3(spark, runner):
+    """Chained snapshots: v3 diffs against v2's registered checksums."""
+    suite = default_transcript_suite()
+    v2 = _v2(spark)
+    runner.run_full_and_register(_v1(spark), suite, "v1", CONTENT, run_id="f1")
+    runner.run_incremental(v2, suite, "v1", "v2", CONTENT, run_id="i1")
+
+    v3 = v2.withColumn(
+        "text",
+        F.when(
+            (F.col("part_id") == 6) & (F.col("turn_idx") == 1),
+            F.concat(F.col("text"), F.lit(" edited")),
+        ).otherwise(F.col("text")),
+    )
+    summary = runner.run_incremental(v3, suite, "v2", "v3", CONTENT, run_id="i2")
+    assert summary["partitions_changed"] == [6]
+    assert summary["partitions_run"] == [6]
+    assert sorted(summary["partitions_carried"]) == [0, 1, 2, 3, 4, 7]
+    got = runner.read_violations(suite_config_hash(suite, "v3"))
+    expected = ValidationEngine(spark).validate(v3, suite).violations
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0

@@ -66,3 +66,49 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
     assert summary["failed_cells"] > 0
     for sub in ("violations", "verdicts", "stats", "drift"):
         assert os.path.isdir(os.path.join(out_dir, sub))
+
+
+@pytest.mark.skipif(
+    not os.path.exists(SPARK_SUBMIT), reason="spark-submit not installed"
+)
+def test_spark_submit_incremental_chain(tmp_path):
+    """Deployed incremental mode: a full seeding run, then a re-validation
+    of the identical snapshot under a new ref — every partition carried,
+    zero engine work, violations still served."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import make_pyfiles
+
+    zip_path = make_pyfiles.build(str(tmp_path / "prompture_spark.zip"))
+    state = str(tmp_path / "state")
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+
+    def submit(*extra):
+        proc = subprocess.run(
+            [
+                SPARK_SUBMIT,
+                "--master", "local[4]",
+                "--conf", "spark.sql.shuffle.partitions=8",
+                "--conf", "spark.ui.enabled=false",
+                "--py-files", zip_path,
+                os.path.join(REPO, "tools", "run_validation.py"),
+                "--input", "/root/testdata/sf0.001",
+                "--output", str(tmp_path / "unused"),
+                "--state-dir", state,
+                *extra,
+            ],
+            cwd=str(tmp_path),
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=280,
+        )
+        assert proc.returncode == 0, proc.stderr[-4000:]
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    full = submit("--input-ref", "snap1")
+    assert full["partitions_run"] == 8 and full["violations"] > 0
+
+    incr = submit("--input-ref", "snap2", "--prev-ref", "snap1")
+    assert incr["partitions_run"] == 0
+    assert incr["partitions_carried"] == 8
+    assert incr["violations"] == full["violations"]

@@ -24,6 +24,15 @@ SQL); any other existing path is read as parquet; anything else is read as
 a catalog (Iceberg) table. Either way the frame must carry the transcript
 schema ``(conv_id, turn_idx, role, text, tool, ts, part_id)`` — events
 inputs are derived into it.
+
+Incremental mode: pass ``--state-dir`` (persistent manifest + snapshot
+registry + committed violations) and ``--input-ref`` (the snapshot's
+identity, e.g. an Iceberg snapshot id). With ``--prev-ref`` the run
+re-validates ONLY partitions whose content checksum changed since the
+registered previous snapshot, carrying every other partition's committed
+verdicts forward (checkpoints/incremental.py); without it the run is the
+full baseline that seeds the registry. Repeated nightly invocations form a
+chain: each run's --input-ref becomes the next run's --prev-ref.
 """
 
 from __future__ import annotations
@@ -41,7 +50,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--output", required=True, help="output directory for result tables")
     ap.add_argument("--exact-stats", action="store_true", help="exact distinct/quantiles (default: HLL + approx)")
     ap.add_argument("--drift-dim", default="role", help="categorical column for PSI drift")
+    ap.add_argument("--state-dir", help="incremental mode: manifest/registry/violations state directory")
+    ap.add_argument("--input-ref", help="incremental mode: identity of this snapshot (e.g. Iceberg snapshot id)")
+    ap.add_argument("--prev-ref", help="incremental mode: identity of the previously validated snapshot")
     args = ap.parse_args(argv)
+    if args.state_dir and not args.input_ref:
+        ap.error("--state-dir requires --input-ref")
 
     from pyspark.sql import SparkSession
 
@@ -67,6 +81,49 @@ def main(argv: list[str] | None = None) -> int:
             df = spark.sql(TRANSCRIPTS_FROM_EVENTS_SQL)
 
     suite = default_transcript_suite()
+
+    if args.state_dir:
+        from prompture_spark.checkpoints.incremental import (
+            IncrementalRunner,
+            SnapshotRegistry,
+        )
+        from prompture_spark.checkpoints.manifest import (
+            ManifestStore,
+            suite_config_hash,
+        )
+
+        content = ["conv_id", "turn_idx", "role", "text", "tool"]
+        runner = IncrementalRunner(
+            spark,
+            ManifestStore(spark, os.path.join(args.state_dir, "manifest")),
+            SnapshotRegistry(spark, os.path.join(args.state_dir, "registry")),
+            os.path.join(args.state_dir, "violations"),
+        )
+        if args.prev_ref:
+            s = runner.run_incremental(
+                df, suite, args.prev_ref, args.input_ref, content
+            )
+        else:
+            s = runner.run_full_and_register(df, suite, args.input_ref, content)
+        n_violations = runner.read_violations(
+            suite_config_hash(suite, args.input_ref)
+        ).count()
+        summary = {
+            "input": args.input,
+            "input_ref": args.input_ref,
+            "prev_ref": args.prev_ref,
+            "suite": suite.name,
+            "violations": n_violations,
+            "partitions_run": len(s["partitions_run"]),
+            "partitions_carried": len(s.get("partitions_carried", [])),
+            "partitions_added": len(s.get("partitions_added", [])),
+            "partitions_removed": len(s.get("partitions_removed", [])),
+            "wall_s": round(time.monotonic() - t0, 3),
+        }
+        print(json.dumps(summary))
+        spark.stop()
+        return 0
+
     eng = ValidationEngine(spark)
     res = eng.validate_full(df, suite, exact_stats=args.exact_stats, drift_dim=args.drift_dim)
 
