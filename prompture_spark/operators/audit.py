@@ -1,0 +1,149 @@
+"""Sampled audit validation — statistical defect bounds without full compute.
+
+At 10^12 turns, some validation questions don't need exact answers: "is the
+role_enum defect rate still ~0.1%, yes or no?" is a monitoring question, and
+answering it on a deterministic sample with a confidence interval costs a
+fraction of the full run. This module runs the suite's ROW constraints over
+a hash-thresholded sample (the reproducible sampler from
+``operators/sampling.py`` — same row in the sample on every run and every
+engine) and emits, per constraint: sample size, failures, failure rate, a
+Wilson 95% score interval, and the rate-scaled estimate of total violations.
+
+Reference parity: the reference validates one extraction at a time and has
+no sampling story; this is the distributed-monitoring extension of its
+per-field pass/fail core (prompture/extraction/validator.py) the way Deequ
+pairs analyzers with sampling.
+
+Scale honesty (what sampling does and does not buy):
+
+* ROW-mode (hash of a stable row key): prunes NO scan I/O — every row is
+  read to be hashed. What it cuts, by the sampling fraction, is everything
+  downstream of the scan: constraint CPU (regex batteries, Arrow UDF
+  batches) and any shuffle. Column pruning still applies (the scan reads
+  only constraint-input columns).
+* PARTITION-mode (hash of the partition column): the predicate involves
+  only the partition column, so on a table physically partitioned by it
+  Catalyst turns it into a PartitionFilter — entire partitions are never
+  read. This is the mode that cuts real I/O at 100 TB; its estimates are
+  clustered (design effect: partition-level homogeneity widens true
+  uncertainty versus a row sample of equal size), which is why both modes
+  exist.
+
+The Wilson interval is computed with the same expression structure the
+DuckDB oracle uses, so estimates agree to the comparator's 9 significant
+digits. With fraction=1.0 the sample is the whole table and ``n_failed``
+equals the exact per-constraint violation counts (pinned in
+tests/test_audit.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from prompture_spark.operators.sampling import _hex_threshold, hash_prefix
+from prompture_spark.plans.compiler import fail_flags
+from prompture_spark.plans.spec import RowConstraint
+
+# z for a 95% two-sided normal interval; spelled to full double precision so
+# Spark and the oracle fold the identical literal
+Z95 = 1.959963984540054
+
+
+def audit_row_constraints(
+    df: DataFrame,
+    constraints: tuple[RowConstraint, ...],
+    id_cols: list[str],
+    fraction: float,
+    salt: str = "",
+    z: float = Z95,
+    part_col: str | None = None,
+) -> DataFrame:
+    """Per-constraint defect estimates from a deterministic sample.
+
+    Returns one row per constraint:
+    ``(constraint_id, n_sampled, n_failed, fail_rate, wilson_lo, wilson_hi,
+    n_total, est_total_violations)``.
+
+    ``part_col=None`` samples rows by ``md5(concat_ws('|', *id_cols))``;
+    passing a partition column samples whole partitions by the hash of the
+    partition value instead (partition-prunable predicate, see module doc).
+
+    Plan: one aggregate over the sampled scan (all fail flags in one
+    projection — map-side partial agg, 1 result row), unpivoted with
+    ``stack`` to |constraints| rows, plus a broadcast 1-row count of the
+    full table (a count-only scan: no data columns). Fully lazy.
+    """
+    if not constraints:
+        raise ValueError("audit requires at least one row constraint")
+    key = (
+        F.col(part_col).cast("string")
+        if part_col
+        else F.concat_ws("|", *[F.col(c).cast("string") for c in id_cols])
+    )
+    sampled = df.filter(hash_prefix(key, salt) < F.lit(_hex_threshold(fraction)))
+
+    flags = fail_flags(constraints)
+    agg = sampled.agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        *[
+            F.sum(flag).alias(f"_f_{i}")
+            for i, flag in enumerate(flags)
+        ],
+    )
+    stack_args = ", ".join(
+        f"'{c.constraint_id}', _f_{i}" for i, c in enumerate(constraints)
+    )
+    per = agg.select(
+        "n_sampled",
+        F.expr(
+            f"stack({len(constraints)}, {stack_args}) AS (constraint_id, n_failed)"
+        ),
+    ).crossJoin(
+        F.broadcast(df.agg(F.count(F.lit(1)).alias("n_total")))
+    )
+
+    n = F.col("n_sampled").cast("double")
+    p = F.col("n_failed").cast("double") / n
+    denom = F.lit(1.0) + F.lit(z) * F.lit(z) / n
+    center = (p + F.lit(z) * F.lit(z) / (F.lit(2.0) * n)) / denom
+    half = (
+        F.lit(z)
+        * F.sqrt((p * (F.lit(1.0) - p) + F.lit(z) * F.lit(z) / (F.lit(4.0) * n)) / n)
+        / denom
+    )
+    return per.select(
+        "constraint_id",
+        "n_sampled",
+        F.coalesce(F.col("n_failed"), F.lit(0)).alias("n_failed"),
+        F.when(F.col("n_sampled") > 0, p).alias("fail_rate"),
+        F.when(F.col("n_sampled") > 0, F.greatest(center - half, F.lit(0.0))).alias(
+            "wilson_lo"
+        ),
+        F.when(F.col("n_sampled") > 0, F.least(center + half, F.lit(1.0))).alias(
+            "wilson_hi"
+        ),
+        "n_total",
+        F.when(F.col("n_sampled") > 0, p * F.col("n_total").cast("double")).alias(
+            "est_total_violations"
+        ),
+    )
+
+
+def audit_wilson_sql(z: float = Z95) -> dict[str, str]:
+    """SQL fragments (DuckDB + Spark compatible) for the Wilson interval over
+    columns ``n_sampled``/``n_failed`` — the same expression structure as the
+    Column version so both engines agree to 9 significant digits."""
+    n = "CAST(n_sampled AS DOUBLE)"
+    p = f"(CAST(n_failed AS DOUBLE) / {n})"
+    denom = f"(1.0 + {z!r} * {z!r} / {n})"
+    center = f"(({p} + {z!r} * {z!r} / (2.0 * {n})) / {denom})"
+    half = (
+        f"({z!r} * sqrt(({p} * (1.0 - {p}) + {z!r} * {z!r} / (4.0 * {n})) / {n})"
+        f" / {denom})"
+    )
+    return {
+        "fail_rate": p,
+        "wilson_lo": f"greatest({center} - {half}, 0.0)",
+        "wilson_hi": f"least({center} + {half}, 1.0)",
+    }

@@ -4123,3 +4123,76 @@ def q_dup_rate_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return mx.dup_rate_per_source(aug, "source", "text")
+
+
+# ---------------------------------------------------------------------------
+# Q: sampled audit validation — Wilson-bounded defect estimates
+# ---------------------------------------------------------------------------
+
+from prompture_spark.operators import audit as aud  # noqa: E402
+
+
+def _audit_oracle(where: str) -> str:
+    """Oracle for audit_row_constraints: replay the deterministic sample
+    predicate, the per-constraint failure sums, and the identical Wilson
+    expression structure (audit_wilson_sql) over the transcripts CTE."""
+    w = aud.audit_wilson_sql()
+    fails = ",\n       ".join(
+        f"sum(CASE WHEN {fail} THEN 1 ELSE 0 END) AS f_{i}"
+        for i, (fail, _) in enumerate(ROW_FAIL_SQL.values())
+    )
+    branches = "\nUNION ALL\n".join(
+        f"SELECT '{cid}' AS constraint_id, n_sampled, f_{i} AS n_failed FROM agg"
+        for i, cid in enumerate(ROW_FAIL_SQL)
+    )
+    return f"""
+, s AS (SELECT * FROM transcripts WHERE {where})
+, agg AS (SELECT count(*) AS n_sampled,
+       {fails}
+  FROM s)
+, tot AS (SELECT count(*) AS n_total FROM transcripts)
+, per AS ({branches})
+SELECT constraint_id, n_sampled, n_failed,
+       {w["fail_rate"]} AS fail_rate,
+       {w["wilson_lo"]} AS wilson_lo,
+       {w["wilson_hi"]} AS wilson_hi,
+       n_total,
+       ({w["fail_rate"]}) * CAST(n_total AS DOUBLE) AS est_total_violations
+FROM per CROSS JOIN tot
+"""
+
+
+_AUDIT_ROW_WHERE = (
+    "substr(md5(concat_ws('|', CAST(conv_id AS STRING), CAST(turn_idx AS STRING))"
+    " || 'audit1'), 1, 8) < '33333333'"
+)
+_AUDIT_PART_WHERE = (
+    "substr(md5(CAST(part_id AS STRING) || 'partaudit'), 1, 8) < '80000000'"
+)
+
+
+@register("audit_sample_stats", ORACLE_TRANSCRIPTS_CTE + _audit_oracle(_AUDIT_ROW_WHERE))
+def q_audit_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-mode audit: the full row-constraint battery on a deterministic
+    20% hash sample, emitting Wilson 95% defect-rate intervals and the
+    rate-scaled total-violation estimate per constraint. One aggregate over
+    the sampled scan (all flags in one projection, map-side partial agg) +
+    a broadcast 1-row full count — no shuffle wider than |constraints|."""
+    eng, df, suite = _suite(spark, sf_dir)
+    return aud.audit_row_constraints(
+        df, suite.row_constraints, ["conv_id", "turn_idx"], 0.2, salt="audit1"
+    )
+
+
+@register(
+    "audit_partition_stats", ORACLE_TRANSCRIPTS_CTE + _audit_oracle(_AUDIT_PART_WHERE)
+)
+def q_audit_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-mode audit: sample whole partitions by hashing the
+    partition value — on a physically partitioned table the predicate is a
+    PartitionFilter, so unsampled partitions are never read (the mode that
+    prunes real I/O at 100 TB; estimates are clustered, see operators/audit.py)."""
+    eng, df, suite = _suite(spark, sf_dir)
+    return aud.audit_row_constraints(
+        df, suite.row_constraints, [], 0.5, salt="partaudit", part_col="part_id"
+    )

@@ -1,0 +1,145 @@
+"""Sampled-audit operator tests (operators/audit.py).
+
+Pins the statistical contract: at fraction=1.0 the audit's per-constraint
+``n_failed`` equals the exact row-violation counts from the engine (the
+reference's per-field pass/fail core, prompture/extraction/validator.py,
+counted instead of enumerated); at fractional rates the sample is
+deterministic, the Wilson interval brackets the true rate, and the
+partition-mode predicate only involves the partition column.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from prompture_spark import ValidationEngine
+from prompture_spark.model import TRANSCRIPT_SCHEMA
+from prompture_spark.operators.audit import audit_row_constraints
+from prompture_spark.plans.spec import default_transcript_suite
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 10, minute % 60, 0)
+
+
+@pytest.fixture(scope="module")
+def seeded(spark):
+    """200 rows, deterministic defects: every 10th row bad role, every 25th
+    empty text, every 40th tool-on-user."""
+    rows = []
+    for i in range(200):
+        conv = f"conv-{i // 4:08d}"
+        role = "bot" if i % 10 == 0 else ("user" if i % 2 == 0 else "assistant")
+        text = "" if i % 25 == 0 else f"turn {i}"
+        tool = "click" if i % 40 == 0 else None
+        rows.append((conv, i % 4, role, text, tool, _ts(i), (i // 4) % 4))
+    return spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+
+
+def test_fraction_one_matches_exact_counts(spark, seeded):
+    suite = default_transcript_suite()
+    eng = ValidationEngine(spark)
+    exact = {
+        r.constraint_id: r.n
+        for r in eng.row_violations(seeded, suite)
+        .groupBy("constraint_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    audited = audit_row_constraints(
+        seeded, suite.row_constraints, ["conv_id", "turn_idx"], 1.0
+    ).collect()
+    assert len(audited) == len(suite.row_constraints)
+    for r in audited:
+        assert r.n_failed == exact.get(r.constraint_id, 0), r.constraint_id
+        assert r.n_sampled == 200
+        assert r.n_total == 200
+        # at full sample the estimate IS the count
+        assert r.est_total_violations == pytest.approx(r.n_failed)
+        # Wilson interval brackets the observed rate and stays in [0, 1]
+        # (1e-12 slack: at p=0 center-half is analytically 0 but leaves
+        # ~1e-18 of fp residue; both engines share the expression, so the
+        # oracle comparison is unaffected)
+        assert 0.0 <= r.wilson_lo <= r.fail_rate + 1e-12
+        assert r.fail_rate <= r.wilson_hi <= 1.0
+
+
+def test_sample_is_deterministic_and_proper_subset(spark, seeded):
+    suite = default_transcript_suite()
+    a = audit_row_constraints(
+        seeded, suite.row_constraints, ["conv_id", "turn_idx"], 0.3, salt="s1"
+    ).collect()
+    b = audit_row_constraints(
+        seeded, suite.row_constraints, ["conv_id", "turn_idx"], 0.3, salt="s1"
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    n = a[0].n_sampled
+    assert 0 < n < 200  # a real subset, roughly 30%
+    assert 30 <= n <= 90
+
+
+def test_wilson_covers_true_rate_at_half_sample(spark, seeded):
+    """role_enum true rate is 20/200 = 0.10; a 50% hash sample's Wilson 95%
+    interval must bracket it (seeded fixture, fixed salt — deterministic)."""
+    suite = default_transcript_suite()
+    rows = {
+        r.constraint_id: r
+        for r in audit_row_constraints(
+            seeded, suite.row_constraints, ["conv_id", "turn_idx"], 0.5, salt="cov"
+        ).collect()
+    }
+    r = rows["role_enum"]
+    assert r.wilson_lo <= 0.10 <= r.wilson_hi
+    # estimate scales the sampled rate to the full table
+    assert r.est_total_violations == pytest.approx(r.fail_rate * 200)
+
+
+def test_partition_mode_predicate_prunes_on_part_col(spark, seeded):
+    """Partition-mode sampling keeps whole part_id groups: every sampled
+    partition contributes all of its rows, none are split."""
+    suite = default_transcript_suite()
+    out = audit_row_constraints(
+        seeded, suite.row_constraints, [], 0.5, salt="p", part_col="part_id"
+    ).collect()
+    n = out[0].n_sampled
+    sizes = {
+        r.part_id: r.n
+        for r in seeded.groupBy("part_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # n_sampled must be a sum of whole-partition sizes
+    import itertools
+
+    possible = {
+        sum(c)
+        for k in range(len(sizes) + 1)
+        for c in itertools.combinations(sizes.values(), k)
+    }
+    assert n in possible and 0 < n < 200
+    # and the filter in the plan only references the partition column
+    plan = audit_row_constraints(
+        seeded, suite.row_constraints, [], 0.5, salt="p", part_col="part_id"
+    )._jdf.queryExecution().optimizedPlan().toString()
+    filt = [ln for ln in plan.splitlines() if "Filter" in ln]
+    assert filt and all("part_id" in ln for ln in filt)
+    assert not any("conv_id" in ln for ln in filt)
+
+
+def test_empty_sample_yields_null_estimates(spark, seeded):
+    suite = default_transcript_suite()
+    out = audit_row_constraints(
+        seeded, suite.row_constraints, ["conv_id", "turn_idx"], 0.0
+    ).collect()
+    for r in out:
+        assert r.n_sampled == 0
+        assert r.n_failed == 0
+        assert r.fail_rate is None and r.wilson_lo is None and r.wilson_hi is None
+        assert r.est_total_violations is None
+        assert r.n_total == 200
+
+
+def test_requires_constraints(spark, seeded):
+    with pytest.raises(ValueError):
+        audit_row_constraints(seeded, (), ["conv_id"], 0.5)

@@ -1,0 +1,122 @@
+"""Measure incremental re-validation vs full validation at bench scale.
+
+The claim under test (checkpoints/incremental.py): validating a new
+snapshot costs ONE cheap summary scan plus an engine run over ONLY the
+changed partitions, so at a nightly ~1/8-of-partitions churn the job should
+run at a small fraction of the full-validation wall time, and at zero churn
+it should collapse to the summary-scan + bookkeeping floor.
+
+Protocol (mirrors tools/scaling_bench.py conventions): the 20M-turn skewed
+transcript table from the standard bench (reused from
+/tmp/prompture_bench if present), shuffle_partitions=64,
+maxPartitionBytes=16m, cold timed phases in one session. Three timed
+phases, each with a hard correctness gate inside the timed region:
+
+  full   run_full_and_register of v1      (seeds manifest+registry)
+  incr   run_incremental v1->v2 where v2 edits ~2% of texts in ONE of the
+         8 part_id partitions (gate: exactly [3] re-validated, 7 carried)
+  noop   run_incremental v2->v3 with v3 == v2 (gate: zero re-validated)
+
+Prints one JSON line: wall seconds per phase + the incremental/full and
+floor/full ratios. Run AFTER any scaling campaign finishes — concurrent
+load poisons the ratios just like it poisons the scaling draws.
+
+Usage: python tools/incremental_bench.py [master] [n_turns]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+
+def main() -> None:
+    master = sys.argv[1] if len(sys.argv) > 1 else "local[32]"
+    n_turns = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000_000
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from pyspark.sql import functions as F
+
+    from prompture_spark import get_spark
+    from prompture_spark.checkpoints.incremental import (
+        IncrementalRunner,
+        SnapshotRegistry,
+    )
+    from prompture_spark.checkpoints.manifest import ManifestStore
+    from prompture_spark.plans.spec import default_transcript_suite
+    from prompture_spark.sources.transcripts import generate_transcripts
+
+    spark = get_spark(
+        app_name=f"incr-bench-{master}",
+        master=master,
+        shuffle_partitions=64,
+        extra_conf={"spark.sql.files.maxPartitionBytes": "16m"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    path = f"/tmp/prompture_bench/turns_{n_turns}"
+    if not os.path.exists(path):
+        generate_transcripts(spark, n_turns, seed=42, skew=True).repartition(
+            128
+        ).write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    content = ["conv_id", "turn_idx", "role", "text", "tool"]
+    suite = default_transcript_suite()
+
+    state = "/tmp/prompture_bench/incr_state"
+    shutil.rmtree(state, ignore_errors=True)
+    runner = IncrementalRunner(
+        spark,
+        ManifestStore(spark, os.path.join(state, "manifest")),
+        SnapshotRegistry(spark, os.path.join(state, "registry")),
+        os.path.join(state, "violations"),
+    )
+
+    t0 = time.perf_counter()
+    full = runner.run_full_and_register(df, suite, "v1", content, run_id="full")
+    t_full = time.perf_counter() - t0
+    assert len(full["partitions_run"]) == 8, full
+
+    # v2: ~2% of texts in partition 3 get edited — one changed partition
+    h = F.pmod(F.xxhash64("conv_id", "turn_idx", F.lit(7)), F.lit(50))
+    v2 = df.withColumn(
+        "text",
+        F.when(
+            (F.col("part_id") == 3) & (h == 0),
+            F.concat(F.col("text"), F.lit(" EDIT")),
+        ).otherwise(F.col("text")),
+    )
+    t0 = time.perf_counter()
+    incr = runner.run_incremental(v2, suite, "v1", "v2", content, run_id="incr")
+    t_incr = time.perf_counter() - t0
+    assert incr["partitions_run"] == [3], incr
+    assert len(incr["partitions_carried"]) == 7, incr
+
+    # v3 == v2: the zero-churn floor (summary scan + registry/manifest I/O)
+    t0 = time.perf_counter()
+    noop = runner.run_incremental(v2, suite, "v2", "v3", content, run_id="noop")
+    t_floor = time.perf_counter() - t0
+    assert noop["partitions_run"] == [], noop
+    assert len(noop["partitions_carried"]) == 8, noop
+
+    spark.stop()
+    print(
+        json.dumps(
+            {
+                "master": master,
+                "n_turns": n_turns,
+                "full_s": round(t_full, 2),
+                "incr_1of8_s": round(t_incr, 2),
+                "noop_s": round(t_floor, 2),
+                "incr_over_full": round(t_incr / t_full, 3),
+                "floor_over_full": round(t_floor / t_full, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
