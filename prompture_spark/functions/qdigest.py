@@ -1,0 +1,187 @@
+"""Mergeable quantile digest (t-digest family), vectorized in numpy.
+
+The north-star metric set asks for per-column quantile sketches that
+aggregate per partition (BASELINE.json: "quantile sketches via
+approxQuantile/t-digest"). Spark's built-in ``approx_percentile`` is a
+mergeable sketch *inside one job*, but its state is opaque: it cannot be
+persisted per partition and re-merged across runs. This digest can — which
+is what makes quantile metrics INCREMENTAL (operators/sketches.py carries
+unchanged partitions' digests forward from the registry instead of
+rescanning 7/8 of a 100 TB table for a p99).
+
+Construction is Dunning's t-digest with the k1 (arcsine) scale function,
+built by *scale-function bucketing* rather than the sequential greedy pass:
+sorted values (or centroids) are assigned to the integer cell of
+``k(q) = (delta / 2π) · asin(2q − 1)`` evaluated at their mid-rank, and each
+cell collapses to one centroid via ``np.add.reduceat``. This keeps every
+step a whole-array numpy operation (no per-row Python anywhere), yields at
+most ``delta/2 + 2`` centroids, and preserves the defining t-digest
+property: cell width in q-space shrinks like sqrt(q(1−q)), so tails stay
+sharp. Published algorithm (Dunning & Ertl, "Computing Extremely Accurate
+Quantiles Using t-Digests"); this is an independent numpy implementation.
+
+Digests additionally carry exact n / min / max / sum so count-style fields
+stay hash-exact against a SQL oracle even though quantiles are approximate.
+
+Reference parity: the reference has no sketches; this extends its per-field
+stats idea (prompture/extraction/validator.py collects per-field pass
+stats) the way Deequ pairs analyzers with mergeable KLL state.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+DEFAULT_DELTA = 200
+
+# wire format: magic 'Q1', delta int32, n int64, vmin/vmax/vsum float64,
+# k int32, then k little-endian float64 means and k float64 weights.
+_HEADER = struct.Struct("<2siqdddi")
+_MAGIC = b"Q1"
+
+
+def _k_cells(q_mid: np.ndarray, delta: int) -> np.ndarray:
+    """Integer scale-function cell for each mid-rank quantile."""
+    # clip away fp residue so q=0/1 stay inside asin's domain
+    q = np.clip(q_mid, 0.0, 1.0)
+    k = (delta / (2.0 * np.pi)) * np.arcsin(2.0 * q - 1.0)
+    return np.floor(k).astype(np.int64)
+
+
+def _cluster(
+    means: np.ndarray, weights: np.ndarray, delta: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Collapse sorted (means, weights) into one centroid per k-cell."""
+    w = weights.astype(np.float64)
+    total = w.sum()
+    cum = np.cumsum(w)
+    q_mid = (cum - w / 2.0) / total
+    cells = _k_cells(q_mid, delta)
+    # reduceat over runs of equal cell id (cells are non-decreasing because
+    # q_mid is increasing and k is monotone)
+    starts = np.flatnonzero(np.diff(cells, prepend=cells[0] - 1))
+    wsum = np.add.reduceat(w, starts)
+    msum = np.add.reduceat(means.astype(np.float64) * w, starts)
+    return msum / wsum, wsum
+
+
+class QDigest:
+    """Immutable digest: centroid means/weights plus exact n/min/max/sum."""
+
+    __slots__ = ("means", "weights", "n", "vmin", "vmax", "vsum", "delta")
+
+    def __init__(self, means, weights, n, vmin, vmax, vsum, delta=DEFAULT_DELTA):
+        self.means = np.asarray(means, dtype=np.float64)
+        self.weights = np.asarray(weights, dtype=np.float64)
+        self.n = int(n)
+        self.vmin = float(vmin) if n else None
+        self.vmax = float(vmax) if n else None
+        self.vsum = float(vsum) if n else None
+        self.delta = int(delta)
+
+    # -- construction -------------------------------------------------------
+
+    @classmethod
+    def empty(cls, delta: int = DEFAULT_DELTA) -> "QDigest":
+        return cls(np.empty(0), np.empty(0), 0, np.nan, np.nan, np.nan, delta)
+
+    @classmethod
+    def from_values(cls, values: np.ndarray, delta: int = DEFAULT_DELTA) -> "QDigest":
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if v.size == 0:
+            return cls.empty(delta)
+        v = np.sort(v)
+        means, weights = _cluster(v, np.ones_like(v), delta)
+        return cls(means, weights, v.size, v[0], v[-1], v.sum(), delta)
+
+    @classmethod
+    def merge_all(cls, digests: list["QDigest"], delta: int | None = None) -> "QDigest":
+        """Merge any number of digests: concatenate centroids, sort by mean,
+        re-cluster. Associative up to the documented rank-error bound."""
+        live = [d for d in digests if d.n > 0]
+        if delta is None:
+            delta = live[0].delta if live else DEFAULT_DELTA
+        if not live:
+            return cls.empty(delta)
+        means = np.concatenate([d.means for d in live])
+        weights = np.concatenate([d.weights for d in live])
+        order = np.argsort(means, kind="stable")
+        m, w = _cluster(means[order], weights[order], delta)
+        return cls(
+            m,
+            w,
+            sum(d.n for d in live),
+            min(d.vmin for d in live),
+            max(d.vmax for d in live),
+            # exact for integer-valued data while |sum| < 2^53 (text lengths,
+            # token counts, latencies-in-ms all qualify)
+            sum(d.vsum for d in live),
+            delta,
+        )
+
+    # -- queries -------------------------------------------------------------
+
+    def quantile(self, qs) -> np.ndarray:
+        """Interpolated quantile estimates at each q in ``qs`` (vectorized).
+        Centroids are treated as mass at their mid-rank; estimates clamp to
+        the exact [vmin, vmax]."""
+        qs = np.atleast_1d(np.asarray(qs, dtype=np.float64))
+        if self.n == 0:
+            return np.full(qs.shape, np.nan)
+        w = self.weights
+        cum = np.cumsum(w)
+        mid = (cum - w / 2.0) / self.n  # centroid mid-ranks in (0, 1)
+        x = np.concatenate(([0.0], mid, [1.0]))
+        y = np.concatenate(([self.vmin], self.means, [self.vmax]))
+        return np.clip(np.interp(qs, x, y), self.vmin, self.vmax)
+
+    def cdf(self, values) -> np.ndarray:
+        """Estimated rank (fraction ≤ value) for each value (vectorized)."""
+        vs = np.atleast_1d(np.asarray(values, dtype=np.float64))
+        if self.n == 0:
+            return np.full(vs.shape, np.nan)
+        w = self.weights
+        cum = np.cumsum(w)
+        mid = (cum - w / 2.0) / self.n
+        x = np.concatenate(([self.vmin], self.means, [self.vmax]))
+        y = np.concatenate(([0.0], mid, [1.0]))
+        return np.interp(vs, x, y, left=0.0, right=1.0)
+
+    def __len__(self) -> int:
+        return int(self.means.size)
+
+    # -- serialization (Arrow binary column / parquet store payload) ---------
+
+    def to_bytes(self) -> bytes:
+        """Fixed little-endian wire form — what travels through the shuffle
+        (one ~3 KB blob per partial digest instead of the partition's rows)
+        and what the :class:`~prompture_spark.operators.sketches.SketchStore`
+        persists per partition."""
+        k = int(self.means.size)
+        head = _HEADER.pack(
+            _MAGIC,
+            self.delta,
+            self.n,
+            self.vmin if self.n else np.nan,
+            self.vmax if self.n else np.nan,
+            self.vsum if self.n else np.nan,
+            k,
+        )
+        return (
+            head
+            + self.means.astype("<f8").tobytes()
+            + self.weights.astype("<f8").tobytes()
+        )
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "QDigest":
+        magic, delta, n, vmin, vmax, vsum, k = _HEADER.unpack_from(blob, 0)
+        if magic != _MAGIC:
+            raise ValueError("not a QDigest payload")
+        off = _HEADER.size
+        means = np.frombuffer(blob, dtype="<f8", count=k, offset=off)
+        weights = np.frombuffer(blob, dtype="<f8", count=k, offset=off + 8 * k)
+        return cls(means.copy(), weights.copy(), n, vmin, vmax, vsum, delta)

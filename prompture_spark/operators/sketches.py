@@ -1,0 +1,283 @@
+"""Distributed mergeable quantile sketches over transcript columns.
+
+The north-star metric set names "quantile sketches via approxQuantile /
+t-digest" as a per-column stat aggregated per partition (BASELINE.json).
+Spark's ``percentile_approx`` covers the single-job case, but its sketch
+state is opaque — it cannot be persisted per partition and re-merged across
+runs, which is exactly what the incremental re-validation story
+(checkpoints/incremental.py) needs: when 7/8 of a 100 TB snapshot is
+byte-identical to the previous one, the global p99 should cost one scan of
+the CHANGED eighth plus a merge of stored ~3 KB digests, not a rescan.
+
+This module is the Spark plumbing around
+:class:`prompture_spark.functions.qdigest.QDigest`:
+
+* :func:`partition_sketches` — two-stage build. Stage 1 is ``mapInPandas``:
+  each Arrow batch groups rows by the sketch key and emits one PARTIAL
+  digest blob per (key, batch) — map-side, no shuffle of row data. Stage 2
+  is ``groupBy(key).applyInPandas``: the shuffle carries only digest blobs
+  (~3 KB each), merged per key into one final digest. This is the classic
+  partial-agg/final-agg split Catalyst applies to built-in aggregates,
+  restated for a custom sketch type.
+* :func:`sketch_stats` — decode per-key digests into stat rows: exact
+  ``n / vmin / vmax / vsum`` (the digest carries them exactly — these fields
+  are DuckDB-oracle-checkable) plus interpolated quantile estimates.
+* :class:`SketchStore` — append-only parquet of per-partition digest blobs
+  keyed by (run_config_hash, partition, column) with the partition's
+  content checksum, latest row wins (same durability pattern as
+  checkpoints/manifest.py and checkpoints/incremental.SnapshotRegistry).
+* :func:`incremental_sketches` — sketch a new snapshot by scanning ONLY
+  partitions whose content checksum changed since the registered run,
+  carrying unchanged partitions' digests forward from the store byte-for-
+  byte, and registering the result. Global quantiles then come from
+  :func:`merge_sketches` over the union.
+
+Reference parity: the reference has no sketches; this extends its per-field
+pass-stats idea (prompture/extraction/validator.py) with the mergeable-state
+pattern Deequ uses for KLL, built on the published t-digest algorithm
+(Dunning & Ertl) implemented independently in functions/qdigest.py.
+
+Scale notes (100 TB): stage-1 partials are per-Arrow-batch (~10k rows), so
+executor memory per task is O(delta) floats per live key; the stage-2
+shuffle moves |keys| x |batches| blobs — for the per-partition key that is
+thousands of rows total, never data-sized. The store read is |partitions|
+rows. Nothing here widens with row count except the one stage-1 scan.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from prompture_spark.functions.qdigest import DEFAULT_DELTA, QDigest
+from prompture_spark.operators.reconcile import snapshot_summary
+
+# ---------------------------------------------------------------------------
+# Two-stage distributed build
+# ---------------------------------------------------------------------------
+
+
+def partition_sketches(
+    df: DataFrame,
+    value_col: str,
+    key_col: str = "part_id",
+    delta: int = DEFAULT_DELTA,
+) -> DataFrame:
+    """One t-digest per ``key_col`` value over numeric ``value_col``.
+
+    Returns ``(key_col, sketch binary)``. ``value_col`` may be any column
+    name or SQL expression (it is evaluated JVM-side into a double before
+    the Arrow hop, so e.g. ``length(text)`` never ships text bytes to
+    Python). Nulls/NaNs are excluded, matching SQL aggregate semantics.
+    """
+    base = df.select(
+        F.col(key_col).alias("_k"),
+        F.expr(value_col).cast("double").alias("_v"),
+    )
+    key_sql = base.schema["_k"].dataType.simpleString()
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = [
+                (k, QDigest.from_values(g.to_numpy(), delta).to_bytes())
+                for k, g in pdf.groupby("_k", dropna=False, sort=False)["_v"]
+            ]
+            yield pd.DataFrame(rows, columns=["_k", "sketch"])
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        merged = QDigest.merge_all(
+            [QDigest.from_bytes(b) for b in pdf["sketch"]], delta
+        )
+        return pd.DataFrame({"_k": [pdf["_k"].iloc[0]], "sketch": [merged.to_bytes()]})
+
+    partial = base.mapInPandas(partials, f"_k {key_sql}, sketch binary")
+    out = partial.groupBy("_k").applyInPandas(merge, f"_k {key_sql}, sketch binary")
+    return out.withColumnRenamed("_k", key_col)
+
+
+def merge_sketches(sk_df: DataFrame, delta: int = DEFAULT_DELTA) -> QDigest:
+    """Driver-side merge of a sketch DataFrame into one global digest.
+    Collects |keys| ~3 KB blobs — metadata-sized by construction."""
+    return QDigest.merge_all(
+        [QDigest.from_bytes(r["sketch"]) for r in sk_df.select("sketch").collect()],
+        delta,
+    )
+
+
+def sketch_stats(
+    sk_df: DataFrame,
+    key_col: str = "part_id",
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Decode ``(key, sketch)`` rows into per-key stats.
+
+    ``n_values / min_value / max_value / sum_value`` are EXACT (the digest
+    carries them alongside the centroids; sums of integer-valued data stay
+    exact below 2^53) — these columns are what the DuckDB oracle checks.
+    ``p<q>`` columns are the digest's interpolated quantile estimates.
+    """
+    key_sql = sk_df.schema[key_col].dataType.simpleString()
+    # 0.5 -> p50, 0.9 -> p90, 0.99 -> p99, 0.999 -> p999
+    qcols = [f"p{str(q)[2:].ljust(2, '0')}" for q in quantiles]
+    ddl = (
+        f"{key_col} {key_sql}, n_values long, min_value double, "
+        "max_value double, sum_value double, "
+        + ", ".join(f"{c} double" for c in qcols)
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for k, blob in zip(pdf[key_col], pdf["sketch"]):
+                d = QDigest.from_bytes(blob)
+                qs = d.quantile(list(quantiles))
+                out.append((k, d.n, d.vmin, d.vmax, d.vsum, *qs.tolist()))
+            yield pd.DataFrame(
+                out, columns=[key_col, "n_values", "min_value", "max_value", "sum_value", *qcols]
+            )
+
+    return sk_df.mapInPandas(decode, ddl)
+
+
+# ---------------------------------------------------------------------------
+# Persisted per-partition digests + incremental carry-forward
+# ---------------------------------------------------------------------------
+
+STORE_DDL = (
+    "run_config_hash string, partition_id int, column string, "
+    "checksum string, sketch binary, updated_at timestamp"
+)
+
+
+class SketchStore:
+    """Append-only parquet of per-partition digest blobs, latest row wins
+    per (run_config_hash, partition_id, column) — the same atomic-at-file
+    durability story as the manifest and the snapshot registry."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def read(self, run_config_hash: str, column: str) -> DataFrame:
+        if not os.path.exists(self.path):
+            return self.spark.createDataFrame([], STORE_DDL).select(
+                "partition_id", "checksum", "sketch"
+            )
+        raw = self.spark.read.option("mergeSchema", "true").parquet(self.path)
+        w = Window.partitionBy(
+            "run_config_hash", "partition_id", "column"
+        ).orderBy(F.desc("updated_at"))
+        return (
+            raw.filter(
+                (F.col("run_config_hash") == run_config_hash)
+                & (F.col("column") == column)
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("partition_id", "checksum", "sketch")
+        )
+
+    def register(self, run_config_hash: str, column: str, rows: DataFrame) -> None:
+        """Persist ``(partition_id, checksum, sketch)`` rows under a run
+        config hash + column name."""
+        (
+            rows.select(
+                F.lit(run_config_hash).alias("run_config_hash"),
+                F.col("partition_id").cast("int"),
+                F.lit(column).alias("column"),
+                F.col("checksum").cast("string"),
+                F.col("sketch"),
+            )
+            .withColumn("updated_at", F.current_timestamp())
+            .write.mode("append")
+            .parquet(self.path)
+        )
+
+
+def incremental_sketches(
+    store: SketchStore,
+    new_df: DataFrame,
+    value_col: str,
+    content_cols: list[str],
+    prev_config_hash: str,
+    new_config_hash: str,
+    part_col: str = "part_id",
+    delta: int = DEFAULT_DELTA,
+) -> tuple[DataFrame, dict]:
+    """Sketch ``value_col`` of a new snapshot, rescanning ONLY partitions
+    whose content checksum differs from the digests registered under
+    ``prev_config_hash``.
+
+    Returns ``(sketches, info)`` where ``sketches`` is one
+    ``(partition_id, sketch)`` row per partition of the new snapshot
+    (carried blobs byte-identical to the stored ones) and ``info`` counts
+    ``carried`` / ``recomputed`` partitions. The new state is registered
+    under ``new_config_hash`` before returning.
+
+    Cost: one summary scan of the new snapshot (map-side agg, |partitions|
+    rows), one value scan restricted to changed/added partitions, and a
+    |partitions|-row store read — never a full rescan of carried data.
+    """
+    spark = new_df.sparkSession
+    new_sum = snapshot_summary(new_df, part_col, content_cols)
+    prev = store.read(prev_config_hash, value_col)
+    # |partitions| rows; collected once — classification + registration reuse it
+    j = (
+        new_sum.join(
+            prev.select(
+                F.col("partition_id").alias("part"),
+                F.col("checksum").alias("_prev_sum"),
+                F.col("sketch").alias("_prev_sketch"),
+            ),
+            "part",
+            "left",
+        )
+    ).collect()
+
+    carried = {
+        r["part"]: (r["checksum"], r["_prev_sketch"])
+        for r in j
+        if r["_prev_sketch"] is not None and r["checksum"] == r["_prev_sum"]
+    }
+    changed = sorted(r["part"] for r in j if r["part"] not in carried)
+    checksums = {r["part"]: r["checksum"] for r in j}
+
+    parts_new: DataFrame | None = None
+    if changed:
+        scan = new_df.filter(F.col(part_col).isin(changed))
+        parts_new = partition_sketches(scan, value_col, part_col, delta).select(
+            F.col(part_col).alias("partition_id"), "sketch"
+        )
+
+    rows_carried = (
+        spark.createDataFrame(
+            [(p, blob) for p, (_, blob) in sorted(carried.items())],
+            "partition_id int, sketch binary",
+        )
+        if carried
+        else None
+    )
+    out = (
+        parts_new.unionByName(rows_carried)
+        if parts_new is not None and rows_carried is not None
+        else (parts_new if parts_new is not None else rows_carried)
+    )
+    if out is None:
+        out = spark.createDataFrame([], "partition_id int, sketch binary")
+
+    cks = spark.createDataFrame(
+        [(int(p), c) for p, c in checksums.items()], "partition_id int, checksum string"
+    )
+    registered = out.join(cks, "partition_id", "left")
+    store.register(new_config_hash, value_col, registered)
+    info = {"carried": sorted(carried), "recomputed": changed}
+    return store.read(new_config_hash, value_col).select(
+        "partition_id", "sketch"
+    ), info

@@ -4196,3 +4196,56 @@ def q_audit_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aud.audit_row_constraints(
         df, suite.row_constraints, [], 0.5, salt="partaudit", part_col="part_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Q: mergeable quantile sketches (t-digest) per partition
+# ---------------------------------------------------------------------------
+
+_SKETCH_STATS_ORACLE = (
+    ORACLE_TRANSCRIPTS_CTE
+    + """
+SELECT part_id,
+       CAST(count(text) AS BIGINT) AS n_values,
+       CAST(min(length(text)) AS DOUBLE) AS min_value,
+       CAST(max(length(text)) AS DOUBLE) AS max_value,
+       CAST(sum(length(text)) AS DOUBLE) AS sum_value
+FROM transcripts WHERE text IS NOT NULL GROUP BY part_id
+"""
+)
+
+
+@register("sketch_field_stats", _SKETCH_STATS_ORACLE)
+def q_sketch_field_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition n/min/max/sum of length(text) — computed END-TO-END
+    through the t-digest sketch pipeline (mapInPandas partials →
+    applyInPandas merge → decode), not a direct aggregate: the digest
+    carries these fields exactly, so the DuckDB oracle proves the whole
+    sketch build/merge/serialize path on real data. The quantile estimates
+    the same digests serve are the no-oracle twin below.
+    Reference parity: extends the per-field stats surface
+    (prompture/extraction/validator.py pass-stats; infra/tracker.py SUM/
+    COUNT rollups) with mergeable sketch state the reference lacks."""
+    from prompture_spark.operators import sketches as sk
+
+    df = transcripts_from_events(spark, sf_dir)
+    digests = sk.partition_sketches(df, "length(text)", "part_id")
+    return sk.sketch_stats(digests).select(
+        "part_id", "n_values", "min_value", "max_value", "sum_value"
+    )
+
+
+@register("sketch_text_len_quantiles")  # no oracle: t-digest estimates are
+# engine-specific (exact twin: sketch_field_stats; accuracy pinned by
+# tests/test_sketches.py rank-error bounds)
+def q_sketch_text_len_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition p50/p90/p99 of length(text) from the same mergeable
+    digests — the 100 TB serving path for per-column quantile metrics, and
+    the state that checkpoints/incremental-style carry-forward re-merges
+    without rescanning unchanged partitions (operators/sketches.py
+    incremental_sketches)."""
+    from prompture_spark.operators import sketches as sk
+
+    df = transcripts_from_events(spark, sf_dir)
+    digests = sk.partition_sketches(df, "length(text)", "part_id")
+    return sk.sketch_stats(digests, quantiles=(0.5, 0.9, 0.99))

@@ -1,0 +1,207 @@
+"""t-digest quantile sketches: accuracy, serialization, Spark two-stage
+build, and incremental carry-forward."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from prompture_spark.functions.qdigest import QDigest
+from prompture_spark.operators import sketches
+from prompture_spark.sources.transcripts import generate_transcripts
+
+RNG = np.random.default_rng(7)
+
+
+def _rank_error(d: QDigest, values: np.ndarray, qs) -> float:
+    """max distance from q to the rank INTERVAL of the estimate — a tied
+    value spans [rank_left, rank_right] of mass, and any q inside that span
+    is answered exactly by that value."""
+    v = np.sort(values)
+    est = d.quantile(qs)
+    lo = np.searchsorted(v, est, side="left") / v.size
+    hi = np.searchsorted(v, est, side="right") / v.size
+    q = np.asarray(qs)
+    return float(np.max(np.maximum(np.maximum(lo - q, q - hi), 0.0)))
+
+
+QS = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 0.999]
+
+
+@pytest.mark.parametrize(
+    "values",
+    [
+        RNG.normal(0, 1, 200_000),
+        RNG.lognormal(0, 2, 200_000),  # heavy tail
+        RNG.integers(0, 50, 200_000).astype(float),  # few distinct values
+        np.full(10_000, 3.25),  # constant
+        np.arange(100_000, dtype=float),
+    ],
+    ids=["normal", "lognormal", "few-distinct", "constant", "ramp"],
+)
+def test_digest_rank_error_bound(values):
+    d = QDigest.from_values(values)
+    # k1 scale, delta=200: one cell's q-mass at q=0.5 is
+    # (2*pi/delta)*sqrt(q(1-q)) ~= 0.0157 — the theoretical worst case for an
+    # interpolated estimate (discrete-valued data hits it; continuous data
+    # interpolates well under it)
+    assert _rank_error(d, values, QS) < 0.016
+    assert d.n == values.size
+    assert d.vmin == values.min() and d.vmax == values.max()
+    # centroid count bounded by the scale function
+    assert len(d) <= d.delta / 2 + 2
+
+
+def test_digest_merge_matches_single_build():
+    values = RNG.lognormal(0, 1.5, 300_000)
+    chunks = np.array_split(values, 37)
+    merged = QDigest.merge_all([QDigest.from_values(c) for c in chunks])
+    assert _rank_error(merged, values, QS) < 0.015
+    assert merged.n == values.size
+    # integer-valued data: vsum exact through merge
+    ints = np.floor(values * 10)
+    m2 = QDigest.merge_all([QDigest.from_values(c) for c in np.array_split(ints, 37)])
+    assert m2.vsum == ints.sum()
+
+
+def test_digest_serialization_round_trip():
+    d = QDigest.from_values(RNG.normal(10, 3, 5000))
+    r = QDigest.from_bytes(d.to_bytes())
+    assert r.n == d.n and r.delta == d.delta
+    assert r.vmin == d.vmin and r.vmax == d.vmax and r.vsum == d.vsum
+    np.testing.assert_array_equal(r.means, d.means)
+    np.testing.assert_array_equal(r.weights, d.weights)
+    # blob is small: the shuffle payload claim
+    assert len(d.to_bytes()) < 4096
+    e = QDigest.empty()
+    r2 = QDigest.from_bytes(e.to_bytes())
+    assert r2.n == 0 and r2.vmin is None
+    with pytest.raises(ValueError):
+        QDigest.from_bytes(b"XX" + d.to_bytes()[2:])
+
+
+def test_digest_cdf_inverse():
+    values = RNG.normal(0, 1, 100_000)
+    d = QDigest.from_values(values)
+    qs = np.array([0.1, 0.5, 0.9])
+    np.testing.assert_allclose(d.cdf(d.quantile(qs)), qs, atol=0.01)
+
+
+# ---------------------------------------------------------------------------
+# Spark plumbing
+# ---------------------------------------------------------------------------
+
+
+def test_partition_sketches_exact_fields_and_quantiles(spark):
+    df = generate_transcripts(spark, 40_000, seed=11, n_parts=8)
+    sk = sketches.partition_sketches(df, "length(text)", "part_id")
+    got = {
+        r["part_id"]: r
+        for r in sketches.sketch_stats(sk, quantiles=(0.5, 0.99)).collect()
+    }
+    exact = {
+        r["part_id"]: r
+        for r in df.groupBy("part_id")
+        .agg(
+            F.count("text").alias("n"),
+            F.min(F.length("text")).alias("mn"),
+            F.max(F.length("text")).alias("mx"),
+            F.sum(F.length("text")).alias("sm"),
+            F.expr("percentile(length(text), 0.5)").alias("p50"),
+            F.expr("percentile(length(text), 0.99)").alias("p99"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for p, e in exact.items():
+        g = got[p]
+        # n/min/max/sum are EXACT by construction
+        assert g["n_values"] == e["n"]
+        assert g["min_value"] == e["mn"]
+        assert g["max_value"] == e["mx"]
+        assert g["sum_value"] == e["sm"]
+        # quantiles approximate: rank tolerance via value window on int lengths
+        assert abs(g["p50"] - e["p50"]) <= max(2.0, 0.02 * e["p50"])
+        assert abs(g["p99"] - e["p99"]) <= max(3.0, 0.03 * e["p99"])
+
+
+def test_merge_sketches_global(spark):
+    df = generate_transcripts(spark, 30_000, seed=3, n_parts=8)
+    sk = sketches.partition_sketches(df, "length(text)", "part_id")
+    g = sketches.merge_sketches(sk)
+    n, s = df.select(
+        F.count("text"), F.sum(F.length("text")).cast("double")
+    ).first()
+    assert g.n == n and g.vsum == s
+    true_p50 = df.selectExpr("percentile(length(text), 0.5)").first()[0]
+    assert abs(g.quantile([0.5])[0] - true_p50) <= max(2.0, 0.02 * true_p50)
+
+
+def test_incremental_sketches_carry_forward(spark, tmp_path):
+    store = sketches.SketchStore(spark, str(tmp_path / "sketches"))
+    v1 = generate_transcripts(spark, 20_000, seed=5, n_parts=8)
+
+    # baseline: full build registered under cfg "v1"
+    base = sketches.partition_sketches(v1, "length(text)", "part_id").select(
+        F.col("part_id").alias("partition_id"), "sketch"
+    )
+    cks = sketches.snapshot_summary(v1, "part_id", ["conv_id", "turn_idx", "text"])
+    store.register(
+        "v1",
+        "length(text)",
+        base.join(
+            cks.select(F.col("part").alias("partition_id"), "checksum"),
+            "partition_id",
+        ),
+    )
+
+    # v2: one partition's text changes, the rest byte-identical
+    v2 = v1.withColumn(
+        "text",
+        F.when(F.col("part_id") == 3, F.concat(F.col("text"), F.lit("!!"))).otherwise(
+            F.col("text")
+        ),
+    )
+    sk2, info = sketches.incremental_sketches(
+        store,
+        v2,
+        "length(text)",
+        ["conv_id", "turn_idx", "text"],
+        prev_config_hash="v1",
+        new_config_hash="v2",
+    )
+    assert info["recomputed"] == [3]
+    assert sorted(info["carried"]) == [0, 1, 2, 4, 5, 6, 7]
+
+    # carried blobs byte-identical to v1's stored state
+    old = {r["partition_id"]: bytes(r["sketch"]) for r in store.read("v1", "length(text)").collect()}
+    new = {r["partition_id"]: bytes(r["sketch"]) for r in sk2.collect()}
+    assert set(new) == set(range(8))
+    for p in info["carried"]:
+        assert new[p] == old[p]
+    assert new[3] != old[3]
+
+    # merged global stats exact vs v2 truth
+    g = sketches.merge_sketches(sk2)
+    n, s = v2.select(F.count("text"), F.sum(F.length("text")).cast("double")).first()
+    assert g.n == n and g.vsum == s
+
+
+def test_incremental_sketches_no_churn_scans_nothing(spark, tmp_path):
+    store = sketches.SketchStore(spark, str(tmp_path / "sk2"))
+    v1 = generate_transcripts(spark, 10_000, seed=9, n_parts=4)
+    base = sketches.partition_sketches(v1, "length(text)", "part_id").select(
+        F.col("part_id").alias("partition_id"), "sketch"
+    )
+    cks = sketches.snapshot_summary(v1, "part_id", ["conv_id", "text"])
+    store.register(
+        "v1",
+        "length(text)",
+        base.join(cks.select(F.col("part").alias("partition_id"), "checksum"), "partition_id"),
+    )
+    sk2, info = sketches.incremental_sketches(
+        store, v1, "length(text)", ["conv_id", "text"], "v1", "v1b"
+    )
+    assert info["recomputed"] == [] and len(info["carried"]) == 4
+    assert sk2.count() == 4
