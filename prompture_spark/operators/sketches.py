@@ -147,6 +147,66 @@ def sketch_stats(
 
 
 # ---------------------------------------------------------------------------
+# Sketch-based drift: KS between digests (no rescan of either side)
+# ---------------------------------------------------------------------------
+
+
+def ks_from_digests(cur: QDigest, base: QDigest) -> float:
+    """Two-sample KS statistic estimated from two t-digests: both CDFs are
+    piecewise-linear, so their max gap is attained at a slope change of
+    either — evaluate both at the union of centroid means and extremes.
+    Estimate error is bounded by the sum of the digests' rank errors
+    (~one k1 cell each; tests pin <0.02 vs the exact empirical KS)."""
+    import numpy as np
+
+    if cur.n == 0 or base.n == 0:
+        return float("nan")
+    xs = np.concatenate(
+        [cur.means, base.means, [cur.vmin, cur.vmax, base.vmin, base.vmax]]
+    )
+    return float(np.max(np.abs(cur.cdf(xs) - base.cdf(xs))))
+
+
+def sketch_ks_drift(
+    sk_df: DataFrame,
+    baseline: QDigest,
+    key_col: str = "part_id",
+    threshold: float = 0.1,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-key KS drift of sketched distributions against a BASELINE digest:
+    ``(key, n_values, ks, drifted)``.
+
+    This is the north-star drift check stated in sketch form — "text-length
+    quantile sketches compared against a baseline snapshot via KS" — with
+    the baseline side never rescanned: it is one stored ~3 KB blob (e.g.
+    ``merge_sketches(SketchStore.read(...))`` from last week's clean run),
+    shipped to executors inside the closure, and the current side is the
+    per-partition digests already built for quantile metrics. Contrast
+    ``drift.ks_statistic``, which scans raw rows on both sides; at 100 TB
+    the sketch form makes cross-snapshot drift a |partitions|-row job.
+    """
+    blob = baseline.to_bytes()
+    key_sql = sk_df.schema[key_col].dataType.simpleString()
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        base = QDigest.from_bytes(blob)
+        for pdf in batches:
+            out = []
+            for k, sk_blob in zip(pdf[key_col], pdf["sketch"]):
+                d = QDigest.from_bytes(sk_blob)
+                ks = round(ks_from_digests(d, base), round_to)
+                out.append((k, d.n, ks, ks > threshold))
+            yield pd.DataFrame(
+                out, columns=[key_col, "n_values", "ks", "drifted"]
+            )
+
+    return sk_df.mapInPandas(
+        go, f"{key_col} {key_sql}, n_values long, ks double, drifted boolean"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Persisted per-partition digests + incremental carry-forward
 # ---------------------------------------------------------------------------
 

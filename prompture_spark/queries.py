@@ -4249,3 +4249,21 @@ def q_sketch_text_len_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = transcripts_from_events(spark, sf_dir)
     digests = sk.partition_sketches(df, "length(text)", "part_id")
     return sk.sketch_stats(digests, quantiles=(0.5, 0.9, 0.99))
+
+
+@register("sketch_ks_drift_text_len")  # no oracle: KS from t-digest CDFs is
+# engine-specific (exact bucketed twin: drift_ks_text_len, oracle-green;
+# accuracy vs exact empirical KS pinned by tests/test_sketches.py)
+def q_sketch_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition KS drift of length(text) computed ENTIRELY from
+    mergeable digests: per-partition sketches vs the global merged digest
+    as the baseline. The cross-snapshot serving path stores the baseline
+    digest (one ~3 KB blob) so next week's drift check never rescans this
+    snapshot — see operators/sketches.py sketch_ks_drift."""
+    from prompture_spark.operators import sketches as sk
+
+    df = transcripts_from_events(spark, sf_dir)
+    digests = sk.partition_sketches(df, "length(text)", "part_id")
+    digests = digests.localCheckpoint(eager=True)  # built once, used twice
+    baseline = sk.merge_sketches(digests)
+    return sk.sketch_ks_drift(digests, baseline, threshold=0.1)

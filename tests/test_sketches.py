@@ -205,3 +205,47 @@ def test_incremental_sketches_no_churn_scans_nothing(spark, tmp_path):
     )
     assert info["recomputed"] == [] and len(info["carried"]) == 4
     assert sk2.count() == 4
+
+
+# ---------------------------------------------------------------------------
+# Sketch-based KS drift
+# ---------------------------------------------------------------------------
+
+
+def _exact_ks(a: np.ndarray, b: np.ndarray) -> float:
+    xs = np.unique(np.concatenate([a, b]))
+    ca = np.searchsorted(np.sort(a), xs, side="right") / a.size
+    cb = np.searchsorted(np.sort(b), xs, side="right") / b.size
+    return float(np.max(np.abs(ca - cb)))
+
+
+def test_ks_from_digests_matches_exact():
+    a = RNG.normal(0, 1, 150_000)
+    for shift, label in [(0.0, "same"), (0.15, "small"), (1.0, "large")]:
+        b = RNG.normal(shift, 1, 150_000)
+        est = sketches.ks_from_digests(QDigest.from_values(a), QDigest.from_values(b))
+        assert abs(est - _exact_ks(a, b)) < 0.02, label
+    # identical digests -> ks == 0 exactly
+    d = QDigest.from_values(a)
+    assert sketches.ks_from_digests(d, d) == 0.0
+
+
+def test_sketch_ks_drift_flags_planted_partition(spark):
+    df = generate_transcripts(spark, 40_000, seed=21, n_parts=8)
+    # plant drift: one partition's text lengths triple
+    drifted = df.withColumn(
+        "text",
+        F.when(
+            F.col("part_id") == 5,
+            F.concat(F.col("text"), F.col("text"), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    sk = sketches.partition_sketches(drifted, "length(text)", "part_id")
+    base = sketches.merge_sketches(
+        sketches.partition_sketches(df, "length(text)", "part_id")
+    )
+    got = {r["part_id"]: r for r in sketches.sketch_ks_drift(sk, base, threshold=0.1).collect()}
+    assert got[5]["drifted"] is True
+    for p in range(8):
+        if p != 5:
+            assert got[p]["drifted"] is False, (p, got[p]["ks"])
