@@ -297,6 +297,29 @@ elif job == "contam":
         # recovered (exact candidate generation -> exact recall), nothing else
         assert n == 1000, n
         spark.catalog.clearCache()
+elif job == "sketch":
+    from prompture_spark.operators import sketches as sk
+    from prompture_spark.sources.transcripts import generate_transcripts
+    if not os.path.exists(path):
+        generate_transcripts(spark, n_turns, seed=42, skew=True).repartition(
+            128).write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    # exact truth for the in-run gate, computed once per materialized input
+    meta_path = path + "_sketchmeta.json"
+    if not os.path.exists(meta_path):
+        n, s = df.select(F.count("text"), F.sum(F.length("text"))).first()
+        with open(meta_path, "w") as f:
+            json.dump({{"n": int(n), "s": int(s)}}, f)
+    with open(meta_path) as f:
+        meta = json.load(f)
+    units = n_turns
+    def run_once():
+        # two-stage t-digest build (mapInPandas partials -> applyInPandas
+        # merge; shuffle carries ~3 KB blobs) + driver merge. Hard gate:
+        # the merged digest's exact fields equal the precomputed truth.
+        g = sk.merge_sketches(sk.partition_sketches(df, "length(text)", "part_id"))
+        assert g.n == meta["n"] and int(g.vsum) == meta["s"], (g.n, g.vsum)
+        spark.catalog.clearCache()
 else:
     raise SystemExit(f"unknown job {{job}}")
 
@@ -383,6 +406,12 @@ JOB_DESC = {
                  "on-the-fly mutated snapshot (~1% hash-purged, ~1% edited, "
                  "one exempt partition); expected per-partition statuses "
                  "asserted inside the timed run",
+    "sketch": "two-stage mergeable t-digest build over length(text) of {n:,} "
+              "skewed generated transcript turns (mapInPandas per-batch "
+              "partials → applyInPandas per-partition merge — the shuffle "
+              "carries ~3 KB digest blobs, not rows) + driver-side global "
+              "merge; exact n/sum of the merged digest asserted against "
+              "precomputed truth inside the timed run",
     "dedupchain": f"config-driven dedup chain exact → shingle(k=9 inverted "
                   f"index, posting cap 1024) → semantic(Arrow-GEMM hyperplane "
                   f"LSH, 22 planes × 8 bands, bucket cap 256) over "
@@ -410,6 +439,7 @@ def main() -> None:
         "dedupchain": f"/tmp/prompture_bench/chain_{N_CHAIN}",
         "contam": f"/tmp/prompture_bench/contam_{N_CONTAM}",
         "reconcile": f"/tmp/prompture_bench/turns_{n_turns}",
+        "sketch": f"/tmp/prompture_bench/turns_{n_turns}",
     }
     ceil = cpu_ceiling()
     # results[job] = list of per-draw dicts; every draw reported, median graded
