@@ -51,6 +51,7 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
             os.path.join(REPO, "tools", "run_validation.py"),
             "--input", "/root/testdata/sf0.001",
             "--output", out_dir,
+            "--sketch-expr", "length(text)",
         ],
         cwd=str(tmp_path),     # foreign cwd: repo not importable by accident
         env=env,
@@ -64,8 +65,10 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
     assert summary["verdict_cells"] == 80
     assert summary["violations"] > 0
     assert summary["failed_cells"] > 0
-    for sub in ("violations", "verdicts", "stats", "drift"):
+    for sub in ("violations", "verdicts", "stats", "drift", "sketches", "quantiles"):
         assert os.path.isdir(os.path.join(out_dir, sub))
+    # sketch exact fields survive the deployed path
+    assert summary["sketch_n"] > 0 and summary["sketch_p50"] > 0
 
 
 @pytest.mark.skipif(
@@ -94,6 +97,7 @@ def test_spark_submit_incremental_chain(tmp_path):
                 "--input", "/root/testdata/sf0.001",
                 "--output", str(tmp_path / "unused"),
                 "--state-dir", state,
+                "--sketch-expr", "length(text)",
                 *extra,
             ],
             cwd=str(tmp_path),
@@ -112,3 +116,10 @@ def test_spark_submit_incremental_chain(tmp_path):
     assert incr["partitions_run"] == 0
     assert incr["partitions_carried"] == 8
     assert incr["violations"] == full["violations"]
+    # sketch state chained too: identical snapshot -> all digests carried,
+    # zero rescans, global quantile state identical to the seeding run
+    assert full["sketch_recomputed"] == -1  # seeding run sketches everything
+    assert incr["sketch_carried"] == 8 and incr["sketch_recomputed"] == 0
+    assert incr["sketch_n"] == full["sketch_n"]
+    assert incr["sketch_p50"] == full["sketch_p50"]
+    assert incr["sketch_p99"] == full["sketch_p99"]

@@ -53,6 +53,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--state-dir", help="incremental mode: manifest/registry/violations state directory")
     ap.add_argument("--input-ref", help="incremental mode: identity of this snapshot (e.g. Iceberg snapshot id)")
     ap.add_argument("--prev-ref", help="incremental mode: identity of the previously validated snapshot")
+    ap.add_argument(
+        "--sketch-expr",
+        help="numeric SQL expression to sketch per partition as mergeable "
+        "t-digest state (e.g. 'length(text)'); full mode writes "
+        "<output>/sketches + <output>/quantiles, incremental mode persists "
+        "digests in <state-dir>/sketches and carries unchanged partitions' "
+        "blobs forward under the same content checksums as the verdicts",
+    )
     args = ap.parse_args(argv)
     if args.state_dir and not args.input_ref:
         ap.error("--state-dir requires --input-ref")
@@ -108,6 +116,49 @@ def main(argv: list[str] | None = None) -> int:
         n_violations = runner.read_violations(
             suite_config_hash(suite, args.input_ref)
         ).count()
+        sketch_summary = {}
+        if args.sketch_expr:
+            from pyspark.sql import functions as F
+
+            from prompture_spark.operators import sketches as sk
+
+            store = sk.SketchStore(spark, os.path.join(args.state_dir, "sketches"))
+            if args.prev_ref:
+                digests, sinfo = sk.incremental_sketches(
+                    store, df, args.sketch_expr, content,
+                    args.prev_ref, args.input_ref,
+                )
+            else:
+                built = sk.partition_sketches(df, args.sketch_expr, "part_id").select(
+                    F.col("part_id").alias("partition_id"), "sketch"
+                )
+                cks = sk.snapshot_summary(df, "part_id", content)
+                store.register(
+                    args.input_ref,
+                    args.sketch_expr,
+                    built.join(
+                        cks.select(F.col("part").alias("partition_id"), "checksum"),
+                        "partition_id",
+                    ),
+                )
+                digests = store.read(args.input_ref, args.sketch_expr).select(
+                    "partition_id", "sketch"
+                )
+                # full seeding run: every partition freshly sketched
+                sinfo = {"carried": [], "recomputed": None}
+            g = sk.merge_sketches(digests)
+            p50, p99 = g.quantile([0.5, 0.99]).tolist()
+            sketch_summary = {
+                "sketch_expr": args.sketch_expr,
+                "sketch_n": g.n,
+                "sketch_p50": round(p50, 4),
+                "sketch_p99": round(p99, 4),
+                "sketch_carried": len(sinfo["carried"]),
+                # None = full seeding run (all partitions recomputed)
+                "sketch_recomputed": (
+                    len(sinfo["recomputed"]) if sinfo["recomputed"] is not None else -1
+                ),
+            }
         summary = {
             "input": args.input,
             "input_ref": args.input_ref,
@@ -119,6 +170,7 @@ def main(argv: list[str] | None = None) -> int:
             "partitions_added": len(s.get("partitions_added", [])),
             "partitions_removed": len(s.get("partitions_removed", [])),
             "wall_s": round(time.monotonic() - t0, 3),
+            **sketch_summary,
         }
         print(json.dumps(summary))
         spark.stop()
@@ -133,6 +185,25 @@ def main(argv: list[str] | None = None) -> int:
     res.stats.write.mode("overwrite").parquet(os.path.join(out, "stats"))
     res.drift.write.mode("overwrite").parquet(os.path.join(out, "drift"))
 
+    sketch_summary = {}
+    if args.sketch_expr:
+        from prompture_spark.operators import sketches as sk
+
+        digests = sk.partition_sketches(df, args.sketch_expr, "part_id")
+        digests.write.mode("overwrite").parquet(os.path.join(out, "sketches"))
+        digests = spark.read.parquet(os.path.join(out, "sketches"))
+        sk.sketch_stats(digests, quantiles=(0.5, 0.9, 0.99)).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, "quantiles"))
+        g = sk.merge_sketches(digests)
+        p50, p99 = g.quantile([0.5, 0.99]).tolist()
+        sketch_summary = {
+            "sketch_expr": args.sketch_expr,
+            "sketch_n": g.n,
+            "sketch_p50": round(p50, 4),
+            "sketch_p99": round(p99, 4),
+        }
+
     n_violations = spark.read.parquet(os.path.join(out, "violations")).count()
     verdicts = spark.read.parquet(os.path.join(out, "verdicts"))
     n_verdicts = verdicts.count()
@@ -145,6 +216,7 @@ def main(argv: list[str] | None = None) -> int:
         "verdict_cells": n_verdicts,
         "failed_cells": n_failed,
         "wall_s": round(time.monotonic() - t0, 3),
+        **sketch_summary,
     }
     print(json.dumps(summary))
     spark.stop()
