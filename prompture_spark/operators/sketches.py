@@ -167,6 +167,62 @@ def ks_from_digests(cur: QDigest, base: QDigest) -> float:
     return float(np.max(np.abs(cur.cdf(xs) - base.cdf(xs))))
 
 
+def psi_from_digests(
+    cur: QDigest, base: QDigest, n_buckets: int = 16, eps: float = 1e-6
+) -> float:
+    """PSI between two sketched numeric distributions, bucketed at the
+    BASELINE digest's equal-mass quantile edges (the standard quantile-
+    binned PSI): psi = sum (p_i - q_i) * ln(p_i / q_i) with eps smoothing,
+    mirroring ``drift.psi``'s categorical convention. Per-bucket masses
+    come from each digest's CDF at the shared edges, so neither side is
+    rescanned. Duplicate edges (discrete/heavily-tied data) collapse —
+    buckets with zero width on the baseline merge into their neighbor."""
+    import numpy as np
+
+    if cur.n == 0 or base.n == 0:
+        return float("nan")
+    edges = np.unique(base.quantile(np.linspace(0.0, 1.0, n_buckets + 1)))
+    if edges.size < 2:  # baseline is constant: all mass in one bucket
+        edges = np.array([base.vmin - 0.5, base.vmax + 0.5])
+    # interior edges only; outer buckets are open-ended so both CDFs span 1
+    inner = edges[1:-1]
+    cq = np.concatenate(([0.0], base.cdf(inner), [1.0]))
+    cp = np.concatenate(([0.0], cur.cdf(inner), [1.0]))
+    q = np.maximum(np.diff(cq), eps)
+    p = np.maximum(np.diff(cp), eps)
+    return float(np.sum((p - q) * np.log(p / q)))
+
+
+def sketch_psi_drift(
+    sk_df: DataFrame,
+    baseline: QDigest,
+    key_col: str = "part_id",
+    n_buckets: int = 16,
+    threshold: float = 0.2,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-key PSI drift of sketched numeric distributions against a stored
+    baseline digest: ``(key, n_values, psi, drifted)`` — the PSI complement
+    of :func:`sketch_ks_drift` (KS is the max CDF gap; PSI weights the whole
+    distribution), same zero-rescan execution shape."""
+    blob = baseline.to_bytes()
+    key_sql = sk_df.schema[key_col].dataType.simpleString()
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        base = QDigest.from_bytes(blob)
+        for pdf in batches:
+            out = []
+            for k, sk_blob in zip(pdf[key_col], pdf["sketch"]):
+                d = QDigest.from_bytes(sk_blob)
+                psi = round(psi_from_digests(d, base, n_buckets), round_to)
+                out.append((k, d.n, psi, psi > threshold))
+            yield pd.DataFrame(out, columns=[key_col, "n_values", "psi", "drifted"])
+
+    return sk_df.mapInPandas(
+        go, f"{key_col} {key_sql}, n_values long, psi double, drifted boolean"
+    )
+
+
 def sketch_ks_drift(
     sk_df: DataFrame,
     baseline: QDigest,

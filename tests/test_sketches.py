@@ -249,3 +249,51 @@ def test_sketch_ks_drift_flags_planted_partition(spark):
     for p in range(8):
         if p != 5:
             assert got[p]["drifted"] is False, (p, got[p]["ks"])
+
+
+def _exact_psi(a: np.ndarray, b: np.ndarray, n_buckets=16, eps=1e-6) -> float:
+    """PSI with the same quantile-binned convention: edges at b's exact
+    quantiles, masses from exact empirical CDFs."""
+    edges = np.unique(np.quantile(b, np.linspace(0, 1, n_buckets + 1)))
+    inner = edges[1:-1]
+    ca = np.concatenate(([0.0], np.searchsorted(np.sort(a), inner, side="right") / a.size, [1.0]))
+    cb = np.concatenate(([0.0], np.searchsorted(np.sort(b), inner, side="right") / b.size, [1.0]))
+    p = np.maximum(np.diff(ca), eps)
+    q = np.maximum(np.diff(cb), eps)
+    return float(np.sum((p - q) * np.log(p / q)))
+
+
+def test_psi_from_digests_matches_exact():
+    base = RNG.normal(0, 1, 150_000)
+    for shift in (0.0, 0.3, 1.5):
+        cur = RNG.normal(shift, 1, 150_000)
+        est = sketches.psi_from_digests(
+            QDigest.from_values(cur), QDigest.from_values(base)
+        )
+        exact = _exact_psi(cur, base)
+        assert abs(est - exact) < max(0.02, 0.1 * exact), (shift, est, exact)
+    d = QDigest.from_values(base)
+    assert sketches.psi_from_digests(d, d) < 1e-6
+    # constant baseline doesn't crash
+    c = QDigest.from_values(np.full(1000, 7.0))
+    assert np.isfinite(sketches.psi_from_digests(d, c))
+
+
+def test_sketch_psi_drift_flags_planted_partition(spark):
+    df = generate_transcripts(spark, 40_000, seed=33, n_parts=8)
+    drifted = df.withColumn(
+        "text",
+        F.when(
+            F.col("part_id") == 2,
+            F.concat(F.col("text"), F.col("text"), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    sk = sketches.partition_sketches(drifted, "length(text)", "part_id")
+    base = sketches.merge_sketches(
+        sketches.partition_sketches(df, "length(text)", "part_id")
+    )
+    got = {r["part_id"]: r for r in sketches.sketch_psi_drift(sk, base, threshold=0.2).collect()}
+    assert got[2]["drifted"] is True
+    for p in range(8):
+        if p != 2:
+            assert got[p]["drifted"] is False, (p, got[p]["psi"])

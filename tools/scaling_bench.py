@@ -44,6 +44,12 @@ N_VECS = 120_000     # ivf corpus size (64-d)
 N_QUERIES = 256
 N_CHAIN = 2_500_000  # dedupchain base docs (+5% exact dups, +10% near twins)
 N_CONTAM = 500_000   # contamination corpus docs (eval: 1000 twins + 1000 unrelated)
+N_SKETCH = 320_000_000  # sketch-job turns: the t-digest build is so cheap
+# (~10 s-core per 20M rows) that at the shared 20M sizing the fixed ~6 s
+# serial floor (plan + Python worker startup + driver merge) dominates and
+# caps measurable 2->8 efficiency at ~0.45 — the same under-sized-numerator
+# effect measured for dedupchain in round 4. 320M puts ~170 s-core of
+# distributed work over the same floor.
 # Input sizes are chosen so distributed work dominates the fixed per-run
 # serial floor (Catalyst optimization + py4j plan construction, measured
 # ~3 s for the deepest plans and INDEPENDENT of the master). At the round-2
@@ -72,6 +78,7 @@ N_VECS = {n_vecs}
 N_QUERIES = {n_queries}
 N_CHAIN = {n_chain}
 N_CONTAM = {n_contam}
+N_SKETCH = {n_sketch}
 
 def gen_docs():
     # 40 pseudo-words from a 40k vocabulary (distinct docs stay below the
@@ -301,8 +308,8 @@ elif job == "sketch":
     from prompture_spark.operators import sketches as sk
     from prompture_spark.sources.transcripts import generate_transcripts
     if not os.path.exists(path):
-        generate_transcripts(spark, n_turns, seed=42, skew=True).repartition(
-            128).write.mode("overwrite").parquet(path)
+        generate_transcripts(spark, N_SKETCH, seed=42, skew=True).repartition(
+            256).write.mode("overwrite").parquet(path)
     df = spark.read.parquet(path)
     # exact truth for the in-run gate, computed once per materialized input
     meta_path = path + "_sketchmeta.json"
@@ -312,7 +319,7 @@ elif job == "sketch":
             json.dump({{"n": int(n), "s": int(s)}}, f)
     with open(meta_path) as f:
         meta = json.load(f)
-    units = n_turns
+    units = N_SKETCH
     def run_once():
         # two-stage t-digest build (mapInPandas partials -> applyInPandas
         # merge; shuffle carries ~3 KB blobs) + driver merge. Hard gate:
@@ -344,7 +351,7 @@ print(json.dumps({{"job": job, "master": master, "sec": med, "all": times,
 def run(job: str, master: str, n_turns: int, path: str) -> dict:
     script = CHILD.format(repo=REPO, n_docs=N_DOCS, n_vecs=N_VECS,
                            n_queries=N_QUERIES, n_chain=N_CHAIN,
-                           n_contam=N_CONTAM)
+                           n_contam=N_CONTAM, n_sketch=N_SKETCH)
     out = subprocess.run(
         [sys.executable, "-c", script, job, master, str(n_turns), path],
         capture_output=True, text=True, timeout=3600,
@@ -406,7 +413,13 @@ JOB_DESC = {
                  "on-the-fly mutated snapshot (~1% hash-purged, ~1% edited, "
                  "one exempt partition); expected per-partition statuses "
                  "asserted inside the timed run",
-    "sketch": "two-stage mergeable t-digest build over length(text) of {n:,} "
+    "sketch20m": "two-stage t-digest build at the initial 20,000,000-turn "
+                 "sizing (2 draws taken 2026-08-18 before the input was "
+                 "grown to 320M — the fixed ~6 s serial floor dominates "
+                 "the ~10 s-core of distributed work at this size and caps "
+                 "measurable 2\u21928 efficiency at ~0.45; retained — no draw "
+                 "is ever discarded)",
+    "sketch": f"two-stage mergeable t-digest build over length(text) of {N_SKETCH:,} "
               "skewed generated transcript turns (mapInPandas per-batch "
               "partials → applyInPandas per-partition merge — the shuffle "
               "carries ~3 KB digest blobs, not rows) + driver-side global "
@@ -439,7 +452,7 @@ def main() -> None:
         "dedupchain": f"/tmp/prompture_bench/chain_{N_CHAIN}",
         "contam": f"/tmp/prompture_bench/contam_{N_CONTAM}",
         "reconcile": f"/tmp/prompture_bench/turns_{n_turns}",
-        "sketch": f"/tmp/prompture_bench/turns_{n_turns}",
+        "sketch": f"/tmp/prompture_bench/turns_sketch_{N_SKETCH}",
     }
     ceil = cpu_ceiling()
     # results[job] = list of per-draw dicts; every draw reported, median graded
