@@ -122,6 +122,37 @@ def psi_vs_baseline(
     return psi(part_hist, base, threshold)
 
 
+def psi_numeric(
+    df: DataFrame,
+    value_expr: str = "length(text)",
+    partition_col: str = "part_id",
+    n_buckets: int = 64,
+    bucket_width: int = 64,
+    threshold: float = 0.2,
+    round_to: int = 6,
+) -> DataFrame:
+    """PSI of a NUMERIC expression per partition vs the whole table:
+    (part_id, psi, drifted). Values land in fixed-width buckets (same
+    convention as :func:`ks_statistic`), then the categorical PSI machinery
+    runs on the bucket histograms — KS answers "how far apart is the worst
+    CDF point", this weights the whole distribution. The exact oracle-backed
+    twin of the sketch path (sketches.sketch_psi_drift), mirroring the
+    drift_ks_text_len / sketch_ks_drift_text_len pair.
+
+    Shape: one map-side-partial hash agg over the scan, then everything is
+    histogram-sized (|parts| × |buckets|)."""
+    v = F.expr(value_expr)
+    bucket = F.least(
+        F.lit(n_buckets - 1), F.floor(v / F.lit(bucket_width)).cast("int")
+    ).alias("bucket")
+    rows = df.filter(v.isNotNull()).select(
+        F.col(partition_col).alias("part_id"), bucket
+    )
+    part_hist = categorical_histogram(rows, "bucket")
+    base = global_histogram(rows, "bucket")
+    return psi(part_hist, base, threshold, round_to)
+
+
 def ks_statistic(
     df: DataFrame,
     value_expr: str = "length(text)",

@@ -1683,6 +1683,44 @@ def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift.ks_statistic(df, "length(text)")
 
 
+_PSI_NUMERIC_ORACLE = (
+    ORACLE_TRANSCRIPTS_CTE
+    + """
+, _rows AS (
+  SELECT part_id, least(63, CAST(floor(length(text) / 64) AS INT)) AS bucket
+  FROM transcripts WHERE text IS NOT NULL
+),
+_c AS (SELECT part_id, bucket, count(*) AS cnt FROM _rows GROUP BY 1, 2),
+_t AS (SELECT part_id, sum(cnt) AS total FROM _c GROUP BY 1),
+_p AS (SELECT _c.part_id, bucket, CAST(cnt AS DOUBLE) / total AS freq
+       FROM _c JOIN _t ON _c.part_id = _t.part_id),
+_g AS (SELECT bucket, CAST(count(*) AS DOUBLE) /
+              (SELECT count(*) FROM _rows) AS base_freq
+       FROM _rows GROUP BY 1),
+_bk AS (SELECT bucket FROM _p UNION SELECT bucket FROM _g),
+_grid AS (SELECT part_id, bucket FROM (SELECT DISTINCT part_id FROM _p), _bk),
+_j AS (SELECT _grid.part_id, coalesce(_p.freq, 1e-6) AS p, coalesce(_g.base_freq, 1e-6) AS q
+       FROM _grid
+       LEFT JOIN _p ON _p.part_id = _grid.part_id AND _p.bucket = _grid.bucket
+       LEFT JOIN _g ON _g.bucket = _grid.bucket)
+SELECT part_id, round(sum((p - q) * ln(p / q)), 6) AS psi,
+       round(sum((p - q) * ln(p / q)), 6) > 0.2 AS drifted
+FROM _j GROUP BY part_id
+"""
+)
+
+
+@register("drift_psi_text_len", _PSI_NUMERIC_ORACLE)
+def q_drift_psi_text_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI of the text-length DISTRIBUTION per partition vs the whole table:
+    fixed-width buckets (the ks_statistic convention) through the categorical
+    PSI machinery. KS flags the worst single CDF gap; PSI weights the whole
+    distribution — the exact oracle-backed twin of the sketch-PSI serving
+    path (`sketch_psi_drift_text_len`)."""
+    df = transcripts_from_events(spark, sf_dir)
+    return drift.psi_numeric(df, "length(text)")
+
+
 # ---------------------------------------------------------------------------
 # Q: weighted / unanimous consensus (A6), multimodal plumbing
 # ---------------------------------------------------------------------------
@@ -4267,3 +4305,20 @@ def q_sketch_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     digests = digests.localCheckpoint(eager=True)  # built once, used twice
     baseline = sk.merge_sketches(digests)
     return sk.sketch_ks_drift(digests, baseline, threshold=0.1)
+
+
+@register("sketch_psi_drift_text_len")  # no oracle: PSI from t-digest CDFs is
+# engine-specific (exact bucketed twin: drift_psi_text_len, oracle-backed;
+# accuracy vs exact quantile-binned PSI pinned by tests/test_sketches.py)
+def q_sketch_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition PSI drift of length(text) computed ENTIRELY from
+    mergeable digests — the PSI complement of `sketch_ks_drift_text_len`,
+    same zero-rescan serving shape (stored ~3 KB baseline blob, per-key
+    digests only; see operators/sketches.py sketch_psi_drift)."""
+    from prompture_spark.operators import sketches as sk
+
+    df = transcripts_from_events(spark, sf_dir)
+    digests = sk.partition_sketches(df, "length(text)", "part_id")
+    digests = digests.localCheckpoint(eager=True)  # built once, used twice
+    baseline = sk.merge_sketches(digests)
+    return sk.sketch_psi_drift(digests, baseline, threshold=0.2)

@@ -50,3 +50,21 @@ def test_ks_statistic_partition_shift(spark):
     out = {r.part_id: r.ks for r in drift.ks_statistic(shifted).collect()}
     others = [v for p, v in out.items() if p != 5]
     assert out[5] > max(others) * 2  # the shifted partition stands out
+
+
+def test_psi_numeric_flags_length_shift(spark):
+    df = generate_transcripts(spark, 30000, n_convs=300, seed=13, skew=False)
+    shifted = df.withColumn(
+        "text",
+        F.when(F.col("part_id") == 5, F.concat(F.col("text"), F.lit(" " + "pad" * 40)))
+        .otherwise(F.col("text")),
+    )
+    out = {r.part_id: (r.psi, r.drifted)
+           for r in drift.psi_numeric(shifted, "length(text)").collect()}
+    assert out[5][1] is True, out
+    others = [v for p, (v, _) in out.items() if p != 5]
+    assert out[5][0] > max(others) * 2  # the shifted partition stands out
+    # unshifted, same generator everywhere -> near-zero PSI, no flags
+    clean = {r.part_id: (r.psi, r.drifted)
+             for r in drift.psi_numeric(df, "length(text)").collect()}
+    assert all(not flagged and v < 0.05 for v, flagged in clean.values()), clean
