@@ -13,12 +13,17 @@ This module is the Spark plumbing around
 :class:`prompture_spark.functions.qdigest.QDigest`:
 
 * :func:`partition_sketches` — two-stage build. Stage 1 is ``mapInPandas``:
-  each Arrow batch groups rows by the sketch key and emits one PARTIAL
-  digest blob per (key, batch) — map-side, no shuffle of row data. Stage 2
-  is ``groupBy(key).applyInPandas``: the shuffle carries only digest blobs
-  (~3 KB each), merged per key into one final digest. This is the classic
-  partial-agg/final-agg split Catalyst applies to built-in aggregates,
-  restated for a custom sketch type.
+  each TASK accumulates values per sketch key ACROSS its Arrow batches
+  (buffered, folded into a running digest at a fixed buffer size) and emits
+  one PARTIAL digest blob per (key, task) — map-side combine, no shuffle of
+  row data. Stage 2 is ``groupBy(key).applyInPandas``: the shuffle carries
+  only digest blobs (~3 KB each), merged per key into one final digest.
+  This is the classic partial-agg/final-agg split Catalyst applies to
+  built-in aggregates, restated for a custom sketch type. (Per-batch
+  emission — the original shape — was measured 2026-08-18 to cap 2→8 core
+  scaling at ~0.53 on a 320M-row build: |rows|/10k × |keys| blobs in the
+  shuffle and a |keys|-way-parallel merge stage unpickling 32k digests per
+  key; per-task emission cuts both by the batches-per-task factor, ~45×.)
 * :func:`sketch_stats` — decode per-key digests into stat rows: exact
   ``n / vmin / vmax / vsum`` (the digest carries them exactly — these fields
   are DuckDB-oracle-checkable) plus interpolated quantile estimates.
@@ -37,11 +42,14 @@ pass-stats idea (prompture/extraction/validator.py) with the mergeable-state
 pattern Deequ uses for KLL, built on the published t-digest algorithm
 (Dunning & Ertl) implemented independently in functions/qdigest.py.
 
-Scale notes (100 TB): stage-1 partials are per-Arrow-batch (~10k rows), so
-executor memory per task is O(delta) floats per live key; the stage-2
-shuffle moves |keys| x |batches| blobs — for the per-partition key that is
-thousands of rows total, never data-sized. The store read is |partitions|
-rows. Nothing here widens with row count except the one stage-1 scan.
+Scale notes (100 TB): stage-1 partials buffer at most ``_COMBINE_BUFFER``
+floats per live key per task (plus a global flush cap across keys), so
+executor memory per task is O(buffer + delta) per live key; the stage-2
+shuffle moves |keys| x |tasks| blobs — for the per-partition key that is
+thousands of rows total, never data-sized. High-cardinality sketch keys
+(e.g. conv_id) trip the global cap and degrade gracefully toward per-batch
+folding. The store read is |partitions| rows. Nothing here widens with row
+count except the one stage-1 scan.
 """
 
 from __future__ import annotations
@@ -56,6 +64,14 @@ from pyspark.sql.window import Window
 
 from prompture_spark.functions.qdigest import DEFAULT_DELTA, QDigest
 from prompture_spark.operators.reconcile import snapshot_summary
+
+# Map-side-combine buffers for stage-1 partials: fold a key's buffered
+# values into its running digest at _COMBINE_BUFFER values (1 MB of doubles);
+# if MANY keys are live in one task, flush everything at _COMBINE_CAP total
+# buffered values (32 MB) so per-task memory stays bounded regardless of key
+# cardinality.
+_COMBINE_BUFFER = 131_072
+_COMBINE_CAP = 4_194_304
 
 # ---------------------------------------------------------------------------
 # Two-stage distributed build
@@ -82,13 +98,46 @@ def partition_sketches(
     key_sql = base.schema["_k"].dataType.simpleString()
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        # map-side combine ACROSS Arrow batches: one digest per (key, TASK),
+        # not per (key, 10k-row batch). acc: key -> [digest|None, bufs, nbuf]
+        acc: dict = {}
+        total_buffered = 0
+
+        def fold(slot) -> None:
+            nonlocal total_buffered
+            nd = QDigest.from_values(np.concatenate(slot[1]), delta)
+            slot[0] = nd if slot[0] is None else QDigest.merge_all(
+                [slot[0], nd], delta
+            )
+            total_buffered -= slot[2]
+            slot[1], slot[2] = [], 0
+
         for pdf in batches:
             if pdf.empty:
                 continue
-            rows = [
-                (k, QDigest.from_values(g.to_numpy(), delta).to_bytes())
-                for k, g in pdf.groupby("_k", dropna=False, sort=False)["_v"]
-            ]
+            for k, g in pdf.groupby("_k", dropna=False, sort=False)["_v"]:
+                kk = None if pd.isna(k) else k
+                slot = acc.get(kk)
+                if slot is None:
+                    slot = acc[kk] = [None, [], 0]
+                slot[1].append(g.to_numpy())
+                slot[2] += g.size
+                total_buffered += g.size
+                if slot[2] >= _COMBINE_BUFFER:
+                    fold(slot)
+            if total_buffered >= _COMBINE_CAP:  # many live keys: flush all
+                for slot in acc.values():
+                    if slot[1]:
+                        fold(slot)
+        rows = []
+        for kk, slot in acc.items():
+            if slot[1]:
+                fold(slot)
+            if slot[0] is not None:
+                rows.append((kk, slot[0].to_bytes()))
+        if rows:
             yield pd.DataFrame(rows, columns=["_k", "sketch"])
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:

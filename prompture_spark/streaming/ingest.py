@@ -121,3 +121,85 @@ def stream_validate_batches(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_sketch_digests(
+    stream_df: DataFrame,
+    value_expr: str,
+    store_path: str,
+    checkpoint_path: str,
+    key_col: str = "part_id",
+    run_config_hash: str = "stream",
+    column: str | None = None,
+    baseline=None,
+    drift_sink: str | None = None,
+    drift_metric: str = "ks",
+    threshold: float = 0.1,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Continuously maintained per-key t-digest quantile state over an
+    append-only stream — the streaming twin of the batch sketch pipeline
+    (operators/sketches.py): each micro-batch builds its own partial digests
+    distributed (mapInPandas partials + applyInPandas merge; the only data
+    leaving the batch is |keys| ~3 KB blobs), folds them into the
+    SketchStore's current digests, and — when a ``baseline`` digest is given
+    — appends on-arrival KS/PSI drift rows per key to ``drift_sink``. The
+    monitored snapshot is NEVER rescanned: after N batches the store holds
+    one digest per key covering all N batches' rows.
+
+    Exactly-once across restarts: the store is append-only latest-wins, so a
+    replayed micro-batch must not re-fold its rows into an already-merged
+    digest. Each register stamps the digest rows with ``batch:<id>``; the
+    fold is skipped when the store's latest stamp is >= the incoming batch id
+    (micro-batch ids are monotone per checkpoint). A register that lands
+    before a checkpoint commit is therefore safe — the replay sees its own
+    stamp and no-ops.
+    """
+    from prompture_spark.functions.qdigest import QDigest
+    from prompture_spark.operators import sketches as sk
+
+    col_name = column or value_expr
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        store = sk.SketchStore(spark, store_path)
+        prior = store.read(run_config_hash, col_name).collect()
+        applied = [
+            int(r["checksum"].split(":", 1)[1])
+            for r in prior
+            if r["checksum"] and r["checksum"].startswith("batch:")
+        ]
+        if applied and batch_id <= max(applied):
+            return  # replayed batch: already folded into the store
+        # distributed per-batch build; |keys| blobs reach the driver
+        batch_sk = sk.partition_sketches(batch_df, value_expr, key_col)
+        cur = {r["partition_id"]: QDigest.from_bytes(r["sketch"]) for r in prior}
+        for r in batch_sk.collect():
+            d = QDigest.from_bytes(r["sketch"])
+            k = r[key_col]
+            cur[k] = QDigest.merge_all([cur[k], d]) if k in cur else d
+        rows = spark.createDataFrame(
+            [(int(k), f"batch:{batch_id}", d.to_bytes()) for k, d in cur.items()],
+            "partition_id int, checksum string, sketch binary",
+        )
+        store.register(run_config_hash, col_name, rows)
+        if drift_sink is not None and baseline is not None:
+            upd = store.read(run_config_hash, col_name).withColumnRenamed(
+                "partition_id", key_col
+            )
+            fn = sk.sketch_ks_drift if drift_metric == "ks" else sk.sketch_psi_drift
+            out = fn(upd, baseline, key_col=key_col, threshold=threshold)
+            out.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(drift_sink)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

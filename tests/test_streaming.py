@@ -435,3 +435,72 @@ def test_stream_sequence_check_matches_batch_in_order(spark, tmp_path):
         ).collect()
     }
     assert got == batch_got
+
+
+def test_stream_sketch_digests_exact_counts_and_replay(spark, tmp_path):
+    """Streamed per-partition digests: after two micro-batches the store's
+    digests carry EXACT per-partition n/sum over everything landed; drift
+    rows append per batch; a restart on the same checkpoint re-folds
+    nothing (the batch-stamp idempotence guard)."""
+    from prompture_spark.operators import sketches as sk
+    from prompture_spark.streaming.ingest import stream_sketch_digests
+
+    df = generate_transcripts(spark, 12000, n_convs=150, seed=11)
+    src = str(tmp_path / "land_sk")
+    # two files -> two micro-batches with maxFilesPerTrigger=1
+    df.filter(F.col("part_id") < 4).coalesce(1).write.mode("append").parquet(src)
+    df.filter(F.col("part_id") >= 4).coalesce(1).write.mode("append").parquet(src)
+
+    baseline = sk.merge_sketches(sk.partition_sketches(df, "length(text)"))
+    store_path = str(tmp_path / "sk_store")
+    drift_sink = str(tmp_path / "sk_drift")
+    ckpt = str(tmp_path / "sk_ckpt")
+
+    def start():
+        stream = (
+            spark.readStream.schema(TRANSCRIPT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return stream_sketch_digests(
+            stream, "length(text)", store_path, ckpt,
+            baseline=baseline, drift_sink=drift_sink,
+        )
+
+    start().awaitTermination(180)
+
+    store = sk.SketchStore(spark, store_path)
+    cur = store.read("stream", "length(text)").withColumnRenamed(
+        "partition_id", "part_id"
+    )
+    got = {r["part_id"]: r for r in sk.sketch_stats(cur).collect()}
+    expected = {
+        r["part_id"]: (r["n"], r["s"])
+        for r in df.groupBy("part_id")
+        .agg(F.count("text").alias("n"), F.sum(F.length("text")).alias("s"))
+        .collect()
+    }
+    assert set(got) == set(expected)
+    for p, (n, s) in expected.items():
+        assert got[p]["n_values"] == n, (p, got[p]["n_values"], n)
+        assert got[p]["sum_value"] == float(s), (p, got[p]["sum_value"], s)
+
+    drift = spark.read.parquet(drift_sink)
+    batch_ids = {r["batch_id"] for r in drift.select("batch_id").distinct().collect()}
+    assert len(batch_ids) == 2
+    # final batch covers the whole table the baseline was built from: no drift
+    final = drift.filter(F.col("batch_id") == max(batch_ids))
+    assert final.count() == len(expected)
+    assert final.filter(F.col("drifted")).count() == 0
+
+    # restart on the same checkpoint: no new input -> nothing re-folded
+    n_store_rows = spark.read.parquet(store_path).count()
+    start().awaitTermination(120)
+    assert spark.read.parquet(store_path).count() == n_store_rows
+    for p, (n, _) in expected.items():
+        cur2 = store.read("stream", "length(text)").withColumnRenamed(
+            "partition_id", "part_id"
+        )
+        got2 = {r["part_id"]: r["n_values"] for r in sk.sketch_stats(cur2).collect()}
+        assert got2[p] == n
+        break  # one key suffices; the store row count already pins the rest
