@@ -98,6 +98,30 @@ class QDigest:
         return cls(means, weights, v.size, v[0], v[-1], v.sum(), delta)
 
     @classmethod
+    def from_weighted(
+        cls, values: np.ndarray, weights: np.ndarray, delta: int = DEFAULT_DELTA
+    ) -> "QDigest":
+        """Digest of pre-aggregated ``(value, weight)`` points — the input
+        shape produced by a JVM-side ``groupBy(value).count()`` collapse of
+        integer-valued data. Exact fields are computed from the weighted
+        points (``n = Σw``, ``sum = Σ v·w``), so they equal what
+        :meth:`from_values` would return on the expanded stream; centroid
+        layout may differ (both are valid t-digests of the same
+        distribution, same rank-error bound)."""
+        v = np.asarray(values, dtype=np.float64)
+        w = np.asarray(weights, dtype=np.float64)
+        keep = ~np.isnan(v) & (w > 0)
+        v, w = v[keep], w[keep]
+        if v.size == 0:
+            return cls.empty(delta)
+        order = np.argsort(v, kind="stable")
+        v, w = v[order], w[order]
+        means, weights_out = _cluster(v, w, delta)
+        return cls(
+            means, weights_out, int(w.sum()), v[0], v[-1], float((v * w).sum()), delta
+        )
+
+    @classmethod
     def merge_all(cls, digests: list["QDigest"], delta: int | None = None) -> "QDigest":
         """Merge any number of digests: concatenate centroids, sort by mean,
         re-cluster. Associative up to the documented rank-error bound."""

@@ -78,11 +78,15 @@ _COMBINE_CAP = 4_194_304
 # ---------------------------------------------------------------------------
 
 
+_INTEGRAL_SQL_TYPES = frozenset({"tinyint", "smallint", "int", "bigint", "boolean"})
+
+
 def partition_sketches(
     df: DataFrame,
     value_col: str,
     key_col: str = "part_id",
     delta: int = DEFAULT_DELTA,
+    pre_aggregate: bool | None = None,
 ) -> DataFrame:
     """One t-digest per ``key_col`` value over numeric ``value_col``.
 
@@ -90,11 +94,30 @@ def partition_sketches(
     name or SQL expression (it is evaluated JVM-side into a double before
     the Arrow hop, so e.g. ``length(text)`` never ships text bytes to
     Python). Nulls/NaNs are excluded, matching SQL aggregate semantics.
+
+    ``pre_aggregate`` (default: auto by the expression's resolved type)
+    collapses integer-valued expressions JVM-side with
+    ``groupBy(key, value).count()`` BEFORE the Arrow hop, so Python receives
+    |distinct (key, value)| weighted points instead of |rows| values. This is
+    the decisive scaling lever: a 2026-08-18 decomposition probe on the 320M-
+    row build (tools/probe_sketch.py) measured the Arrow transfer itself —
+    with a trivial Python consumer — at 178.5 s on local[2] vs 41.4 s for the
+    identical JVM-only scan+projection, and scaling 2→8 cores at only 0.49
+    while the JVM scan scaled at ~1.0. Text lengths / token counts / turn
+    indexes have at most a few thousand distinct values per key, so the
+    collapse turns the Arrow hop into a metadata-sized transfer and leaves
+    the job dominated by the perfectly-scaling JVM hash aggregate. The
+    digest built from weighted points carries identical exact n/min/max/sum
+    and the same rank-error bound (pinned by tests). Continuous (double)
+    expressions keep the row path — their distinct count can approach |rows|,
+    which would make the collapse shuffle data-sized.
     """
-    base = df.select(
-        F.col(key_col).alias("_k"),
-        F.expr(value_col).cast("double").alias("_v"),
-    )
+    raw = df.select(F.col(key_col).alias("_k"), F.expr(value_col).alias("_vr"))
+    if pre_aggregate is None:
+        pre_aggregate = (
+            raw.schema["_vr"].dataType.simpleString() in _INTEGRAL_SQL_TYPES
+        )
+    base = raw.select("_k", F.col("_vr").cast("double").alias("_v"))
     key_sql = base.schema["_k"].dataType.simpleString()
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -140,13 +163,69 @@ def partition_sketches(
         if rows:
             yield pd.DataFrame(rows, columns=["_k", "sketch"])
 
+    def weighted_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        # same per-task combine as `partials`, but each buffered element is a
+        # (value, weight) point from the JVM-side collapse. Buffers fold at
+        # the same thresholds so pathological cardinality (e.g. sketching a
+        # unique bigint id with pre_aggregate forced on) stays bounded.
+        acc: dict = {}
+        total_buffered = 0
+
+        def fold(slot) -> None:
+            nonlocal total_buffered
+            nd = QDigest.from_weighted(
+                np.concatenate(slot[1]), np.concatenate(slot[2]), delta
+            )
+            slot[0] = nd if slot[0] is None else QDigest.merge_all(
+                [slot[0], nd], delta
+            )
+            total_buffered -= slot[3]
+            slot[1], slot[2], slot[3] = [], [], 0
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            for k, g in pdf.groupby("_k", dropna=False, sort=False):
+                kk = None if pd.isna(k) else k
+                slot = acc.get(kk)
+                if slot is None:
+                    slot = acc[kk] = [None, [], [], 0]
+                slot[1].append(g["_v"].to_numpy())
+                slot[2].append(g["_w"].to_numpy())
+                slot[3] += len(g)
+                total_buffered += len(g)
+                if slot[3] >= _COMBINE_BUFFER:
+                    fold(slot)
+            if total_buffered >= _COMBINE_CAP:
+                for slot in acc.values():
+                    if slot[1]:
+                        fold(slot)
+        rows = []
+        for kk, slot in acc.items():
+            if slot[1]:
+                fold(slot)
+            if slot[0] is not None:
+                rows.append((kk, slot[0].to_bytes()))
+        if rows:
+            yield pd.DataFrame(rows, columns=["_k", "sketch"])
+
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         merged = QDigest.merge_all(
             [QDigest.from_bytes(b) for b in pdf["sketch"]], delta
         )
         return pd.DataFrame({"_k": [pdf["_k"].iloc[0]], "sketch": [merged.to_bytes()]})
 
-    partial = base.mapInPandas(partials, f"_k {key_sql}, sketch binary")
+    if pre_aggregate:
+        pts = (
+            base.filter(F.col("_v").isNotNull())
+            .groupBy("_k", "_v")
+            .agg(F.count(F.lit(1)).alias("_w"))
+        )
+        partial = pts.mapInPandas(weighted_partials, f"_k {key_sql}, sketch binary")
+    else:
+        partial = base.mapInPandas(partials, f"_k {key_sql}, sketch binary")
     out = partial.groupBy("_k").applyInPandas(merge, f"_k {key_sql}, sketch binary")
     return out.withColumnRenamed("_k", key_col)
 

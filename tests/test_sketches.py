@@ -297,3 +297,62 @@ def test_sketch_psi_drift_flags_planted_partition(spark):
     for p in range(8):
         if p != 2:
             assert got[p]["drifted"] is False, (p, got[p]["psi"])
+
+
+# ---------------------------------------------------------------------------
+# JVM-side collapse (pre_aggregate) path
+# ---------------------------------------------------------------------------
+
+
+def test_from_weighted_matches_expanded_build():
+    vals = RNG.integers(0, 500, 5_000).astype(float)
+    uniq, counts = np.unique(vals, return_counts=True)
+    dw = QDigest.from_weighted(uniq, counts)
+    de = QDigest.from_values(vals)
+    assert dw.n == de.n == vals.size
+    assert dw.vmin == de.vmin and dw.vmax == de.vmax
+    assert dw.vsum == pytest.approx(de.vsum)
+    assert _rank_error(dw, vals, QS) <= 0.016
+    # zero-weight and NaN points are dropped, empty input -> empty digest
+    dz = QDigest.from_weighted([1.0, np.nan, 2.0], [0.0, 5.0, 3.0])
+    assert dz.n == 3 and dz.vmin == 2.0
+    assert QDigest.from_weighted([], []).n == 0
+
+
+def _optimized_plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_pre_aggregate_auto_detection(spark):
+    df = generate_transcripts(spark, 2_000, seed=5, n_parts=4)
+    # integer-valued expression -> JVM-side groupBy(key, value).count()
+    assert "count(1)" in _optimized_plan(
+        sketches.partition_sketches(df, "length(text)", "part_id")
+    )
+    # continuous double expression -> row path (collapse would be data-sized)
+    assert "count(1)" not in _optimized_plan(
+        sketches.partition_sketches(
+            df, "cast(length(text) as double) / 7.0", "part_id"
+        )
+    )
+
+
+def test_pre_aggregate_paths_agree(spark):
+    df = generate_transcripts(spark, 30_000, seed=13, n_parts=4)
+    rows = {}
+    for pre in (True, False):
+        sk = sketches.partition_sketches(df, "length(text)", "part_id", pre_aggregate=pre)
+        rows[pre] = {
+            r["part_id"]: r
+            for r in sketches.sketch_stats(sk, quantiles=(0.5, 0.99)).collect()
+        }
+    assert set(rows[True]) == set(rows[False])
+    for p, a in rows[True].items():
+        b = rows[False][p]
+        # exact fields identical; quantiles both within the digest bound
+        assert a["n_values"] == b["n_values"]
+        assert a["min_value"] == b["min_value"]
+        assert a["max_value"] == b["max_value"]
+        assert a["sum_value"] == b["sum_value"]
+        assert abs(a["p50"] - b["p50"]) <= max(2.0, 0.02 * b["p50"])
+        assert abs(a["p99"] - b["p99"]) <= max(3.0, 0.03 * b["p99"])

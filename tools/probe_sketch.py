@@ -1,0 +1,66 @@
+"""Decomposition probe for the sketch scaling wall (round 5).
+
+Times four successive prefixes of the sketch job at one master, printing one
+JSON line per stage. Run at local[2]/local[8]/local[32] to find which stage
+stops scaling. Usage: python tools/probe_sketch.py 'local[8]' [path]
+"""
+import json
+import sys
+import time
+from typing import Iterator
+
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import functions as F
+
+from prompture_spark import get_spark
+
+master = sys.argv[1]
+path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/prompture_bench/turns_sketch_320000000"
+
+spark = get_spark(app_name=f"probe-sketch-{master}", master=master,
+                  shuffle_partitions=64,
+                  extra_conf={"spark.sql.files.maxPartitionBytes": "16m"})
+spark.sparkContext.setLogLevel("ERROR")
+df = spark.read.parquet(path)
+
+
+def timed(name, fn, reps=2):
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    print(json.dumps({"stage": name, "master": master, "best_sec": round(best, 2)}),
+          flush=True)
+
+
+# (a) pure JVM scan + scalar agg over length(text)
+timed("scan_sum_len", lambda: df.select(F.sum(F.length("text"))).collect())
+
+# (b) the exact pre-Arrow projection of partition_sketches, JVM-only drain
+base = df.select(F.col("part_id").alias("_k"),
+                 F.expr("length(text)").cast("double").alias("_v"))
+timed("proj_sum", lambda: base.select(F.sum("_v"), F.count("_k")).collect())
+
+
+# (c) Arrow hop: mapInPandas that consumes every batch, emits one row/task
+def drain(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    n = 0
+    for pdf in batches:
+        n += len(pdf)
+    yield pd.DataFrame({"n": [n]})
+
+
+timed("arrow_drain",
+      lambda: base.mapInPandas(drain, "n bigint").select(F.sum("n")).collect())
+
+# (d) full two-stage sketch build + driver merge
+from prompture_spark.operators import sketches as sk  # noqa: E402
+
+timed("full_sketch",
+      lambda: sk.merge_sketches(sk.partition_sketches(df, "length(text)", "part_id")))
+
+spark.stop()
