@@ -1,0 +1,156 @@
+"""Mergeable HyperLogLog distinct-count sketch, vectorized in numpy.
+
+The north-star metric set names "distinct via approx_count_distinct/HLL" as
+a per-column stat aggregated per partition (BASELINE.json). Spark's built-in
+``approx_count_distinct`` IS an HLL++ — but, exactly like
+``percentile_approx`` (see functions/qdigest.py), its sketch state is opaque:
+it cannot be persisted per partition and re-merged across runs. This dense
+HLL can — per-partition register blobs land in the same ``SketchStore`` as
+the t-digests, unchanged partitions carry forward byte-identical, and a
+global distinct count after 1/8 churn costs one scan of the changed eighth
+plus an elementwise-max merge of |partitions| ~4 KB blobs.
+
+The Spark-side build (operators/sketches.py:partition_hlls) applies the
+round-5 collapse lesson from the start: registers are computed ENTIRELY
+JVM-side as ``groupBy(key, shiftrightunsigned(xxhash64(v), 64-p))
+.agg(min(w))`` — a codegen'd hash aggregate whose output is at most
+``m = 2**p`` rows per key — so the Arrow hop only ever carries register
+maxima, never rows. rho (leading-zero rank) is derived from the collapsed
+``min(w)`` because rho is maximal exactly where the suffix w is minimal.
+
+Published algorithm: Flajolet, Fusy, Gandouet & Meunier, "HyperLogLog: the
+analysis of a near-optimal cardinality estimation algorithm" (2007), with
+the 64-bit-hash simplification of Heule, Nunkesser & Hall (HLL++, 2013) —
+no 2^32 large-range correction is needed; small-range linear counting kept.
+Independent numpy implementation; hashing is Spark's own ``xxhash64``.
+
+Standard error ~ 1.04 / sqrt(m): p=12 (4096 registers, 4 KB) gives ~1.6%.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+DEFAULT_P = 12
+
+# wire format: magic 'H1', p int32, then m = 2**p uint8 registers.
+_HEADER = struct.Struct("<2si")
+_MAGIC = b"H1"
+
+
+def _alpha(m: int) -> float:
+    if m >= 128:
+        return 0.7213 / (1.0 + 1.079 / m)
+    return {16: 0.673, 32: 0.697, 64: 0.709}[m]
+
+
+class HLLSketch:
+    """Immutable dense HLL: ``m = 2**p`` uint8 registers."""
+
+    __slots__ = ("registers", "p")
+
+    def __init__(self, registers: np.ndarray, p: int = DEFAULT_P):
+        self.registers = np.asarray(registers, dtype=np.uint8)
+        if self.registers.size != 1 << p:
+            raise ValueError(f"expected {1 << p} registers, got {self.registers.size}")
+        self.p = p
+
+    @classmethod
+    def empty(cls, p: int = DEFAULT_P) -> "HLLSketch":
+        return cls(np.zeros(1 << p, dtype=np.uint8), p)
+
+    @classmethod
+    def from_hashes(cls, hashes: np.ndarray, p: int = DEFAULT_P) -> "HLLSketch":
+        """Build from raw 64-bit hash values (int64/uint64). Test/driver-side
+        twin of the Spark build — the distributed path never materializes
+        per-row hashes in Python."""
+        h = np.asarray(hashes).view(np.uint64) if np.asarray(hashes).dtype == np.int64 \
+            else np.asarray(hashes, dtype=np.uint64)
+        if h.size == 0:
+            return cls.empty(p)
+        q = 64 - p
+        idx = (h >> np.uint64(q)).astype(np.int64)
+        w = h & np.uint64((1 << q) - 1)
+        rho = _rho_from_w(w, q)
+        regs = np.zeros(1 << p, dtype=np.uint8)
+        np.maximum.at(regs, idx, rho)
+        return cls(regs, p)
+
+    @classmethod
+    def from_register_maxima(
+        cls, indexes: np.ndarray, min_w: np.ndarray, p: int = DEFAULT_P
+    ) -> "HLLSketch":
+        """Build from the collapsed Spark aggregate: per observed register
+        index, the MINIMUM hash suffix w (rho is maximal where w is minimal,
+        so min(w) losslessly determines the register value)."""
+        idx = np.asarray(indexes, dtype=np.int64)
+        w = np.asarray(min_w).view(np.uint64) if np.asarray(min_w).dtype == np.int64 \
+            else np.asarray(min_w, dtype=np.uint64)
+        regs = np.zeros(1 << p, dtype=np.uint8)
+        if idx.size:
+            regs[idx] = _rho_from_w(w, 64 - p)
+        return cls(regs, p)
+
+    @classmethod
+    def merge_all(cls, sketches: list["HLLSketch"], p: int | None = None) -> "HLLSketch":
+        """Elementwise register max — exact: merged registers equal what a
+        single build over the union of inputs would produce."""
+        live = [s for s in sketches]
+        if p is None:
+            p = live[0].p if live else DEFAULT_P
+        if not live:
+            return cls.empty(p)
+        if any(s.p != p for s in live):
+            raise ValueError("cannot merge HLL sketches of different precision")
+        out = live[0].registers
+        for s in live[1:]:
+            out = np.maximum(out, s.registers)
+        return cls(out.copy(), p)
+
+    def estimate(self) -> int:
+        """Cardinality estimate: raw harmonic-mean estimator with
+        small-range linear counting (Flajolet et al. §4; 64-bit hash, so no
+        large-range correction per Heule et al.)."""
+        m = self.registers.size
+        regs = self.registers.astype(np.float64)
+        raw = _alpha(m) * m * m / np.sum(np.exp2(-regs))
+        zeros = int(np.count_nonzero(self.registers == 0))
+        if raw <= 2.5 * m and zeros > 0:
+            return int(round(m * np.log(m / zeros)))
+        return int(round(raw))
+
+    def __len__(self) -> int:
+        return self.registers.size
+
+    def to_bytes(self) -> bytes:
+        return _HEADER.pack(_MAGIC, self.p) + self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "HLLSketch":
+        magic, p = _HEADER.unpack_from(blob)
+        if magic != _MAGIC:
+            raise ValueError("not an HLL sketch blob")
+        regs = np.frombuffer(blob, dtype=np.uint8, count=1 << p, offset=_HEADER.size)
+        return cls(regs.copy(), p)
+
+
+def _rho_from_w(w: np.ndarray, q: int) -> np.ndarray:
+    """rho = leading zeros of the q-bit suffix w, plus 1; w == 0 -> q + 1.
+    Vectorized via the exact float64 exponent of w (q <= 63 < 2^53 so every
+    q-bit integer converts exactly... not quite: only integers < 2^53 are
+    exact. For q > 53 a rounded-up mantissa could inflate floor(log2) by one
+    ONLY when w rounds to exactly 2^k; bit_length via the exponent of the
+    ROUNDED-DOWN neighbor avoids that: use frexp on w with the low bits
+    masked off once w exceeds 2^52."""
+    w = np.asarray(w, dtype=np.uint64)
+    # for w >= 2^52, drop low bits before the float conversion — they cannot
+    # change bit_length, and masking guarantees the conversion is exact
+    big = w >= np.uint64(1 << 52)
+    safe = np.where(big, w & ~np.uint64((1 << 11) - 1), w)
+    f = safe.astype(np.float64)
+    # frexp: f = mant * 2**exp with mant in [0.5, 1) -> exp == bit_length
+    _, exp = np.frexp(f)
+    rho = (q + 1 - exp).astype(np.uint8)
+    return np.where(w == 0, np.uint8(q + 1), rho)

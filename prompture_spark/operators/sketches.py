@@ -27,6 +27,10 @@ This module is the Spark plumbing around
 * :func:`sketch_stats` — decode per-key digests into stat rows: exact
   ``n / vmin / vmax / vsum`` (the digest carries them exactly — these fields
   are DuckDB-oracle-checkable) plus interpolated quantile estimates.
+* :func:`partition_hlls` / :func:`merge_hlls` / :func:`hll_stats` /
+  :func:`incremental_hlls` — the same store/merge/carry-forward story for
+  DISTINCT counts (functions/hll.py), with the register build a single
+  codegen'd JVM hash aggregate (no row ever crosses into Python).
 * :class:`SketchStore` — append-only parquet of per-partition digest blobs
   keyed by (run_config_hash, partition, column) with the partition's
   content checksum, latest row wins (same durability pattern as
@@ -62,6 +66,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from prompture_spark.functions.hll import DEFAULT_P, HLLSketch
 from prompture_spark.functions.qdigest import DEFAULT_DELTA, QDigest
 from prompture_spark.operators.reconcile import snapshot_summary
 
@@ -275,6 +280,75 @@ def sketch_stats(
 
 
 # ---------------------------------------------------------------------------
+# Mergeable HLL distinct sketches (same store/merge/incremental story)
+# ---------------------------------------------------------------------------
+
+
+def partition_hlls(
+    df: DataFrame,
+    value_col: str,
+    key_col: str = "part_id",
+    p: int = DEFAULT_P,
+) -> DataFrame:
+    """One HLL distinct sketch per ``key_col`` value over ``value_col``
+    (column name or SQL expression). Returns ``(key_col, sketch binary)``.
+
+    The entire register computation is ONE codegen'd JVM hash aggregate —
+    ``groupBy(key, top-p-bits-of-xxhash64).agg(min(low-bits))`` — because the
+    register value rho (leading zeros of the hash suffix, +1) is maximal
+    exactly where the suffix is minimal, so ``min(w)`` losslessly determines
+    it. The Arrow hop only carries the collapsed register maxima (at most
+    ``2**p`` rows per key, 4096 at the default p=12), never rows: the lesson
+    from the t-digest Arrow-wall decomposition (tools/probe_sketch.py,
+    2026-08-18) applied from the start. Nulls are excluded, matching
+    ``count_distinct`` semantics; estimate standard error ~1.04/sqrt(2**p)
+    (~1.6% at p=12).
+    """
+    q = 64 - p
+    base = df.select(
+        F.col(key_col).alias("_k"), F.expr(value_col).alias("_v")
+    ).filter(F.col("_v").isNotNull())
+    key_sql = base.schema["_k"].dataType.simpleString()
+    h = F.xxhash64("_v")
+    pts = base.groupBy(
+        F.col("_k"), F.shiftrightunsigned(h, q).alias("_reg")
+    ).agg(F.min(h.bitwiseAND(F.lit((1 << q) - 1))).alias("_minw"))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = HLLSketch.from_register_maxima(
+            pdf["_reg"].to_numpy(), pdf["_minw"].to_numpy(), p
+        )
+        return pd.DataFrame({"_k": [pdf["_k"].iloc[0]], "sketch": [sk.to_bytes()]})
+
+    out = pts.groupBy("_k").applyInPandas(pack, f"_k {key_sql}, sketch binary")
+    return out.withColumnRenamed("_k", key_col)
+
+
+def merge_hlls(sk_df: DataFrame) -> HLLSketch:
+    """Driver-side merge into one global sketch (elementwise register max —
+    exact: equals a single build over the union). Collects |keys| ~4 KB
+    blobs, metadata-sized by construction."""
+    return HLLSketch.merge_all(
+        [HLLSketch.from_bytes(r["sketch"]) for r in sk_df.select("sketch").collect()]
+    )
+
+
+def hll_stats(sk_df: DataFrame, key_col: str = "part_id") -> DataFrame:
+    """Decode ``(key, sketch)`` HLL rows into ``(key, approx_distinct)``."""
+    key_sql = sk_df.schema[key_col].dataType.simpleString()
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                (k, HLLSketch.from_bytes(b).estimate())
+                for k, b in zip(pdf[key_col], pdf["sketch"])
+            ]
+            yield pd.DataFrame(out, columns=[key_col, "approx_distinct"])
+
+    return sk_df.mapInPandas(decode, f"{key_col} {key_sql}, approx_distinct long")
+
+
+# ---------------------------------------------------------------------------
 # Sketch-based drift: KS between digests (no rescan of either side)
 # ---------------------------------------------------------------------------
 
@@ -469,9 +543,63 @@ def incremental_sketches(
     rows), one value scan restricted to changed/added partitions, and a
     |partitions|-row store read — never a full rescan of carried data.
     """
+    return _incremental_blobs(
+        store,
+        new_df,
+        lambda scan: partition_sketches(scan, value_col, part_col, delta),
+        value_col,
+        content_cols,
+        prev_config_hash,
+        new_config_hash,
+        part_col,
+    )
+
+
+def incremental_hlls(
+    store: SketchStore,
+    new_df: DataFrame,
+    value_col: str,
+    content_cols: list[str],
+    prev_config_hash: str,
+    new_config_hash: str,
+    part_col: str = "part_id",
+    p: int = DEFAULT_P,
+) -> tuple[DataFrame, dict]:
+    """HLL twin of :func:`incremental_sketches`: distinct-count sketches of
+    a new snapshot with unchanged partitions' register blobs carried forward
+    byte-identical from the store. Store rows are namespaced under
+    ``hll:<value_col>`` so a t-digest and an HLL of the same column coexist
+    under one run config hash. A global approx-distinct after 1/8 churn is
+    then :func:`merge_hlls` over the returned frame — one scan of the
+    changed eighth, no full rescan."""
+    return _incremental_blobs(
+        store,
+        new_df,
+        lambda scan: partition_hlls(scan, value_col, part_col, p),
+        f"hll:{value_col}",
+        content_cols,
+        prev_config_hash,
+        new_config_hash,
+        part_col,
+    )
+
+
+def _incremental_blobs(
+    store: SketchStore,
+    new_df: DataFrame,
+    build,
+    store_column: str,
+    content_cols: list[str],
+    prev_config_hash: str,
+    new_config_hash: str,
+    part_col: str = "part_id",
+) -> tuple[DataFrame, dict]:
+    """Shared carry-forward engine for any per-partition mergeable blob:
+    ``build(scan)`` must return one ``(part_col, sketch)`` row per partition
+    of ``scan``."""
     spark = new_df.sparkSession
     new_sum = snapshot_summary(new_df, part_col, content_cols)
-    prev = store.read(prev_config_hash, value_col)
+    prev = store.read(prev_config_hash, store_column)
     # |partitions| rows; collected once — classification + registration reuse it
     j = (
         new_sum.join(
@@ -496,7 +624,7 @@ def incremental_sketches(
     parts_new: DataFrame | None = None
     if changed:
         scan = new_df.filter(F.col(part_col).isin(changed))
-        parts_new = partition_sketches(scan, value_col, part_col, delta).select(
+        parts_new = build(scan).select(
             F.col(part_col).alias("partition_id"), "sketch"
         )
 
@@ -520,8 +648,8 @@ def incremental_sketches(
         [(int(p), c) for p, c in checksums.items()], "partition_id int, checksum string"
     )
     registered = out.join(cks, "partition_id", "left")
-    store.register(new_config_hash, value_col, registered)
+    store.register(new_config_hash, store_column, registered)
     info = {"carried": sorted(carried), "recomputed": changed}
-    return store.read(new_config_hash, value_col).select(
+    return store.read(new_config_hash, store_column).select(
         "partition_id", "sketch"
     ), info

@@ -4322,3 +4322,42 @@ def q_sketch_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     digests = digests.localCheckpoint(eager=True)  # built once, used twice
     baseline = sk.merge_sketches(digests)
     return sk.sketch_psi_drift(digests, baseline, threshold=0.2)
+
+
+_DISTINCT_TEXT_ORACLE = (
+    ORACLE_TRANSCRIPTS_CTE
+    + """
+SELECT part_id, CAST(count(DISTINCT text) AS BIGINT) AS distinct_text
+FROM transcripts GROUP BY part_id
+"""
+)
+
+
+@register("distinct_text_per_partition", _DISTINCT_TEXT_ORACLE)
+def q_distinct_text_per_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-partition distinct count of text — the oracle-backed twin
+    of `hll_distinct_text_per_partition`. Exact distinct at 10^12 rows is a
+    full shuffle of every distinct key; this stays registered as the
+    correctness anchor while the HLL twin is the serving path."""
+    df = transcripts_from_events(spark, sf_dir)
+    return df.groupBy("part_id").agg(
+        F.countDistinct("text").alias("distinct_text")
+    )
+
+
+@register("hll_distinct_text_per_partition")  # no oracle: HLL estimates are
+# engine-specific (exact twin: distinct_text_per_partition, oracle-green;
+# accuracy + exact-merge pinned by tests/test_hll.py)
+def q_hll_distinct_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition approx-distinct of text from MERGEABLE HLL register
+    blobs (operators/sketches.py partition_hlls). Unlike
+    `approx_count_distinct` (same algorithm, opaque state), these sketches
+    persist per partition in the SketchStore and carry forward across
+    snapshots byte-identical (incremental_hlls), so a global distinct after
+    1/8 churn costs one scan of the changed eighth plus an elementwise-max
+    merge of |partitions| 4 KB blobs. The register build is one codegen'd
+    JVM hash aggregate — no row ever crosses the Arrow boundary."""
+    from prompture_spark.operators import sketches as sk
+
+    df = transcripts_from_events(spark, sf_dir)
+    return sk.hll_stats(sk.partition_hlls(df, "text", "part_id"))

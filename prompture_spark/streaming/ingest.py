@@ -136,6 +136,7 @@ def stream_sketch_digests(
     drift_metric: str = "ks",
     threshold: float = 0.1,
     trigger_available_now: bool = True,
+    sketch_kind: str = "tdigest",
 ) -> StreamingQuery:
     """Continuously maintained per-key t-digest quantile state over an
     append-only stream — the streaming twin of the batch sketch pipeline
@@ -154,11 +155,23 @@ def stream_sketch_digests(
     (micro-batch ids are monotone per checkpoint). A register that lands
     before a checkpoint commit is therefore safe — the replay sees its own
     stamp and no-ops.
+
+    ``sketch_kind="hll"`` maintains mergeable DISTINCT-count registers
+    instead (functions/hll.py; store rows namespaced ``hll:<column>``, same
+    replay-idempotent stamps). HLL merge is an exact elementwise max, so the
+    maintained state equals a batch build over every row ever streamed —
+    drift args are ignored for this kind (quantile drift is digest-specific).
     """
+    from prompture_spark.functions.hll import HLLSketch
     from prompture_spark.functions.qdigest import QDigest
     from prompture_spark.operators import sketches as sk
 
+    if sketch_kind not in ("tdigest", "hll"):
+        raise ValueError(f"unknown sketch_kind {sketch_kind!r}")
+    is_hll = sketch_kind == "hll"
     col_name = column or value_expr
+    if is_hll:
+        col_name = f"hll:{col_name}"
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -174,18 +187,22 @@ def stream_sketch_digests(
         if applied and batch_id <= max(applied):
             return  # replayed batch: already folded into the store
         # distributed per-batch build; |keys| blobs reach the driver
-        batch_sk = sk.partition_sketches(batch_df, value_expr, key_col)
-        cur = {r["partition_id"]: QDigest.from_bytes(r["sketch"]) for r in prior}
+        codec = HLLSketch if is_hll else QDigest
+        if is_hll:
+            batch_sk = sk.partition_hlls(batch_df, value_expr, key_col)
+        else:
+            batch_sk = sk.partition_sketches(batch_df, value_expr, key_col)
+        cur = {r["partition_id"]: codec.from_bytes(r["sketch"]) for r in prior}
         for r in batch_sk.collect():
-            d = QDigest.from_bytes(r["sketch"])
+            d = codec.from_bytes(r["sketch"])
             k = r[key_col]
-            cur[k] = QDigest.merge_all([cur[k], d]) if k in cur else d
+            cur[k] = codec.merge_all([cur[k], d]) if k in cur else d
         rows = spark.createDataFrame(
             [(int(k), f"batch:{batch_id}", d.to_bytes()) for k, d in cur.items()],
             "partition_id int, checksum string, sketch binary",
         )
         store.register(run_config_hash, col_name, rows)
-        if drift_sink is not None and baseline is not None:
+        if drift_sink is not None and baseline is not None and not is_hll:
             upd = store.read(run_config_hash, col_name).withColumnRenamed(
                 "partition_id", key_col
             )

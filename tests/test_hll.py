@@ -1,0 +1,180 @@
+"""Mergeable HLL distinct sketches: estimator accuracy, exact merge,
+serialization, the JVM-collapsed Spark build, and incremental carry-forward."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from prompture_spark.functions.hll import HLLSketch, _rho_from_w
+from prompture_spark.operators import sketches
+from prompture_spark.sources.transcripts import generate_transcripts
+
+RNG = np.random.default_rng(41)
+
+
+def _uniform_hashes(n: int, seed: int) -> np.ndarray:
+    # HLL accuracy depends only on hash uniformity; a seeded uniform 64-bit
+    # stream is the standard stand-in for pure-estimator tests (the Spark
+    # tests below run the real xxhash64 path end-to-end).
+    return np.random.default_rng(seed).integers(
+        0, 2**64, size=n, dtype=np.uint64
+    )
+
+
+@pytest.mark.parametrize("true_n", [50, 500, 5_000, 200_000, 2_000_000])
+def test_estimate_within_bound(true_n):
+    # 4 sigma at p=12: 4 * 1.04 / sqrt(4096) = 6.5%; small range uses linear
+    # counting whose error is tighter still
+    est = HLLSketch.from_hashes(_uniform_hashes(true_n, true_n)).estimate()
+    assert abs(est - true_n) <= max(4, 0.065 * true_n)
+
+
+def test_duplicates_do_not_move_estimate():
+    h = _uniform_hashes(10_000, 9)
+    once = HLLSketch.from_hashes(h)
+    thrice = HLLSketch.from_hashes(np.concatenate([h, h, h]))
+    assert np.array_equal(once.registers, thrice.registers)
+
+
+def test_merge_is_exact_union():
+    a, b = _uniform_hashes(30_000, 1), _uniform_hashes(30_000, 2)
+    merged = HLLSketch.merge_all(
+        [HLLSketch.from_hashes(a), HLLSketch.from_hashes(b)]
+    )
+    full = HLLSketch.from_hashes(np.concatenate([a, b]))
+    assert np.array_equal(merged.registers, full.registers)
+    with pytest.raises(ValueError):
+        HLLSketch.merge_all([HLLSketch.empty(12), HLLSketch.empty(11)])
+
+
+def test_serialization_round_trip():
+    s = HLLSketch.from_hashes(_uniform_hashes(1_000, 3))
+    back = HLLSketch.from_bytes(s.to_bytes())
+    assert back.p == s.p and np.array_equal(back.registers, s.registers)
+    assert HLLSketch.empty().estimate() == 0
+
+
+def test_rho_exactness_near_powers_of_two():
+    # the float64 bit-length trick must not round up at 2^k - 1 boundaries,
+    # including above 2^52 where raw conversion is inexact (q=60 -> p=4)
+    q = 60
+    ws = np.array(
+        [0, 1, 2, 3, (1 << 52) - 1, 1 << 52, (1 << 53) - 1, 1 << 53,
+         (1 << 59) - 1, (1 << 60) - 1],
+        dtype=np.uint64,
+    )
+    got = _rho_from_w(ws, q)
+    expect = np.array(
+        [q + 1] + [q - int(w).bit_length() + 1 for w in ws[1:].tolist()],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(got, expect)
+
+
+def test_partition_hlls_accuracy_and_exact_global_merge(spark):
+    df = generate_transcripts(spark, 40_000, seed=21, n_parts=8)
+    sk = sketches.partition_hlls(df, "text", "part_id").localCheckpoint(eager=True)
+    got = {
+        r["part_id"]: r["approx_distinct"] for r in sketches.hll_stats(sk).collect()
+    }
+    exact = {
+        r["part_id"]: r["d"]
+        for r in df.groupBy("part_id")
+        .agg(F.countDistinct("text").alias("d"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for p, e in exact.items():
+        assert abs(got[p] - e) <= max(4, 0.065 * e)
+    # merged registers == one build over the whole table (merge is exact max)
+    merged = sketches.merge_hlls(sk)
+    whole = sketches.partition_hlls(
+        df.withColumn("part_id", F.lit(0)), "text", "part_id"
+    )
+    single = HLLSketch.from_bytes(whole.first()["sketch"])
+    assert np.array_equal(merged.registers, single.registers)
+    global_exact = df.select(F.countDistinct("text")).first()[0]
+    assert abs(merged.estimate() - global_exact) <= max(4, 0.065 * global_exact)
+
+
+def test_partition_hlls_collapse_is_jvm_side(spark):
+    df = generate_transcripts(spark, 1_000, seed=4, n_parts=4)
+    plan = (
+        sketches.partition_hlls(df, "text", "part_id")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # register maxima computed by a JVM aggregate before any Python stage
+    assert "min(" in plan and "xxhash64" in plan
+
+
+def test_incremental_hlls_carry_forward(spark, tmp_path):
+    store = sketches.SketchStore(spark, str(tmp_path / "hll_store"))
+    content = ["conv_id", "turn_idx", "text"]
+    df = generate_transcripts(spark, 8_000, seed=31, n_parts=4)
+    first, info0 = sketches.incremental_hlls(
+        store, df, "text", content, "none", "run1"
+    )
+    assert sorted(info0["recomputed"]) == [0, 1, 2, 3] and not info0["carried"]
+    blobs0 = {r["partition_id"]: bytes(r["sketch"]) for r in first.collect()}
+
+    # second snapshot: edit partition 2 only
+    new = df.withColumn(
+        "text",
+        F.when(F.col("part_id") == 2, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")),
+    )
+    second, info1 = sketches.incremental_hlls(
+        store, new, "text", content, "run1", "run2"
+    )
+    assert info1["recomputed"] == [2] and sorted(info1["carried"]) == [0, 1, 3]
+    blobs1 = {r["partition_id"]: bytes(r["sketch"]) for r in second.collect()}
+    for p in (0, 1, 3):  # carried byte-identical
+        assert blobs1[p] == blobs0[p]
+    # recomputed partition matches a fresh direct build
+    direct = sketches.partition_hlls(
+        new.filter(F.col("part_id") == 2), "text", "part_id"
+    ).first()["sketch"]
+    assert blobs1[2] == bytes(direct)
+    # t-digest and HLL of the same column coexist under one config hash
+    sketches.incremental_sketches(
+        store, new, "length(text)", content, "none", "run2"
+    )
+    assert store.read("run2", "hll:text").count() == 4
+    assert store.read("run2", "length(text)").count() == 4
+
+
+def test_stream_hll_registers_match_batch_build(spark, tmp_path):
+    """Streamed HLL maintenance: after two micro-batches the store's
+    registers are BIT-IDENTICAL to a one-shot batch build over everything
+    landed (HLL merge is exact), under the same replay-idempotent stamps."""
+    from prompture_spark.streaming.ingest import stream_sketch_digests
+    from tests.test_streaming import TRANSCRIPT_SCHEMA
+
+    df = generate_transcripts(spark, 10_000, n_convs=120, seed=17)
+    src = str(tmp_path / "land_hll")
+    df.filter(F.col("part_id") < 4).coalesce(1).write.mode("append").parquet(src)
+    df.filter(F.col("part_id") >= 4).coalesce(1).write.mode("append").parquet(src)
+
+    store_path = str(tmp_path / "hll_store")
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_sketch_digests(
+        stream, "text", store_path, str(tmp_path / "hll_ckpt"),
+        sketch_kind="hll",
+    ).awaitTermination(180)
+
+    store = sketches.SketchStore(spark, store_path)
+    cur = store.read("stream", "hll:text")
+    streamed = {r["partition_id"]: bytes(r["sketch"]) for r in cur.collect()}
+    batch = {
+        r["part_id"]: bytes(r["sketch"])
+        for r in sketches.partition_hlls(df, "text", "part_id").collect()
+    }
+    assert streamed == batch
