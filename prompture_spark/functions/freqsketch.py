@@ -1,0 +1,183 @@
+"""Mergeable Misra-Gries frequency sketch (heavy hitters), vectorized.
+
+Completes the mergeable per-column sketch family beside the t-digest
+(functions/qdigest.py — quantiles) and the dense HLL (functions/hll.py —
+distinct counts): approximate VALUE FREQUENCIES with a deterministic
+additive error bound, as persistable per-partition state. The exact
+heavy-hitters census (operators/profiling.py:heavy_hitters) answers the
+single-job question with one hash aggregate, but its shuffle carries every
+distinct value a task saw — for a near-unique column at 10^12 rows that is
+a data-sized exchange. An MG sketch holds O(k) counters per task, ships
+one ~k-entry blob per (key, task), persists in the SketchStore, and merges
+across snapshots, so a "top tools this month" over 30 daily snapshots is
+30 blob merges, not 30 rescans.
+
+Published algorithm: Misra & Gries, "Finding repeated elements" (1982),
+with the summary-merge procedure of Agarwal, Cormode, Huang, Phillips,
+Wei & Yi, "Mergeable Summaries" (PODS 2012): combine counters by sum, then
+subtract the (k+1)-th largest count from every counter and drop the
+non-positive ones. Each such reduction of size d removes at least
+(k+1)*d total mass, so the CUMULATIVE decrement D (carried in the sketch)
+obeys D <= n/(k+1), and for every value v:
+
+    count(v)            <=  true_freq(v)  <=  count(v) + D     (v present)
+    true_freq(v)        <=  D  <=  n/(k+1)                     (v absent)
+
+i.e. every value with true frequency above n/(k+1) is guaranteed present,
+and D — not the worst-case bound — is the sketch's own, usually much
+tighter, certificate. In the EXACT REGIME (no reduction ever fired because
+every fold/merge stayed within k distinct values) D == 0 and every count is
+exact — which is what lets a sketch query over a low-cardinality column
+(role, tool) hold a value-exact DuckDB oracle row, the same pattern as the
+t-digest's exact n/min/max/sum fields.
+
+Independent implementation over pandas value_counts / numpy argpartition;
+values are UTF-8 strings (the Spark build casts the expression to string
+JVM-side). Nulls are excluded, matching count(col) aggregate semantics —
+null-flood detection stays with the exact census, which keeps the NULL
+group on purpose.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+
+DEFAULT_K = 256
+
+_HEADER = struct.Struct("<2sHqq")  # magic, k, n, decremented
+_MAGIC = b"M1"
+_ENTRY = struct.Struct("<qi")  # count, value byte length
+
+
+def _norm(counts: pd.Series) -> pd.Series:
+    """Positive int64 weights keyed by STRING values (one canonical key
+    type so folds/merges never split a value across dtypes)."""
+    counts = counts[counts > 0].astype("int64")
+    if not counts.index.dtype == object or not all(
+        isinstance(i, str) for i in counts.index[:1]
+    ):
+        counts = pd.Series(
+            counts.to_numpy(), index=counts.index.astype(str), dtype="int64"
+        )
+    return counts
+
+
+def _reduce(counts: pd.Series, k: int) -> tuple[pd.Series, int]:
+    """Keep at most ``k`` counters: subtract the (k+1)-th largest count from
+    all and drop the non-positive — the PODS'12 merge step. Returns the
+    surviving counters and the decrement applied (0 if already within k)."""
+    if len(counts) <= k:
+        return counts, 0
+    arr = counts.to_numpy()
+    # (k+1)-th largest = index -(k+1) of a partial sort
+    d = int(np.partition(arr, len(arr) - (k + 1))[len(arr) - (k + 1)])
+    if d <= 0:
+        return counts, 0
+    out = counts[counts > d] - d
+    return out, d
+
+
+class MGSketch:
+    """Immutable Misra-Gries summary: ``counts`` (value -> lower-bound
+    count, at most ``k`` entries), total ingested mass ``n``, cumulative
+    decrement ``d`` (the additive error certificate)."""
+
+    __slots__ = ("counts", "k", "n", "d")
+
+    def __init__(self, counts: pd.Series, k: int, n: int, d: int):
+        if len(counts) > k:
+            raise ValueError(f"{len(counts)} counters exceed k={k}")
+        self.counts = counts
+        self.k = k
+        self.n = int(n)
+        self.d = int(d)
+
+    @classmethod
+    def empty(cls, k: int = DEFAULT_K) -> "MGSketch":
+        return cls(pd.Series(dtype="int64"), k, 0, 0)
+
+    @classmethod
+    def from_value_counts(
+        cls, counts: pd.Series, k: int = DEFAULT_K
+    ) -> "MGSketch":
+        """Build from an exact ``value -> weight`` Series (e.g. the output
+        of ``pandas value_counts`` or a JVM-side ``groupBy(v).count()``).
+        Weighted MG: feeding pre-aggregated pairs is equivalent to feeding
+        the rows one by one (the reduction only looks at totals)."""
+        counts = _norm(counts)
+        n = int(counts.sum())
+        kept, d = _reduce(counts, k)
+        return cls(kept, k, n, d)
+
+    def fold(self, counts: pd.Series) -> "MGSketch":
+        """Fold another exact value->weight batch into this sketch."""
+        counts = _norm(counts)
+        combined = self.counts.add(counts, fill_value=0).astype("int64")
+        kept, d = _reduce(combined, self.k)
+        return MGSketch(kept, self.k, self.n + int(counts.sum()), self.d + d)
+
+    @classmethod
+    def merge_all(cls, sketches: list["MGSketch"]) -> "MGSketch":
+        """Merge summaries (PODS'12): counter-wise sum, one reduction.
+        n and d add; the combined bound true in [count, count+d] holds."""
+        if not sketches:
+            return cls.empty()
+        k = sketches[0].k
+        if any(s.k != k for s in sketches):
+            raise ValueError("cannot merge sketches with different k")
+        combined = sketches[0].counts
+        for s in sketches[1:]:
+            combined = combined.add(s.counts, fill_value=0)
+        kept, d = _reduce(combined.astype("int64"), k)
+        return cls(
+            kept, k, sum(s.n for s in sketches), sum(s.d for s in sketches) + d
+        )
+
+    def topk(self, m: int | None = None) -> pd.DataFrame:
+        """Top ``m`` entries as (value, count_lb, count_ub) — true frequency
+        is bracketed by [count_lb, count_ub]; ties broken by value for
+        deterministic output."""
+        s = self.counts.sort_values(ascending=False, kind="stable")
+        if m is not None:
+            s = s.iloc[:m]
+        df = pd.DataFrame(
+            {
+                "value": s.index.astype(str),
+                "count_lb": s.to_numpy(),
+                "count_ub": s.to_numpy() + self.d,
+            }
+        )
+        return df.sort_values(
+            ["count_lb", "value"], ascending=[False, True], kind="stable"
+        ).reset_index(drop=True)
+
+    # -- wire format --------------------------------------------------------
+
+    def to_bytes(self) -> bytes:
+        parts = [_HEADER.pack(_MAGIC, self.k, self.n, self.d)]
+        # deterministic blob: byte-identical for equal state, so the
+        # SketchStore carry-forward comparison stays exact
+        for v in sorted(self.counts.index.astype(str)):
+            b = v.encode("utf-8")
+            parts.append(_ENTRY.pack(int(self.counts[v]), len(b)))
+            parts.append(b)
+        return b"".join(parts)
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "MGSketch":
+        magic, k, n, d = _HEADER.unpack_from(blob, 0)
+        if magic != _MAGIC:
+            raise ValueError("not an MGSketch blob")
+        off = _HEADER.size
+        vals: list[str] = []
+        cnts: list[int] = []
+        while off < len(blob):
+            c, ln = _ENTRY.unpack_from(blob, off)
+            off += _ENTRY.size
+            vals.append(blob[off : off + ln].decode("utf-8"))
+            off += ln
+            cnts.append(c)
+        return cls(pd.Series(cnts, index=vals, dtype="int64"), k, n, d)

@@ -31,6 +31,11 @@ This module is the Spark plumbing around
   :func:`incremental_hlls` — the same store/merge/carry-forward story for
   DISTINCT counts (functions/hll.py), with the register build a single
   codegen'd JVM hash aggregate (no row ever crosses into Python).
+* :func:`partition_freq_sketches` / :func:`merge_freq_sketches` /
+  :func:`freq_sketch_stats` / :func:`incremental_freqs` — and for VALUE
+  FREQUENCIES / heavy hitters (functions/freqsketch.py, Misra-Gries):
+  O(k) counters per task, one <=k-entry blob per (key, task), exact in the
+  low-cardinality regime (error certificate d == 0, oracle-pinned).
 * :class:`SketchStore` — append-only parquet of per-partition digest blobs
   keyed by (run_config_hash, partition, column) with the partition's
   content checksum, latest row wins (same durability pattern as
@@ -66,6 +71,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from prompture_spark.functions.freqsketch import DEFAULT_K as MG_DEFAULT_K
+from prompture_spark.functions.freqsketch import MGSketch
 from prompture_spark.functions.hll import DEFAULT_P, HLLSketch
 from prompture_spark.functions.qdigest import DEFAULT_DELTA, QDigest
 from prompture_spark.operators.reconcile import snapshot_summary
@@ -346,6 +353,175 @@ def hll_stats(sk_df: DataFrame, key_col: str = "part_id") -> DataFrame:
             yield pd.DataFrame(out, columns=[key_col, "approx_distinct"])
 
     return sk_df.mapInPandas(decode, f"{key_col} {key_sql}, approx_distinct long")
+
+
+# ---------------------------------------------------------------------------
+# Mergeable Misra-Gries frequency sketches (heavy hitters)
+# ---------------------------------------------------------------------------
+
+
+def partition_freq_sketches(
+    df: DataFrame,
+    value_col: str,
+    key_col: str = "part_id",
+    k: int = MG_DEFAULT_K,
+    pre_aggregate: bool = False,
+) -> DataFrame:
+    """One Misra-Gries frequency sketch per ``key_col`` value over
+    ``value_col`` (column name or SQL expression, cast to string JVM-side).
+    Returns ``(key_col, sketch binary)``.
+
+    Two build paths, same tradeoff as :func:`partition_sketches`:
+
+    * default ROW path — ``mapInPandas`` per-task fold with O(k) counters
+      per live key: per Arrow batch, one vectorized ``value_counts`` per
+      key, folded into the running summary (functions/freqsketch.py). ZERO
+      shuffle of data: each task emits one <=k-entry blob per key. This is
+      the safe default because it is the high-cardinality case (near-unique
+      values) where the sketch earns its keep, and there no JVM collapse
+      can make the exchange small. The Arrow hop pays one pass over the
+      value bytes — unavoidable for frequency state over arbitrary strings.
+    * ``pre_aggregate=True`` — collapse ``groupBy(key, value).count()``
+      JVM-side first, then fold the weighted pairs. The decisive lever for
+      LOW-cardinality columns (role, tool): the codegen'd hash aggregate's
+      map-side combine shrinks both the shuffle and the Arrow hop to
+      |distinct (key, value)| rows, exactly like the t-digest integral
+      path. Counts are identical either way (weighted MG == row MG; the
+      reduction only sees totals).
+
+    Nulls are excluded (count(col) semantics — the exact census
+    profiling.heavy_hitters keeps the NULL group for null-flood detection).
+    In the exact regime (no reduction ever fired, sketch.d == 0) every
+    count is exact, which the oracle-backed query pins.
+    """
+    base = df.select(
+        F.col(key_col).alias("_k"), F.expr(value_col).cast("string").alias("_v")
+    ).filter(F.col("_v").isNotNull())
+    key_sql = base.schema["_k"].dataType.simpleString()
+
+    def row_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            for kk, g in pdf.groupby("_k", sort=False)["_v"]:
+                vc = g.value_counts()
+                prev = acc.get(kk)
+                acc[kk] = (
+                    MGSketch.from_value_counts(vc, k)
+                    if prev is None
+                    else prev.fold(vc)
+                )
+            del pdf
+        if acc:
+            yield pd.DataFrame(
+                [(kk, s.to_bytes()) for kk, s in acc.items()],
+                columns=["_k", "sketch"],
+            )
+
+    def weighted_partials(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        acc: dict = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            for kk, g in pdf.groupby("_k", sort=False):
+                vc = pd.Series(g["_w"].to_numpy(), index=g["_v"])
+                prev = acc.get(kk)
+                acc[kk] = (
+                    MGSketch.from_value_counts(vc, k)
+                    if prev is None
+                    else prev.fold(vc)
+                )
+        if acc:
+            yield pd.DataFrame(
+                [(kk, s.to_bytes()) for kk, s in acc.items()],
+                columns=["_k", "sketch"],
+            )
+
+    ddl = f"_k {key_sql}, sketch binary"
+    if pre_aggregate:
+        pts = base.groupBy("_k", "_v").agg(F.count(F.lit(1)).alias("_w"))
+        partial = pts.mapInPandas(weighted_partials, ddl)
+    else:
+        partial = base.mapInPandas(row_partials, ddl)
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = MGSketch.merge_all([MGSketch.from_bytes(b) for b in pdf["sketch"]])
+        return pd.DataFrame({"_k": [pdf["_k"].iloc[0]], "sketch": [sk.to_bytes()]})
+
+    out = partial.groupBy("_k").applyInPandas(merge, ddl)
+    return out.withColumnRenamed("_k", key_col)
+
+
+def merge_freq_sketches(sk_df: DataFrame) -> MGSketch:
+    """Driver-side merge into one global summary (counter sum + one
+    reduction — the PODS'12 merge; n and the error certificate d add).
+    Collects |keys| <=k-entry blobs, metadata-sized by construction."""
+    return MGSketch.merge_all(
+        [MGSketch.from_bytes(r["sketch"]) for r in sk_df.select("sketch").collect()]
+    )
+
+
+def freq_sketch_stats(
+    sk_df: DataFrame, key_col: str = "part_id", top: int | None = None
+) -> DataFrame:
+    """Decode ``(key, sketch)`` MG rows into ``(key, value, cnt, err)``:
+    per-key top entries with their lower-bound count and the sketch's
+    cumulative-decrement error certificate (true count in
+    ``[cnt, cnt + err]``; err == 0 means exact)."""
+    key_sql = sk_df.schema[key_col].dataType.simpleString()
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = []
+            for kk, b in zip(pdf[key_col], pdf["sketch"]):
+                sk = MGSketch.from_bytes(b)
+                t = sk.topk(top)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            key_col: kk,
+                            "value": t["value"],
+                            "cnt": t["count_lb"],
+                            "err": sk.d,
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return sk_df.mapInPandas(
+        decode, f"{key_col} {key_sql}, value string, cnt long, err long"
+    )
+
+
+def incremental_freqs(
+    store: "SketchStore",
+    new_df: DataFrame,
+    value_col: str,
+    content_cols: list[str],
+    prev_config_hash: str,
+    new_config_hash: str,
+    part_col: str = "part_id",
+    k: int = MG_DEFAULT_K,
+) -> tuple[DataFrame, dict]:
+    """MG twin of :func:`incremental_sketches`: frequency summaries of a new
+    snapshot with unchanged partitions' blobs carried forward byte-identical
+    (store rows namespaced ``mg:<value_col>``). A global top-k after 1/8
+    churn is :func:`merge_freq_sketches` over the returned frame — one scan
+    of the changed eighth, no full rescan."""
+    return _incremental_blobs(
+        store,
+        new_df,
+        lambda scan: partition_freq_sketches(scan, value_col, part_col, k),
+        f"mg:{value_col}",
+        content_cols,
+        prev_config_hash,
+        new_config_hash,
+        part_col,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -4361,3 +4361,48 @@ def q_hll_distinct_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     df = transcripts_from_events(spark, sf_dir)
     return sk.hll_stats(sk.partition_hlls(df, "text", "part_id"))
+
+
+_FREQ_ROLE_ORACLE = (
+    ORACLE_TRANSCRIPTS_CTE
+    + """
+SELECT part_id, role AS value, CAST(count(*) AS BIGINT) AS cnt,
+       CAST(0 AS BIGINT) AS err
+FROM transcripts WHERE role IS NOT NULL GROUP BY part_id, role
+"""
+)
+
+
+@register("freq_topk_role", _FREQ_ROLE_ORACLE)
+def q_freq_topk_role(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition role frequencies from MERGEABLE Misra-Gries summaries
+    (operators/sketches.py partition_freq_sketches, pre_aggregate=True: the
+    JVM hash aggregate collapses to |distinct (part, role)| pairs before the
+    Arrow hop). In the low-cardinality regime no reduction ever fires, so
+    the counts are EXACT and the error certificate is 0 — the DuckDB oracle
+    pins both (`err` column compared value-exact against literal 0). The
+    same blobs persist in the SketchStore and carry forward across
+    snapshots (incremental_freqs), which the exact census
+    (profiling.heavy_hitters) cannot do."""
+    from prompture_spark.operators import sketches as sk
+
+    df = transcripts_from_events(spark, sf_dir)
+    blobs = sk.partition_freq_sketches(df, "role", "part_id", pre_aggregate=True)
+    return sk.freq_sketch_stats(blobs)
+
+
+@register("freq_sketch_topk_text")  # no oracle: MG lower-bound counts over a
+# near-unique column are engine-specific (exact-regime twin: freq_topk_role,
+# oracle-green; bounds + merge + guarantee pinned by tests/test_freqsketch.py)
+def q_freq_sketch_topk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most frequent text values per partition from O(k)-state MG
+    summaries over the near-unique text column — the regime where the exact
+    census's hash aggregate would shuffle every distinct string a task saw
+    (data-sized at 10^12 rows) while the sketch ships one <=k-entry blob per
+    (partition, task). True counts are bracketed by [cnt, cnt+err] (Misra &
+    Gries 1982; merge per Agarwal et al., PODS 2012)."""
+    from prompture_spark.operators import sketches as sk
+
+    df = transcripts_from_events(spark, sf_dir)
+    blobs = sk.partition_freq_sketches(df, "text", "part_id", k=64)
+    return sk.freq_sketch_stats(blobs, top=10)

@@ -159,19 +159,24 @@ def stream_sketch_digests(
     ``sketch_kind="hll"`` maintains mergeable DISTINCT-count registers
     instead (functions/hll.py; store rows namespaced ``hll:<column>``, same
     replay-idempotent stamps). HLL merge is an exact elementwise max, so the
-    maintained state equals a batch build over every row ever streamed —
-    drift args are ignored for this kind (quantile drift is digest-specific).
+    maintained state equals a batch build over every row ever streamed.
+    ``sketch_kind="mg"`` maintains Misra-Gries frequency summaries
+    (functions/freqsketch.py; namespaced ``mg:<column>``) — top values per
+    key over everything ever streamed, exact while per-key cardinality stays
+    within k. Drift args are ignored for both non-digest kinds (quantile
+    drift is digest-specific).
     """
+    from prompture_spark.functions.freqsketch import MGSketch
     from prompture_spark.functions.hll import HLLSketch
     from prompture_spark.functions.qdigest import QDigest
     from prompture_spark.operators import sketches as sk
 
-    if sketch_kind not in ("tdigest", "hll"):
+    if sketch_kind not in ("tdigest", "hll", "mg"):
         raise ValueError(f"unknown sketch_kind {sketch_kind!r}")
-    is_hll = sketch_kind == "hll"
+    is_digest = sketch_kind == "tdigest"
     col_name = column or value_expr
-    if is_hll:
-        col_name = f"hll:{col_name}"
+    if not is_digest:
+        col_name = f"{sketch_kind}:{col_name}"
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -187,9 +192,11 @@ def stream_sketch_digests(
         if applied and batch_id <= max(applied):
             return  # replayed batch: already folded into the store
         # distributed per-batch build; |keys| blobs reach the driver
-        codec = HLLSketch if is_hll else QDigest
-        if is_hll:
+        codec = {"tdigest": QDigest, "hll": HLLSketch, "mg": MGSketch}[sketch_kind]
+        if sketch_kind == "hll":
             batch_sk = sk.partition_hlls(batch_df, value_expr, key_col)
+        elif sketch_kind == "mg":
+            batch_sk = sk.partition_freq_sketches(batch_df, value_expr, key_col)
         else:
             batch_sk = sk.partition_sketches(batch_df, value_expr, key_col)
         cur = {r["partition_id"]: codec.from_bytes(r["sketch"]) for r in prior}
@@ -202,7 +209,7 @@ def stream_sketch_digests(
             "partition_id int, checksum string, sketch binary",
         )
         store.register(run_config_hash, col_name, rows)
-        if drift_sink is not None and baseline is not None and not is_hll:
+        if drift_sink is not None and baseline is not None and is_digest:
             upd = store.read(run_config_hash, col_name).withColumnRenamed(
                 "partition_id", key_col
             )

@@ -1,0 +1,189 @@
+"""Mergeable Misra-Gries frequency sketches: exact-regime equality, the
+error-certificate guarantee under adversarial folding/merging, wire format,
+both Spark build paths, incremental carry-forward, and streaming maintenance."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from prompture_spark.functions.freqsketch import MGSketch
+from prompture_spark.operators import sketches
+from prompture_spark.sources.transcripts import generate_transcripts
+
+
+def _zipf_values(n: int, seed: int, n_distinct: int = 5_000) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return (
+        (np.floor(rng.pareto(1.1, n) * 10) % n_distinct).astype(int).astype(str)
+    )
+
+
+def test_exact_regime_counts_and_zero_certificate():
+    vals = _zipf_values(50_000, 1, n_distinct=100)
+    vc = pd.Series(vals).value_counts()
+    sk = MGSketch.from_value_counts(vc, k=256)
+    assert sk.d == 0 and sk.n == 50_000
+    assert (sk.counts.sort_index() == vc.sort_index().astype("int64")).all()
+    # fold/merge order cannot matter when no reduction fires
+    parts = np.array_split(vals, 7)
+    folded = MGSketch.empty(256)
+    for p in parts:
+        folded = folded.fold(pd.Series(p).value_counts())
+    assert folded.to_bytes() == sk.to_bytes()
+
+
+def test_guarantee_and_bounds_under_reduction():
+    vals = _zipf_values(200_000, 2)
+    true = pd.Series(vals).value_counts()
+    k = 64
+    shards = []
+    for part in np.array_split(vals, 4):
+        s = MGSketch.empty(k)
+        for chunk in np.array_split(part, 5):
+            s = s.fold(pd.Series(chunk).value_counts())
+        shards.append(s)
+    m = MGSketch.merge_all(shards)
+    assert m.n == 200_000 and 0 < m.d <= m.n // (k + 1)
+    # present values bracket truth; absent values bounded by the certificate
+    for v, c in m.counts.items():
+        assert c <= int(true[v]) <= c + m.d
+    present = set(m.counts.index)
+    for v, t in true.items():
+        if v not in present:
+            assert int(t) <= m.d
+    # every value heavier than the certificate is guaranteed present
+    assert set(true[true > m.d].index) <= present
+    with pytest.raises(ValueError):
+        MGSketch.merge_all([MGSketch.empty(8), MGSketch.empty(16)])
+
+
+def test_wire_round_trip_and_topk_determinism():
+    m = MGSketch.from_value_counts(
+        pd.Series(_zipf_values(30_000, 3)).value_counts(), k=32
+    )
+    back = MGSketch.from_bytes(m.to_bytes())
+    assert (back.n, back.d, back.k) == (m.n, m.d, m.k)
+    assert (back.counts.sort_index() == m.counts.sort_index()).all()
+    assert back.to_bytes() == m.to_bytes()
+    t = m.topk(5)
+    assert list(t.columns) == ["value", "count_lb", "count_ub"]
+    assert (t["count_ub"] - t["count_lb"] == m.d).all()
+    assert (t["count_lb"].to_numpy()[:-1] >= t["count_lb"].to_numpy()[1:]).all()
+    assert MGSketch.empty().topk(3).empty
+
+
+def test_partition_freq_sketches_exact_regime_both_paths(spark):
+    df = generate_transcripts(spark, 20_000, seed=11, n_parts=8)
+    exact = {
+        (r["part_id"], r["role"]): r["c"]
+        for r in df.groupBy("part_id", "role").count()
+        .withColumnRenamed("count", "c").collect()
+        if r["role"] is not None
+    }
+    for pre in (False, True):
+        blobs = sketches.partition_freq_sketches(
+            df, "role", "part_id", pre_aggregate=pre
+        )
+        got = {
+            (r["part_id"], r["value"]): (r["cnt"], r["err"])
+            for r in sketches.freq_sketch_stats(blobs).collect()
+        }
+        assert set(got) == set(exact)
+        for key, c in exact.items():
+            assert got[key] == (c, 0), (pre, key)
+
+
+def test_partition_freq_sketches_high_cardinality_bounds(spark):
+    df = generate_transcripts(spark, 20_000, seed=12, n_parts=4)
+    k = 64
+    blobs = sketches.partition_freq_sketches(df, "text", "part_id", k=k)
+    per_part = {
+        r["part_id"]: MGSketch.from_bytes(r["sketch"]) for r in blobs.collect()
+    }
+    true = {
+        (r["part_id"], r["text"]): r["c"]
+        for r in df.groupBy("part_id", "text").count()
+        .withColumnRenamed("count", "c").collect()
+    }
+    nonnull = df.filter(F.col("text").isNotNull())
+    n_per_part = {
+        r["part_id"]: r["c"]
+        for r in nonnull.groupBy("part_id").count()
+        .withColumnRenamed("count", "c").collect()
+    }
+    for p, sk in per_part.items():
+        assert len(sk.counts) <= k and sk.n == n_per_part[p]
+        assert sk.d <= sk.n // (k + 1)
+        for v, c in sk.counts.items():
+            assert c <= true[(p, v)] <= c + sk.d
+    # global merge: certificate adds, totals add
+    g = sketches.merge_freq_sketches(blobs)
+    assert g.n == sum(n_per_part.values())
+    assert g.d <= sum(s.d for s in per_part.values()) + g.n // (k + 1)
+
+
+def test_incremental_freqs_carry_forward(spark, tmp_path):
+    store = sketches.SketchStore(spark, str(tmp_path / "mg_store"))
+    content = ["conv_id", "turn_idx", "role"]
+    df = generate_transcripts(spark, 8_000, seed=13, n_parts=4)
+    first, info0 = sketches.incremental_freqs(
+        store, df, "role", content, "none", "run1"
+    )
+    assert sorted(info0["recomputed"]) == [0, 1, 2, 3] and not info0["carried"]
+    blobs0 = {r["partition_id"]: bytes(r["sketch"]) for r in first.collect()}
+
+    new = df.withColumn(
+        "role",
+        F.when(F.col("part_id") == 1, F.lit("flooded")).otherwise(F.col("role")),
+    )
+    second, info1 = sketches.incremental_freqs(
+        store, new, "role", content, "run1", "run2"
+    )
+    assert info1["recomputed"] == [1] and sorted(info1["carried"]) == [0, 2, 3]
+    blobs1 = {r["partition_id"]: bytes(r["sketch"]) for r in second.collect()}
+    for p in (0, 2, 3):
+        assert blobs1[p] == blobs0[p]
+    flooded = MGSketch.from_bytes(blobs1[1])
+    assert list(flooded.counts.index) == ["flooded"]
+    # all three sketch kinds of one column family coexist under one hash
+    sketches.incremental_hlls(store, new, "role", content, "none", "run2")
+    assert store.read("run2", "mg:role").count() == 4
+    assert store.read("run2", "hll:role").count() == 4
+
+
+def test_stream_mg_summaries_match_batch_build(spark, tmp_path):
+    """Streamed MG maintenance over a low-cardinality column: after two
+    micro-batches the store blobs are BYTE-IDENTICAL to a one-shot batch
+    build (exact regime: counts are order-independent sums, d == 0)."""
+    from prompture_spark.streaming.ingest import stream_sketch_digests
+    from tests.test_streaming import TRANSCRIPT_SCHEMA
+
+    df = generate_transcripts(spark, 10_000, n_convs=120, seed=19)
+    src = str(tmp_path / "land_mg")
+    df.filter(F.col("part_id") < 4).coalesce(1).write.mode("append").parquet(src)
+    df.filter(F.col("part_id") >= 4).coalesce(1).write.mode("append").parquet(src)
+
+    store_path = str(tmp_path / "mg_store")
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_sketch_digests(
+        stream, "role", store_path, str(tmp_path / "mg_ckpt"),
+        sketch_kind="mg",
+    ).awaitTermination(180)
+
+    store = sketches.SketchStore(spark, store_path)
+    streamed = {
+        r["partition_id"]: bytes(r["sketch"])
+        for r in store.read("stream", "mg:role").collect()
+    }
+    batch = {
+        r["part_id"]: bytes(r["sketch"])
+        for r in sketches.partition_freq_sketches(df, "role", "part_id").collect()
+    }
+    assert streamed == batch
