@@ -1,0 +1,142 @@
+"""Mergeable Bloom-filter membership sketches (numpy bit array, no deps).
+
+Fourth member of the mergeable-sketch family (t-digest `qdigest.py`, HLL
+`hll.py`, Misra-Gries `freqsketch.py`): a fixed-size bit array answering
+"was this 64-bit hash inserted?" with NO false negatives and a bounded
+false-positive rate.  Merge of two filters with identical (m, k, seed
+derivation) is bitwise OR — associative, commutative, idempotent — so the
+distributed build is the usual shape: per-task map-side partials, OR-merge.
+
+Primary engine use: web-scale decontamination membership.  The exact
+GPT-3-rule 13-gram check (`operators/dedup.ngram_membership_contamination`)
+broadcasts the eval GRAM TABLE and hash-joins; at a 10^8-gram eval corpus
+that broadcast is tens of GB.  The Bloom form compresses the whole eval
+side into a fixed blob (2^27 bits = 16 MiB handles 10^7 grams at ~1e-4 FPR),
+broadcast once, and the corpus side degrades from a join to a per-row
+vectorized lookup — zero shuffle, zero join, flags a SUPERSET of the exact
+rule's docs (no false negatives by construction).
+
+Hash mapping: one 64-bit input hash (the engine feeds `F.xxhash64` values,
+computed JVM-side) expands to k bit positions via Kirsch–Mitzenmacher
+double hashing — pos_i = (h1 + i*h2) mod m with h1 = low 32 bits,
+h2 = high 32 bits forced odd — which preserves the asymptotic FPR of k
+independent hashes (Kirsch & Mitzenmacher, ESA 2006).
+
+Reference anchor: the reference's dedup/contamination surface is
+document-level similarity (prompture/dataset/dedup.py); the membership rule
+and its sketch form are the published-scale complement (Brown et al. 2020
+appendix C), same role as the HLL/t-digest twins elsewhere in this repo.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_MAGIC = b"BLM1"
+
+# Default sizing: 2^20 bits (128 KiB) holds ~73k items at 1% FPR with k=7.
+DEFAULT_LOG2_M = 20
+DEFAULT_K = 7
+
+
+def optimal_k(m_bits: int, n_items: int) -> int:
+    """k minimizing FPR for expected n insertions: ln2 * m/n, clamped [1,16]."""
+    if n_items <= 0:
+        return DEFAULT_K
+    return int(min(16, max(1, round(0.6931471805599453 * m_bits / n_items))))
+
+
+class BloomSketch:
+    """Fixed-size Bloom filter over 64-bit hashes; merge = bitwise OR."""
+
+    __slots__ = ("words", "log2_m", "k")
+
+    def __init__(self, words: np.ndarray, log2_m: int = DEFAULT_LOG2_M, k: int = DEFAULT_K):
+        assert words.dtype == np.uint64 and words.size == (1 << log2_m) >> 6
+        self.words = words
+        self.log2_m = log2_m
+        self.k = k
+
+    # -------------------------------------------------------------- build
+    @classmethod
+    def empty(cls, log2_m: int = DEFAULT_LOG2_M, k: int = DEFAULT_K) -> "BloomSketch":
+        return cls(np.zeros((1 << log2_m) >> 6, dtype=np.uint64), log2_m, k)
+
+    @classmethod
+    def from_hashes(
+        cls, hashes: np.ndarray, log2_m: int = DEFAULT_LOG2_M, k: int = DEFAULT_K
+    ) -> "BloomSketch":
+        sk = cls.empty(log2_m, k)
+        sk.add_hashes(hashes)
+        return sk
+
+    def _positions(self, hashes: np.ndarray) -> np.ndarray:
+        """(len(hashes), k) bit positions via double hashing; vectorized."""
+        h = hashes.astype(np.int64).view(np.uint64)
+        h1 = h & np.uint64(0xFFFFFFFF)
+        h2 = (h >> np.uint64(32)) | np.uint64(1)  # odd => full-period stride
+        i = np.arange(self.k, dtype=np.uint64)
+        mask = np.uint64((1 << self.log2_m) - 1)
+        return (h1[:, None] + i[None, :] * h2[:, None]) & mask
+
+    def add_hashes(self, hashes: np.ndarray) -> None:
+        if len(hashes) == 0:
+            return
+        pos = self._positions(np.asarray(hashes)).ravel()
+        np.bitwise_or.at(
+            self.words, pos >> np.uint64(6), np.uint64(1) << (pos & np.uint64(63))
+        )
+
+    def contains_hashes(self, hashes: np.ndarray) -> np.ndarray:
+        """bool array: all k bits set (definitely-not vs maybe)."""
+        if len(hashes) == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions(np.asarray(hashes))
+        bits = (self.words[pos >> np.uint64(6)] >> (pos & np.uint64(63))) & np.uint64(1)
+        return bits.all(axis=1)
+
+    # -------------------------------------------------------------- merge
+    def merge(self, other: "BloomSketch") -> "BloomSketch":
+        if (other.log2_m, other.k) != (self.log2_m, self.k):
+            raise ValueError("cannot merge Bloom filters with different (m, k)")
+        return BloomSketch(self.words | other.words, self.log2_m, self.k)
+
+    @classmethod
+    def merge_all(cls, sketches: list["BloomSketch"]) -> "BloomSketch":
+        if not sketches:
+            return cls.empty()
+        out = sketches[0]
+        for sk in sketches[1:]:
+            out = out.merge(sk)
+        return out
+
+    # -------------------------------------------------------------- stats
+    def fill_ratio(self) -> float:
+        set_bits = int(np.unpackbits(self.words.view(np.uint8)).sum())
+        return set_bits / float(1 << self.log2_m)
+
+    def fpp_estimate(self) -> float:
+        """Estimated false-positive prob at current fill: (set/m)^k."""
+        return self.fill_ratio() ** self.k
+
+    def approx_items(self) -> int:
+        """Swamidass–Baldi cardinality estimate from the fill ratio."""
+        m = float(1 << self.log2_m)
+        x = self.fill_ratio()
+        if x >= 1.0:
+            return int(m)  # saturated; estimate undefined
+        return int(round(-(m / self.k) * np.log1p(-x)))
+
+    # ---------------------------------------------------------------- wire
+    def to_bytes(self) -> bytes:
+        return _MAGIC + struct.pack("<BB", self.log2_m, self.k) + self.words.tobytes()
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "BloomSketch":
+        if blob[:4] != _MAGIC:
+            raise ValueError("not a BloomSketch blob")
+        log2_m, k = struct.unpack_from("<BB", blob, 4)
+        words = np.frombuffer(blob[6:], dtype=np.uint64).copy()
+        return cls(words, log2_m, k)

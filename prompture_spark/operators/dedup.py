@@ -29,6 +29,7 @@ Python in the row path.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -421,6 +422,62 @@ def ngram_membership_contamination(
     return hits.groupBy("corpus_id").agg(
         F.count_distinct("gram").alias("grams_hit"),
         F.count_distinct("eval_id").alias("evals_hit"),
+    )
+
+
+def bloom_membership_contamination(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+    log2_m: int = 20,
+    k: int = 7,
+) -> DataFrame:
+    """Bloom-filter form of :func:`ngram_membership_contamination` — the
+    100 TB serving path for the GPT-3 13-gram decontamination rule.
+
+    The exact op broadcasts the eval GRAM TABLE (tens of GB at a 10^8-gram
+    eval corpus) and hash-joins. This variant compresses the whole eval side
+    into ONE fixed-size Bloom blob (`functions/bloom.py`; 2^27 bits = 16 MiB
+    holds 10^7 grams at ~1e-4 FPR), built distributed (per-task partials,
+    OR-merge), broadcast once via the SparkContext, and probed by a
+    vectorized Arrow pandas UDF over JVM-computed ``xxhash64(gram)`` — the
+    corpus side never joins and never shuffles except the final hit-sized
+    per-doc count.
+
+    Guarantees: NO false negatives (every doc the exact rule flags is
+    flagged here — Bloom membership is one-sided), and per-doc ``grams_hit``
+    is an upper bound that exceeds the exact count only via Bloom false
+    positives (rate ``fpp_estimate``) or 64-bit xxhash collisions. Sized
+    generously it equals the exact op (pinned in tests/test_bloom.py).
+    """
+    from prompture_spark.operators.sketches import bloom_partials, merge_blooms
+
+    ev_grams = eval_df.select(
+        F.explode(word_shingles(text_col, n)).alias("gram")
+    )
+    blob = merge_blooms(
+        bloom_partials(ev_grams, "gram", log2_m, k), log2_m, k
+    ).to_bytes()
+    bblob = corpus.sparkSession.sparkContext.broadcast(blob)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def _maybe_member(h: pd.Series) -> pd.Series:
+        from prompture_spark.functions.bloom import BloomSketch
+
+        sk = BloomSketch.from_bytes(bblob.value)
+        return pd.Series(sk.contains_hashes(h.to_numpy()))
+
+    cg = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.explode(word_shingles(text_col, n)).alias("gram"),
+    ).select("corpus_id", F.xxhash64("gram").alias("gh"))
+    hits = cg.filter(_maybe_member(F.col("gh")))
+    return hits.groupBy("corpus_id").agg(
+        F.count_distinct("gh").alias("grams_hit")
     )
 
 

@@ -71,6 +71,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from prompture_spark.functions.bloom import DEFAULT_K as BLOOM_K
+from prompture_spark.functions.bloom import DEFAULT_LOG2_M as BLOOM_LOG2_M
+from prompture_spark.functions.bloom import BloomSketch
 from prompture_spark.functions.freqsketch import DEFAULT_K as MG_DEFAULT_K
 from prompture_spark.functions.freqsketch import MGSketch
 from prompture_spark.functions.hll import DEFAULT_P, HLLSketch
@@ -829,3 +832,61 @@ def _incremental_blobs(
     return store.read(new_config_hash, store_column).select(
         "partition_id", "sketch"
     ), info
+
+
+# ---------------------------------------------------------------------------
+# Bloom membership sketches (functions/bloom.py)
+# ---------------------------------------------------------------------------
+
+
+def bloom_partials(
+    df: DataFrame,
+    value_expr: str,
+    log2_m: int = BLOOM_LOG2_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Stage-1 Bloom build: one partial filter blob per TASK over
+    ``xxhash64(value_expr)``.
+
+    The hash is computed JVM-side (codegen), so Arrow carries exactly one
+    int64 per row into the fold; each task emits ONE ``m/8``-byte blob
+    regardless of row count (the per-task map-side-combine lesson from the
+    t-digest build applied from the start). Nulls are excluded — a null
+    member is meaningless for the membership rule. Merge of the partials is
+    bitwise OR (:func:`merge_blooms`), associative and idempotent, so the
+    result is independent of partitioning and of speculative re-execution.
+    """
+    base = (
+        df.select(F.expr(value_expr).alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .select(F.xxhash64("_v").alias("_h"))
+    )
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sk = BloomSketch.empty(log2_m, k)
+        seen = False
+        for b in batches:
+            if len(b):
+                seen = True
+                sk.add_hashes(b["_h"].to_numpy())
+        if seen:
+            yield pd.DataFrame({"sketch": [sk.to_bytes()]})
+
+    return base.mapInPandas(partials, "sketch binary")
+
+
+def merge_blooms(
+    sk_df: DataFrame, log2_m: int = BLOOM_LOG2_M, k: int = BLOOM_K
+) -> BloomSketch:
+    """Driver-side OR-merge of partial blobs into one global filter.
+
+    Collects |tasks| blobs of ``m/8`` bytes each — metadata-sized (a 1000-
+    executor build of a 16 MiB filter is ~16 GB of transient driver traffic
+    only at absurd task counts; size ``log2_m`` to the EVAL side, which is
+    the small side by construction in decontamination). The merged filter
+    equals a single-pass build over the union (OR is exact for Bloom bits).
+    """
+    sks = [BloomSketch.from_bytes(r["sketch"]) for r in sk_df.collect()]
+    if not sks:
+        return BloomSketch.empty(log2_m, k)
+    return BloomSketch.merge_all(sks)

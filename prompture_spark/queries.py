@@ -4406,3 +4406,28 @@ def q_freq_sketch_topk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = transcripts_from_events(spark, sf_dir)
     blobs = sk.partition_freq_sketches(df, "text", "part_id", k=64)
     return sk.freq_sketch_stats(blobs, top=10)
+
+
+@register("contaminated_docs_13gram_bloom")  # no oracle: Bloom membership is
+# one-sided-approximate by design (exact twin: contaminated_docs_13gram,
+# oracle-green; superset + generous-size equality pinned by
+# tests/test_bloom.py)
+def q_contaminated_docs_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-rule 13-gram decontamination served from a mergeable Bloom
+    membership sketch (functions/bloom.py): the whole eval side compresses
+    to one fixed blob broadcast via the SparkContext, and corpus docs are
+    flagged by a vectorized Arrow probe over JVM-computed gram hashes —
+    zero join, corpus never shuffles (plan pinned join-free). At a 10^8-gram
+    eval corpus the exact twin's broadcast gram table is tens of GB; this
+    blob is 16 MiB at 1e-4 FPR, and flags a guaranteed SUPERSET (no false
+    negatives)."""
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    ev = corpus.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tailword")).alias("text"),
+    )
+    return dd.bloom_membership_contamination(
+        corpus, ev, "doc_id", "text", n=13, log2_m=22, k=7
+    )

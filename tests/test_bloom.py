@@ -1,0 +1,150 @@
+"""Bloom membership sketches: unit laws + the decontamination serving path.
+
+Pins the three properties the engine relies on: (1) NO false negatives —
+every inserted hash answers true after any partitioning of the build and
+any merge order; (2) the false-positive rate at the sized fill stays near
+the analytic bound; (3) the Spark serving op flags a SUPERSET of the exact
+13-gram rule's docs, and EQUALS it when the filter is sized generously.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from prompture_spark.functions.bloom import BloomSketch, optimal_k
+from prompture_spark.operators import dedup as dd
+from prompture_spark.operators.sketches import bloom_partials, merge_blooms
+
+rng = np.random.default_rng(7)
+
+
+# ---------------------------------------------------------------- unit laws
+
+
+def test_no_false_negatives():
+    hs = rng.integers(-(2**63), 2**63 - 1, size=50_000, dtype=np.int64)
+    sk = BloomSketch.from_hashes(hs, log2_m=20, k=7)
+    assert sk.contains_hashes(hs).all()
+
+
+def test_fpr_near_analytic_bound():
+    n = 40_000
+    hs = rng.integers(-(2**63), 2**63 - 1, size=n, dtype=np.int64)
+    sk = BloomSketch.from_hashes(hs, log2_m=20, k=7)
+    probe = rng.integers(-(2**63), 2**63 - 1, size=200_000, dtype=np.int64)
+    probe = np.setdiff1d(probe, hs)
+    fpr = sk.contains_hashes(probe).mean()
+    # analytic: (1 - e^{-kn/m})^k ~ 0.0092 at n=40k, m=2^20, k=7
+    assert fpr < 0.02
+    assert abs(sk.fpp_estimate() - fpr) < 0.01
+
+
+def test_merge_is_union_and_order_free():
+    a = rng.integers(0, 2**62, size=10_000, dtype=np.int64)
+    b = rng.integers(0, 2**62, size=10_000, dtype=np.int64)
+    c = rng.integers(0, 2**62, size=10_000, dtype=np.int64)
+    ska = BloomSketch.from_hashes(a)
+    skb = BloomSketch.from_hashes(b)
+    skc = BloomSketch.from_hashes(c)
+    m1 = ska.merge(skb).merge(skc)
+    m2 = skc.merge(ska.merge(skb))
+    single = BloomSketch.from_hashes(np.concatenate([a, b, c]))
+    assert (m1.words == m2.words).all()
+    assert (m1.words == single.words).all()
+    for h in (a, b, c):
+        assert m1.contains_hashes(h).all()
+
+
+def test_merge_param_mismatch_raises():
+    with pytest.raises(ValueError):
+        BloomSketch.empty(20, 7).merge(BloomSketch.empty(21, 7))
+    with pytest.raises(ValueError):
+        BloomSketch.from_bytes(b"nope")
+
+
+def test_wire_roundtrip_and_estimates():
+    hs = rng.integers(0, 2**62, size=5_000, dtype=np.int64)
+    sk = BloomSketch.from_hashes(hs, log2_m=18, k=5)
+    back = BloomSketch.from_bytes(sk.to_bytes())
+    assert (back.words == sk.words).all()
+    assert back.log2_m == 18 and back.k == 5
+    # Swamidass-Baldi estimate within 5% on distinct inputs
+    n_distinct = len(np.unique(hs))
+    assert abs(back.approx_items() - n_distinct) / n_distinct < 0.05
+    assert optimal_k(1 << 20, 100_000) == 7
+    assert optimal_k(1 << 20, 0) == 7
+
+
+def test_empty_inputs():
+    sk = BloomSketch.empty()
+    assert sk.contains_hashes(np.array([], dtype=np.int64)).shape == (0,)
+    sk.add_hashes(np.array([], dtype=np.int64))
+    assert sk.fill_ratio() == 0.0
+
+
+# -------------------------------------------------------------- spark build
+
+
+def test_distributed_build_matches_local(spark):
+    vals = [(int(v),) for v in rng.integers(0, 10**12, size=8_000)]
+    df = spark.createDataFrame(vals, "v bigint").repartition(8)
+    sk = merge_blooms(bloom_partials(df, "v", 18, 5), 18, 5)
+    # local single-pass build over the same JVM hashes
+    hs = np.array(
+        [r["h"] for r in df.select(F.xxhash64("v").alias("h")).collect()],
+        dtype=np.int64,
+    )
+    local = BloomSketch.from_hashes(hs, 18, 5)
+    assert (sk.words == local.words).all()
+
+
+def test_distributed_build_empty_input(spark):
+    df = spark.createDataFrame([], "v bigint")
+    sk = merge_blooms(bloom_partials(df, "v", 18, 5), 18, 5)
+    assert sk.fill_ratio() == 0.0 and sk.log2_m == 18
+
+
+# ------------------------------------------------- decontamination serving
+
+
+def _corpus_and_eval(spark, sf_small):
+    corpus = spark.read.parquet(f"{sf_small}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    ev = corpus.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tailword")).alias("text"),
+    )
+    return corpus, ev
+
+
+def test_bloom_contamination_superset_and_generous_equality(spark, sf_small):
+    corpus, ev = _corpus_and_eval(spark, sf_small)
+    exact = {
+        r["corpus_id"]: r["grams_hit"]
+        for r in dd.ngram_membership_contamination(
+            corpus, ev, "doc_id", "text", n=13
+        ).collect()
+    }
+    bloom = {
+        r["corpus_id"]: r["grams_hit"]
+        for r in dd.bloom_membership_contamination(
+            corpus, ev, "doc_id", "text", n=13, log2_m=22, k=7
+        ).collect()
+    }
+    # one-sided: every exactly-flagged doc flagged, with >= the exact count
+    assert set(exact) <= set(bloom)
+    for doc, g in exact.items():
+        assert bloom[doc] >= g
+    # generously sized (2^22 bits vs ~thousands of eval grams): exact equality
+    assert bloom == exact
+
+
+def test_bloom_contamination_no_plan_join(spark, sf_small):
+    corpus, ev = _corpus_and_eval(spark, sf_small)
+    plan = dd.bloom_membership_contamination(
+        corpus, ev, "doc_id", "text"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # the corpus side is probe-only, never joined
