@@ -1060,6 +1060,93 @@ def doc_unigram_cross_entropy(
     )
 
 
+def dsir_importance_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    hash_buckets: int | None = None,
+) -> DataFrame:
+    """DSIR-style data-selection importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"): score
+    every corpus document by the average log-likelihood ratio of its tokens
+    under a TARGET unigram LM vs the CORPUS unigram LM,
+
+        w(d) = (1/n_d) Σ_w c_dw · [ ln p_t(w) − ln p_c(w) ]
+
+    with p_t Laplace-smoothed over the corpus vocabulary V (target counts
+    restricted to V — out-of-corpus target words can never score a corpus
+    doc) and p_c the raw corpus frequency (always > 0 for scored words).
+    High weight = looks like the target distribution; selection = top
+    fraction by weight (serve top-k via orderBy().limit() →
+    TakeOrderedAndProject, or a t-digest weight threshold at 10^12 docs).
+
+    Shape: one explode per side into hash-agg term counts, corpus term
+    table derived from the per-doc counts (no second corpus scan), scalar
+    totals as one-row broadcast crossJoins (lazy — no eager ``count()``),
+    and the per-term log-ratio table joined on ``term`` — not broadcast, so
+    a web-scale vocabulary never has to fit one executor (same discipline
+    as doc_top_tfidf / doc_unigram_cross_entropy).
+
+    ``hash_buckets`` switches the feature space to DSIR's actual hashed
+    n-grams — ``pmod(xxhash64(term), hash_buckets)`` JVM-side — which fixes
+    the term-table size at the bucket count regardless of vocabulary
+    (10^4-10^5 buckets in the paper). Bucketed weights approximate exact
+    ones (collisions merge counts on BOTH LMs, biasing ratios toward 1);
+    tests/test_textquality.py pins rank agreement on planted fixtures.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\W+"), lambda x: x != ""
+    )
+
+    def term_of(col: Column) -> Column:
+        if hash_buckets is None:
+            return col
+        return F.pmod(F.xxhash64(col), F.lit(hash_buckets))
+
+    c = (
+        corpus.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("_r"))
+        .select("doc_id", term_of(F.col("_r")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cw = c.groupBy("term").agg(F.sum("c").alias("_cw"))
+    tot = cw.agg(
+        F.sum("_cw").alias("_C"), F.count(F.lit(1)).alias("_V")
+    )
+    twr = (
+        target.select(F.explode(toks).alias("_r"))
+        .select(term_of(F.col("_r")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("_twr"))
+    )
+    tw = cw.join(twr, "term", "left").select(
+        "term", "_cw", F.coalesce(F.col("_twr"), F.lit(0)).alias("_tw")
+    )
+    tt = tw.agg(F.sum("_tw").alias("_Tt"))
+    lr = (
+        tw.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "term",
+            (
+                F.log((F.col("_tw") + 1) / (F.col("_Tt") + F.col("_V")))
+                - F.log(F.col("_cw") / F.col("_C"))
+            ).alias("_logr"),
+        )
+    )
+    return (
+        c.join(lr, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            F.round(
+                F.sum(F.col("c") * F.col("_logr")) / F.sum("c"), 6
+            ).alias("dsir_weight"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- language
 
 _STOPWORDS = {

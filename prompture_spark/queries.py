@@ -3423,6 +3423,74 @@ def q_doc_unigram_ce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tq.doc_unigram_cross_entropy(docs, "doc_id", "text")
 
 
+_DSIR_CTE = r"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')) AS term
+  FROM documents
+),
+c AS (SELECT doc_id, term, count(*) AS c FROM w GROUP BY 1, 2),
+cw AS (SELECT term, sum(c) AS cw FROM c GROUP BY 1),
+tot AS (SELECT sum(cw) AS C, count(*) AS V FROM cw),
+twr AS (
+  SELECT term, count(*) AS twr FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')) AS term
+    FROM documents WHERE doc_id % 7 = 0
+  ) GROUP BY 1
+),
+tw AS (
+  SELECT cw.term, cw.cw, coalesce(twr.twr, 0) AS tw
+  FROM cw LEFT JOIN twr USING (term)
+),
+tt AS (SELECT sum(tw) AS T FROM tw),
+lr AS (
+  SELECT term, ln((tw + 1) / (T + V)) - ln(cw / C) AS logr
+  FROM tw, tt, tot
+),
+wts AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+         round(sum(c * logr) / sum(c), 6) AS dsir_weight
+  FROM c JOIN lr USING (term)
+  GROUP BY doc_id
+)
+"""
+
+
+def _dsir_inputs(spark: SparkSession, sf_dir: str):
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    target = corpus.filter(F.col("doc_id") % 7 == 0)
+    return corpus, target
+
+
+@register("dsir_importance_weights", _DSIR_CTE + "SELECT * FROM wts")
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data-selection importance weights (Xie et al. 2023): avg
+    log-likelihood ratio of each doc's tokens under a target unigram LM
+    (here the doc_id%7 stratum stands in for the high-quality target
+    sample) vs the corpus LM. Lazy single-scan-per-side plan; term table
+    joined, never broadcast."""
+    corpus, target = _dsir_inputs(spark, sf_dir)
+    return tq.dsir_importance_weights(corpus, target, "doc_id", "text")
+
+
+@register(
+    "dsir_top_docs",
+    _DSIR_CTE
+    + "SELECT * FROM wts ORDER BY dsir_weight DESC, doc_id LIMIT 100",
+)
+def q_dsir_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-resampling selection: top-100 docs by DSIR weight
+    (rounded weight then doc_id — deterministic across engines). Serve as
+    orderBy().limit() → TakeOrderedAndProject (distributed top-k, no global
+    sort); at a 10%-of-10^12 selection switch to a t-digest weight
+    threshold instead."""
+    corpus, target = _dsir_inputs(spark, sf_dir)
+    w = tq.dsir_importance_weights(corpus, target, "doc_id", "text")
+    return w.orderBy(F.desc("dsir_weight"), F.asc("doc_id")).limit(100)
+
+
 # ---------------------------------------------------------------------------
 # Q: data-profiling validation family (operators/profiling.py, drift.py,
 # textquality.py Gopher battery) — round 5
@@ -4430,4 +4498,19 @@ def q_contaminated_docs_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return dd.bloom_membership_contamination(
         corpus, ev, "doc_id", "text", n=13, log2_m=22, k=7
+    )
+
+
+@register("dsir_weights_hashed")  # no oracle: hashed feature space uses
+# xxhash64 bucketing (not expressible in DuckDB); exact twin:
+# dsir_importance_weights, oracle-green; rank agreement pinned by
+# tests/test_textquality.py
+def q_dsir_weights_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR weights over the paper's actual HASHED n-gram feature space
+    (pmod(xxhash64(term), 65536) JVM-side): the term table is fixed at the
+    bucket count regardless of vocabulary, so the log-ratio join side stays
+    bounded at any corpus scale."""
+    corpus, target = _dsir_inputs(spark, sf_dir)
+    return tq.dsir_importance_weights(
+        corpus, target, "doc_id", "text", hash_buckets=65536
     )

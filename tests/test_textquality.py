@@ -332,3 +332,58 @@ def test_encoding_noise_score_flags_dirty_not_clean(spark):
     got = {r.doc_id: r for r in tq.encoding_noise_stats(df).collect()}
     assert got[1].noisy is False and got[1].noise_score < 0.002
     assert got[2].noisy is True and got[2].noise_score > got[1].noise_score
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    from prompture_spark.operators import textquality as tq
+
+    # target distribution: code-ish vocabulary; corpus has 5 code-ish docs
+    # planted among 20 prose docs — DSIR must rank every planted doc above
+    # every prose doc.
+    code = "def spark filter lambda return yield class import numpy pandas"
+    prose = "the cat sat on the warm mat while rain fell over the quiet town"
+    rows = [(i, (code if i < 5 else prose) + f" tok{i % 3}") for i in range(25)]
+    corpus = spark.createDataFrame(rows, "doc_id int, text string")
+    target = spark.createDataFrame(
+        [(100 + i, code + " extra") for i in range(4)], "doc_id int, text string"
+    )
+    w = {
+        r.doc_id: r.dsir_weight
+        for r in tq.dsir_importance_weights(corpus, target, "doc_id", "text").collect()
+    }
+    assert len(w) == 25
+    assert min(w[i] for i in range(5)) > max(w[i] for i in range(5, 25))
+
+
+def test_dsir_hashed_agrees_with_exact_ranks(spark):
+    from prompture_spark.operators import textquality as tq
+
+    code = "def spark filter lambda return yield class import numpy pandas"
+    prose = "the cat sat on the warm mat while rain fell over the quiet town"
+    rows = [(i, (code if i < 5 else prose) + f" tok{i % 3}") for i in range(25)]
+    corpus = spark.createDataFrame(rows, "doc_id int, text string")
+    target = spark.createDataFrame(
+        [(100 + i, code + " extra") for i in range(4)], "doc_id int, text string"
+    )
+    # 2^16 buckets over a ~30-word vocab: collisions are overwhelmingly
+    # absent, so the hashed weights must preserve the planted separation.
+    wh = {
+        r.doc_id: r.dsir_weight
+        for r in tq.dsir_importance_weights(
+            corpus, target, "doc_id", "text", hash_buckets=65536
+        ).collect()
+    }
+    assert min(wh[i] for i in range(5)) > max(wh[i] for i in range(5, 25))
+
+
+def test_dsir_is_lazy(spark):
+    """Constructing the weights plan must not run a job (no eager count)."""
+    from prompture_spark.operators import textquality as tq
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    corpus = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    tq.dsir_importance_weights(corpus, corpus, "doc_id", "text")
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before
