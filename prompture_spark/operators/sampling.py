@@ -104,3 +104,91 @@ def split_sql(id_sql: str, weights: dict[str, float], salt: str = "") -> str:
         cum += weights[name]
         parts.append(f"WHEN {u} < '{_hex_threshold(cum)}' THEN '{name}'")
     return "CASE " + " ".join(parts) + f" ELSE '{names[-1]}' END"
+
+
+def select_token_budget(
+    df: DataFrame,
+    score_col: str,
+    tokens_col: str,
+    budget: int,
+    id_col: str,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Greedy token-budget selection: keep the best-scored documents, in
+    (score DESC, id ASC) order, until the running token total would exceed
+    ``budget`` — the standard "assemble an N-token training mix from ranked
+    candidates" step downstream of quality/DSIR scoring.
+
+    Semantics: a doc is kept iff the cumulative ``tokens_col`` over all docs
+    ordered before-or-at it is ≤ budget (strict prefix — deterministic given
+    a deterministic order; break score ties on ``id_col``, and round the
+    score FIRST if it is engine-dependent float math).
+
+    Scale shape — a global running sum WITHOUT a global single-partition
+    window: (1) ``repartitionByRange(score DESC, id)`` + ``sortWithin
+    Partitions`` gives a totally-ordered partitioning (the same machinery
+    a global ``orderBy`` uses, minus its final single-consumer guarantee);
+    (2) one Arrow ``mapInPandas`` pass emits each row's WITHIN-PARTITION
+    running total (numpy cumsum per batch + scalar carry across batches —
+    order-preserving by the mapInPandas contract) and its partition id;
+    (3) per-partition totals aggregate to |partitions| rows, whose prefix
+    offsets come from a driver-tiny window; (4) a broadcast join adds the
+    offset back and the budget filter prunes. ONE wide exchange total (the
+    range repartition of (id, score, tokens) — skinny columns only if the
+    caller pre-projects); everything else is metadata-sized.
+
+    Returns the kept rows with ``cum_tokens`` (exact integer running total
+    including the row). Input column set is preserved.
+    """
+    import pandas as pd
+    from pyspark import TaskContext
+
+    parts = n_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200"
+    )
+    rp = df.repartitionByRange(
+        int(parts), F.col(score_col).desc(), F.col(id_col).asc()
+    ).sortWithinPartitions(F.col(score_col).desc(), F.col(id_col).asc())
+
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in rp.schema.fields
+    )
+    out_schema = f"{fields}, _pid int, _cum_local bigint"
+
+    def running(batches):
+        carry = 0
+        pid = TaskContext.get().partitionId()
+        for b in batches:
+            if not len(b):
+                continue
+            cum = b[tokens_col].to_numpy().cumsum() + carry
+            carry = int(cum[-1])
+            b = b.assign(_pid=pid, _cum_local=cum)
+            yield b
+
+    # persist is CORRECTNESS here, not tuning: the offsets branch and the
+    # main stream both consume `loc`, and the range partitioner's sampled
+    # bounds are not guaranteed identical across two independent jobs — the
+    # broadcast-offsets job materializes the cache first (it must complete
+    # before the join stage starts), so both branches see ONE partitioning.
+    # Pre-project to (id, score, tokens) before calling at 10^12 rows so the
+    # cached footprint is three skinny columns.
+    from pyspark import StorageLevel
+
+    loc = rp.mapInPandas(running, out_schema).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    ptot = loc.groupBy("_pid").agg(F.max("_cum_local").alias("_ptot"))
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = ptot.select(
+        "_pid", F.coalesce(F.sum("_ptot").over(w), F.lit(0)).alias("_ofs")
+    )
+    sel = (
+        loc.join(F.broadcast(offs), "_pid")
+        .withColumn("cum_tokens", F.col("_ofs") + F.col("_cum_local"))
+        .filter(F.col("cum_tokens") <= budget)
+        .drop("_pid", "_cum_local", "_ofs")
+    )
+    return sel

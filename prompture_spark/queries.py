@@ -4501,6 +4501,34 @@ def q_contaminated_docs_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BUDGET_TAIL = """
+, sel AS (
+  SELECT doc_id, n_words, dsir_weight,
+         sum(n_words) OVER (ORDER BY dsir_weight DESC, doc_id) AS cum_tokens
+  FROM wts
+)
+SELECT doc_id, n_words, dsir_weight, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM sel WHERE cum_tokens <= 20000
+"""
+
+
+@register("dsir_token_budget_selection", _DSIR_CTE + _BUDGET_TAIL)
+def q_dsir_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assemble a 20k-token training mix from DSIR-ranked candidates:
+    greedy prefix of (dsir_weight DESC, doc_id) whose running token total
+    stays within budget. The running sum is the two-stage global cumsum of
+    operators/sampling.select_token_budget — range repartition + per-task
+    Arrow running totals + a |partitions|-row offset broadcast — never a
+    single-partition global window."""
+    from prompture_spark.operators import sampling
+
+    corpus, target = _dsir_inputs(spark, sf_dir)
+    w = tq.dsir_importance_weights(corpus, target, "doc_id", "text")
+    return sampling.select_token_budget(
+        w, "dsir_weight", "n_words", 20000, "doc_id"
+    )
+
+
 @register("dsir_weights_hashed")  # no oracle: hashed feature space uses
 # xxhash64 bucketing (not expressible in DuckDB); exact twin:
 # dsir_importance_weights, oracle-green; rank agreement pinned by

@@ -211,3 +211,60 @@ def test_doc_unigram_cross_entropy_hand_computed(spark):
     assert rows[1]["cross_entropy"] == pytest.approx(h1, abs=1e-6)
     assert rows[2]["cross_entropy"] == pytest.approx(h2, abs=1e-6)
     assert rows[1]["n_words"] == 3 and rows[2]["n_words"] == 2
+
+
+# ------------------------------------------------- token-budget selection
+
+
+def _budget_fixture(spark):
+    # 200 docs, deterministic scores with planted ties, varied token counts
+    rows = [
+        (i, float((i * 37) % 50) / 10.0, 50 + (i * 13) % 120)
+        for i in range(200)
+    ]
+    return spark.createDataFrame(rows, "doc_id int, score double, n_tok int")
+
+
+def test_token_budget_matches_global_window(spark):
+    df = _budget_fixture(spark)
+    got = sp.select_token_budget(df, "score", "n_tok", 3000, "doc_id", 8)
+    # single-partition reference: the semantics the two-stage cumsum must equal
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ref = (
+        df.withColumn("cum_tokens", F.sum("n_tok").over(w))
+        .filter(F.col("cum_tokens") <= 3000)
+    )
+    g = {(r.doc_id, r.cum_tokens) for r in got.collect()}
+    e = {(r.doc_id, r.cum_tokens) for r in ref.collect()}
+    assert g == e
+    assert len(g) > 0
+
+
+def test_token_budget_boundary_doc_excluded(spark):
+    df = spark.createDataFrame(
+        [(1, 2.0, 100), (2, 1.0, 100), (3, 0.5, 100)],
+        "doc_id int, score double, n_tok int",
+    )
+    kept = sorted(
+        r.doc_id
+        for r in sp.select_token_budget(df, "score", "n_tok", 250, "doc_id", 4).collect()
+    )
+    # doc 3 would push the running total to 300 > 250: strictly excluded
+    assert kept == [1, 2]
+
+
+def test_token_budget_deterministic_across_runs(spark):
+    df = _budget_fixture(spark).repartition(16)
+    a = sorted(
+        r.doc_id
+        for r in sp.select_token_budget(df, "score", "n_tok", 4000, "doc_id", 8).collect()
+    )
+    b = sorted(
+        r.doc_id
+        for r in sp.select_token_budget(df, "score", "n_tok", 4000, "doc_id", 8).collect()
+    )
+    assert a == b
