@@ -890,3 +890,108 @@ def merge_blooms(
     if not sks:
         return BloomSketch.empty(log2_m, k)
     return BloomSketch.merge_all(sks)
+
+
+def partition_blooms(
+    df: DataFrame,
+    value_expr: str,
+    key_col: str = "part_id",
+    log2_m: int = BLOOM_LOG2_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """One Bloom membership filter per ``key_col`` value over
+    ``xxhash64(value_expr)`` — the per-key form of :func:`bloom_partials`
+    (same two-stage shape as :func:`partition_sketches`): stage 1 folds each
+    task's rows into one partial filter PER LIVE KEY (mapInPandas; Arrow
+    carries one int64 per row; task memory is ``m/8`` bytes per live key —
+    size ``log2_m`` down for high-cardinality keys), stage 2 OR-merges the
+    per-(key, task) blobs per key (applyInPandas; the shuffle carries blobs,
+    never rows). Returns ``(key_col, sketch binary)``.
+    """
+    base = (
+        df.select(F.col(key_col).alias("_k"), F.expr(value_expr).alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .select("_k", F.xxhash64("_v").alias("_h"))
+    )
+    key_sql = base.schema["_k"].dataType.simpleString()
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sks: dict = {}
+        for b in batches:
+            if not len(b):
+                continue
+            for kv, grp in b.groupby("_k", sort=False):
+                sk = sks.get(kv)
+                if sk is None:
+                    sk = sks[kv] = BloomSketch.empty(log2_m, k)
+                sk.add_hashes(grp["_h"].to_numpy())
+        if sks:
+            yield pd.DataFrame(
+                {"_k": list(sks), "sketch": [s.to_bytes() for s in sks.values()]}
+            )
+
+    pts = base.mapInPandas(partials, f"_k {key_sql}, sketch binary")
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = BloomSketch.merge_all(
+            [BloomSketch.from_bytes(b) for b in pdf["sketch"]]
+        )
+        return pd.DataFrame({"_k": [pdf["_k"].iloc[0]], "sketch": [sk.to_bytes()]})
+
+    out = pts.groupBy("_k").applyInPandas(merge, f"_k {key_sql}, sketch binary")
+    return out.withColumnRenamed("_k", key_col)
+
+
+def bloom_stats(sk_df: DataFrame, key_col: str = "part_id") -> DataFrame:
+    """Decode ``(key, sketch)`` Bloom rows into
+    ``(key, approx_items, fill_ratio, fpp)`` — the filter's self-reported
+    cardinality (Swamidass–Baldi) and current false-positive rate."""
+    key_sql = sk_df.schema[key_col].dataType.simpleString()
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if not len(b):
+                continue
+            sks = [BloomSketch.from_bytes(x) for x in b["sketch"]]
+            yield pd.DataFrame(
+                {
+                    key_col: b[key_col],
+                    "approx_items": [s.approx_items() for s in sks],
+                    "fill_ratio": [round(s.fill_ratio(), 6) for s in sks],
+                    "fpp": [round(s.fpp_estimate(), 6) for s in sks],
+                }
+            )
+
+    return sk_df.mapInPandas(
+        decode,
+        f"{key_col} {key_sql}, approx_items bigint, fill_ratio double, fpp double",
+    )
+
+
+def incremental_blooms(
+    store: SketchStore,
+    new_df: DataFrame,
+    value_col: str,
+    content_cols: list[str],
+    prev_config_hash: str,
+    new_config_hash: str,
+    part_col: str = "part_id",
+    log2_m: int = BLOOM_LOG2_M,
+    k: int = BLOOM_K,
+) -> tuple[DataFrame, dict]:
+    """Bloom twin of :func:`incremental_hlls`: per-partition membership
+    filters with unchanged partitions' blobs carried forward byte-identical.
+    The incremental-decontamination story: when the eval corpus grows by one
+    partition, the global filter (:func:`merge_blooms` over the returned
+    frame) costs one scan of the NEW partition plus an OR of stored blobs —
+    the 100 TB corpus side never rescans the unchanged eval grams."""
+    return _incremental_blobs(
+        store,
+        new_df,
+        lambda scan: partition_blooms(scan, value_col, part_col, log2_m, k),
+        f"bloom:{value_col}",
+        content_cols,
+        prev_config_hash,
+        new_config_hash,
+        part_col,
+    )

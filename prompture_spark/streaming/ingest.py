@@ -28,6 +28,7 @@ counterpart of the manifest-based batch resume.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -123,6 +124,68 @@ def stream_validate_batches(
     return writer.start()
 
 
+
+def _write_novelty(
+    batch_df: DataFrame,
+    value_expr: str,
+    key_col: str,
+    prior: list,
+    batch_id: int,
+    novelty_sink: str,
+) -> None:
+    """Per-key novelty of a micro-batch vs the PRIOR Bloom state: one
+    broadcast of the stored blobs + one vectorized Arrow probe over
+    JVM-computed value hashes (no join, no shuffle beyond the per-key agg).
+    Keys with no prior filter report all rows novel (first sighting)."""
+    spark = batch_df.sparkSession
+    blobs = {r["partition_id"]: bytes(r["sketch"]) for r in prior}
+    bb = spark.sparkContext.broadcast(blobs)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def _seen(k: pd.Series, h: pd.Series) -> pd.Series:
+        from prompture_spark.functions.bloom import BloomSketch
+
+        res = pd.Series(False, index=k.index)
+        cache: dict = {}
+        for kv, grp in h.groupby(k):
+            blob = bb.value.get(kv)
+            if blob is None:
+                continue
+            sk = cache.get(kv)
+            if sk is None:
+                sk = cache[kv] = BloomSketch.from_bytes(blob)
+            res.loc[grp.index] = sk.contains_hashes(grp.to_numpy())
+        return res
+
+    probe = (
+        batch_df.select(
+            F.col(key_col).alias("_k"), F.expr(value_expr).alias("_v")
+        )
+        .filter(F.col("_v").isNotNull())
+        .select("_k", F.xxhash64("_v").alias("_h"))
+    )
+    nv = (
+        probe.withColumn("_s", _seen(F.col("_k"), F.col("_h")))
+        .groupBy("_k")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.when(~F.col("_s"), 1).otherwise(0)).alias("novel_rows"),
+        )
+        .select(
+            F.col("_k").alias(key_col),
+            F.lit(batch_id).alias("batch_id"),
+            "rows",
+            "novel_rows",
+            F.round(F.col("novel_rows") / F.col("rows"), 6).alias(
+                "novelty_rate"
+            ),
+        )
+    )
+    nv.write.mode("append").parquet(novelty_sink)
+
+
 def stream_sketch_digests(
     stream_df: DataFrame,
     value_expr: str,
@@ -137,6 +200,7 @@ def stream_sketch_digests(
     threshold: float = 0.1,
     trigger_available_now: bool = True,
     sketch_kind: str = "tdigest",
+    novelty_sink: str | None = None,
 ) -> StreamingQuery:
     """Continuously maintained per-key t-digest quantile state over an
     append-only stream — the streaming twin of the batch sketch pipeline
@@ -163,15 +227,28 @@ def stream_sketch_digests(
     ``sketch_kind="mg"`` maintains Misra-Gries frequency summaries
     (functions/freqsketch.py; namespaced ``mg:<column>``) — top values per
     key over everything ever streamed, exact while per-key cardinality stays
-    within k. Drift args are ignored for both non-digest kinds (quantile
+    within k. Drift args are ignored for the non-digest kinds (quantile
     drift is digest-specific).
+
+    ``sketch_kind="bloom"`` maintains per-key Bloom MEMBERSHIP filters
+    (functions/bloom.py; namespaced ``bloom:<column>``): the streaming
+    seen-before state for value-level dedup/decontamination with FIXED
+    per-key memory (``dropDuplicates`` state grows with distinct values;
+    the filter never does — at the cost of a bounded false-"seen" rate).
+    With ``novelty_sink`` set, each micro-batch ALSO appends per-key novelty
+    rows ``(key, batch_id, rows, novel_rows, novelty_rate)`` — the fraction
+    of the batch's values NOT already in the filter, probed against the
+    PRIOR state via one broadcast + vectorized Arrow UDF before the fold
+    (an on-arrival freshness/duplication monitor; a replayed batch is
+    skipped before probing, so novelty rows are replay-idempotent too).
     """
+    from prompture_spark.functions.bloom import BloomSketch
     from prompture_spark.functions.freqsketch import MGSketch
     from prompture_spark.functions.hll import HLLSketch
     from prompture_spark.functions.qdigest import QDigest
     from prompture_spark.operators import sketches as sk
 
-    if sketch_kind not in ("tdigest", "hll", "mg"):
+    if sketch_kind not in ("tdigest", "hll", "mg", "bloom"):
         raise ValueError(f"unknown sketch_kind {sketch_kind!r}")
     is_digest = sketch_kind == "tdigest"
     col_name = column or value_expr
@@ -192,11 +269,22 @@ def stream_sketch_digests(
         if applied and batch_id <= max(applied):
             return  # replayed batch: already folded into the store
         # distributed per-batch build; |keys| blobs reach the driver
-        codec = {"tdigest": QDigest, "hll": HLLSketch, "mg": MGSketch}[sketch_kind]
+        codec = {
+            "tdigest": QDigest,
+            "hll": HLLSketch,
+            "mg": MGSketch,
+            "bloom": BloomSketch,
+        }[sketch_kind]
+        if sketch_kind == "bloom" and novelty_sink is not None:
+            _write_novelty(
+                batch_df, value_expr, key_col, prior, batch_id, novelty_sink
+            )
         if sketch_kind == "hll":
             batch_sk = sk.partition_hlls(batch_df, value_expr, key_col)
         elif sketch_kind == "mg":
             batch_sk = sk.partition_freq_sketches(batch_df, value_expr, key_col)
+        elif sketch_kind == "bloom":
+            batch_sk = sk.partition_blooms(batch_df, value_expr, key_col)
         else:
             batch_sk = sk.partition_sketches(batch_df, value_expr, key_col)
         cur = {r["partition_id"]: codec.from_bytes(r["sketch"]) for r in prior}

@@ -148,3 +148,118 @@ def test_bloom_contamination_no_plan_join(spark, sf_small):
         corpus, ev, "doc_id", "text"
     )._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan  # the corpus side is probe-only, never joined
+
+
+# ------------------------------------------------ per-key build + incremental
+
+
+def test_partition_blooms_match_per_key_local_build(spark):
+    rows = [(i % 4, f"v{i % 900}") for i in range(6_000)]
+    df = spark.createDataFrame(rows, "part_id int, v string").repartition(8)
+    from prompture_spark.operators.sketches import partition_blooms
+
+    got = {
+        r["part_id"]: BloomSketch.from_bytes(r["sketch"])
+        for r in partition_blooms(df, "v", "part_id", 16, 5).collect()
+    }
+    assert set(got) == {0, 1, 2, 3}
+    for k, sk in got.items():
+        hs = np.array(
+            [
+                r["h"]
+                for r in df.filter(F.col("part_id") == k)
+                .select(F.xxhash64("v").alias("h"))
+                .collect()
+            ],
+            dtype=np.int64,
+        )
+        local = BloomSketch.from_hashes(hs, 16, 5)
+        assert (sk.words == local.words).all()
+
+
+def test_incremental_blooms_carry_forward(spark, tmp_path):
+    from prompture_spark.operators.sketches import (
+        SketchStore,
+        incremental_blooms,
+        merge_blooms,
+        partition_blooms,
+    )
+
+    rows = [(i % 4, f"v{i}") for i in range(2_000)]
+    df = spark.createDataFrame(rows, "part_id int, v string")
+    store = SketchStore(spark, str(tmp_path / "bst"))
+    base, _ = incremental_blooms(
+        store, df, "v", ["v"], "none", "run1", log2_m=16, k=5
+    )
+    base.collect()
+    # churn one partition only
+    df2 = df.withColumn(
+        "v", F.when(F.col("part_id") == 2, F.concat(F.col("v"), F.lit("x"))).otherwise(F.col("v"))
+    )
+    upd, info = incremental_blooms(
+        store, df2, "v", ["v"], "run1", "run2", log2_m=16, k=5
+    )
+    got = {r["partition_id"]: bytes(r["sketch"]) for r in upd.collect()}
+    assert info["recomputed"] == [2]
+    assert sorted(info["carried"]) == [0, 1, 3]
+    fresh = {
+        r["part_id"]: bytes(r["sketch"])
+        for r in partition_blooms(df2, "v", "part_id", 16, 5).collect()
+    }
+    assert got == fresh  # carried blobs byte-identical to a full rebuild
+    merged = merge_blooms(
+        spark.createDataFrame([(s,) for s in got.values()], "sketch binary"), 16, 5
+    )
+    assert merged.fill_ratio() > 0
+
+
+def test_stream_bloom_state_and_novelty(spark, tmp_path):
+    """Streamed Bloom maintenance: state equals the batch build over
+    everything landed; the novelty sink reports all-novel for batch 0 and
+    ~zero novelty when batch 1 repeats the same values."""
+    from prompture_spark.operators import sketches
+    from prompture_spark.streaming.ingest import stream_sketch_digests
+    from tests.test_streaming import TRANSCRIPT_SCHEMA
+
+    from prompture_spark.sources.transcripts import generate_transcripts
+
+    df = generate_transcripts(spark, 8_000, n_convs=100, seed=23)
+    src = str(tmp_path / "land_bloom")
+    # batch 0: part_id < 4; batch 1: THE SAME rows again (pure repeats)
+    df.filter(F.col("part_id") < 4).coalesce(1).write.mode("append").parquet(src)
+    df.filter(F.col("part_id") < 4).coalesce(1).write.mode("append").parquet(src)
+
+    store_path = str(tmp_path / "bloom_store")
+    nov = str(tmp_path / "novelty")
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_sketch_digests(
+        stream, "text", store_path, str(tmp_path / "bloom_ckpt"),
+        sketch_kind="bloom", novelty_sink=nov,
+    ).awaitTermination(180)
+
+    sub = df.filter(F.col("part_id") < 4)
+    streamed = {
+        r["partition_id"]: bytes(r["sketch"])
+        for r in sketches.SketchStore(spark, store_path)
+        .read("stream", "bloom:text")
+        .collect()
+    }
+    batch = {
+        r["part_id"]: bytes(r["sketch"])
+        for r in sketches.partition_blooms(sub, "text", "part_id").collect()
+    }
+    # OR-merge of the two identical batches == one batch build (idempotent)
+    assert streamed == batch
+
+    nvr = spark.read.parquet(nov).collect()
+    by_batch = {}
+    for r in nvr:
+        by_batch.setdefault(r["batch_id"], []).append(r)
+    b0, b1 = by_batch[min(by_batch)], by_batch[max(by_batch)]
+    assert all(r["novelty_rate"] == 1.0 for r in b0)  # empty prior: all novel
+    # repeats probed against the folded state: novelty ~0 (FPR-bounded)
+    assert all(r["novelty_rate"] <= 0.01 for r in b1)
