@@ -451,6 +451,13 @@ def bloom_membership_contamination(
     is an upper bound that exceeds the exact count only via Bloom false
     positives (rate ``fpp_estimate``) or 64-bit xxhash collisions. Sized
     generously it equals the exact op (pinned in tests/test_bloom.py).
+
+    NOTE this operator is deliberately NOT construction-lazy: the filter
+    build runs as its own job here (a SparkContext broadcast needs the bytes
+    driver-side before the probe plan can close over them), so calling it
+    costs one pass over the EVAL side immediately. That is one small-side
+    scan by construction — not the corpus-scan eagerness banned elsewhere —
+    and it is the same two-job shape `broadcast()` hash joins execute anyway.
     """
     from prompture_spark.operators.sketches import bloom_partials, merge_blooms
 
@@ -1217,6 +1224,138 @@ def line_dedup_stats(
             (F.col("n_removed") / F.col("n_segments")).alias("removed_frac"),
             "cleaned_text",
         )
+    )
+
+
+# --------------------------------------- exact substring-span dedup (E/W)
+
+
+def duplicated_token_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 50,
+    hashed: bool = False,
+) -> DataFrame:
+    """Exact duplicated-substring spans (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", ExactSubstr): every maximal
+    token span whose every ``min_tokens``-gram occurs ≥2 times in the whole
+    corpus (the paper's L=50-token rule; their implementation is a
+    single-node suffix array — this is the distributed restatement: a
+    duplicated substring of length ≥ L exists iff its anchor L-grams are
+    duplicated, so corpus-wide L-gram document frequency + per-doc
+    gaps-and-islands merge of overlapping/adjacent anchors reconstructs the
+    maximal spans without any suffix structure).
+
+    Shape: one POSITIONAL gram explode per doc (`transform(sequence(...))` —
+    unlike `word_shingles` this keeps every occurrence and its position),
+    one hash aggregate for corpus-wide gram counts, a keyed join back
+    (anchor-sized after the ``cnt ≥ 2`` filter — true-duplication-sized, not
+    corpus-sized), then ONE per-doc window pass merging anchors into
+    islands: a new island starts where an anchor's start exceeds the
+    running max span end + 1 (overlap-or-adjacency merge). Returns
+    ``(doc_id, span_start, span_end, span_tokens, n_anchors)`` with 1-based
+    token indexes.
+
+    ``hashed=True`` swaps the gram string for ``xxhash64(gram)`` in the df
+    table and join keys — the 100 TB configuration (8-byte keys instead of
+    ~L-word strings; counts identical up to 64-bit collisions). The default
+    keeps strings so the DuckDB oracle can replay the op exactly.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    n = F.size(toks) - (min_tokens - 1)
+    gram = lambda i: F.concat_ws(" ", F.slice(toks, i, min_tokens))  # noqa: E731
+    key = (lambda i: F.xxhash64(gram(i))) if hashed else gram
+    entries = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.struct(i.alias("p"), key(i).alias("g")),
+        ),
+    ).otherwise(F.array().cast(
+        f"array<struct<p:int,g:{'bigint' if hashed else 'string'}>>"
+    ))
+    pos = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(entries).alias("e")
+    ).select("doc_id", F.col("e.p").alias("p"), F.col("e.g").alias("g"))
+    dup = pos.groupBy("g").agg(F.count(F.lit(1)).alias("_cnt")).filter(
+        F.col("_cnt") >= 2
+    )
+    anchors = pos.join(dup.select("g"), "g")
+    w = Window.partitionBy("doc_id").orderBy("p")
+    prev_end = F.max(F.col("p") + (min_tokens - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = anchors.withColumn(
+        "_new",
+        F.when(prev_end.isNull() | (F.col("p") > prev_end + 1), 1).otherwise(0),
+    ).withColumn("_island", F.sum("_new").over(w))
+    return (
+        isl.groupBy("doc_id", "_island")
+        .agg(
+            F.min("p").cast("long").alias("span_start"),
+            (F.max("p") + (min_tokens - 1)).cast("long").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_anchors"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+            "n_anchors",
+        )
+    )
+
+
+def strike_duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 50,
+    hashed: bool = False,
+) -> DataFrame:
+    """Remove every duplicated token span found by
+    :func:`duplicated_token_spans` from each document (the paper's actual
+    dedup action — they cut the duplicated substring, not the document).
+
+    Reassembly is EXPRESSION-ONLY: spans collect per doc into a small array
+    (spans per doc ~ a handful by construction — maximal merged islands),
+    broadcast-join back, and ``F.filter(toks, (x, i) -> ...)`` drops tokens
+    positionally inside one projection — no positional explode of the
+    corpus, no second wide shuffle of text. Returns
+    ``(doc_id, n_tokens, removed_tokens, cleaned_text)``.
+    """
+    spans = duplicated_token_spans(df, id_col, text_col, min_tokens, hashed)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct(F.col("span_start").alias("s"), F.col("span_end").alias("e"))
+        ).alias("_spans"),
+        F.sum("span_tokens").alias("removed_tokens"),
+    )
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
+    j = base.join(per_doc, "doc_id", "left")
+    kept = F.filter(
+        F.col("_t"),
+        lambda x, i: ~F.exists(
+            F.coalesce(
+                F.col("_spans"),
+                F.array().cast("array<struct<s:bigint,e:bigint>>"),
+            ),
+            lambda sp: (i + 1 >= sp["s"]) & (i + 1 <= sp["e"]),
+        ),
+    )
+    return j.select(
+        "doc_id",
+        F.size("_t").cast("long").alias("n_tokens"),
+        F.coalesce(F.col("removed_tokens"), F.lit(0)).cast("long").alias(
+            "removed_tokens"
+        ),
+        F.array_join(kept, " ").alias("cleaned_text"),
     )
 
 

@@ -4542,3 +4542,96 @@ def q_dsir_weights_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tq.dsir_importance_weights(
         corpus, target, "doc_id", "text", hash_buckets=65536
     )
+
+
+_SPAN_CTE = r"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS l
+  FROM documents
+),
+e AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(l) >= 8
+                     THEN [{'p': i, 'g': array_to_string(l[i:i+7], ' ')} FOR i IN range(1, len(l) - 6)]
+                     ELSE CAST([] AS STRUCT(p BIGINT, g VARCHAR)[]) END) AS s
+  FROM t
+),
+g AS (SELECT doc_id, s.p AS p, s.g AS g FROM e),
+dup AS (SELECT g FROM g GROUP BY g HAVING count(*) >= 2),
+a AS (SELECT doc_id, p FROM g JOIN dup USING (g)),
+m AS (
+  SELECT doc_id, p,
+         max(p + 7) OVER (PARTITION BY doc_id ORDER BY p
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+  FROM a
+),
+i AS (
+  SELECT doc_id, p,
+         sum(CASE WHEN pe IS NULL OR p > pe + 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY p) AS isl
+  FROM m
+),
+sp AS (
+  SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+         CAST(max(p) + 7 AS BIGINT) AS span_end,
+         CAST(count(*) AS BIGINT) AS n_anchors
+  FROM i GROUP BY doc_id, isl
+)
+"""
+
+
+@register(
+    "dup_substring_spans",
+    _SPAN_CTE
+    + "SELECT doc_id, span_start, span_end, "
+    "span_end - span_start + 1 AS span_tokens, n_anchors FROM sp",
+)
+def q_dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup (Lee et al. 2022): maximal duplicated token spans
+    — corpus-wide L-gram frequency + per-doc gaps-and-islands merge, the
+    distributed restatement of the paper's suffix array. L=8 here so the
+    synthetic corpus's planted near-twins produce spans; the paper's
+    production rule is L=50."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return dd.duplicated_token_spans(docs, "doc_id", "text", min_tokens=8)
+
+
+_STRIKE_TAIL = """
+, tokpos AS (
+  SELECT doc_id, unnest(l) AS tok, unnest(range(1, len(l) + 1)) AS i FROM t
+),
+kept AS (
+  SELECT tp.doc_id, tp.i, tp.tok
+  FROM tokpos tp
+  LEFT JOIN sp ON sp.doc_id = tp.doc_id
+              AND tp.i BETWEEN sp.span_start AND sp.span_end
+  WHERE sp.doc_id IS NULL
+),
+agg AS (
+  SELECT doc_id, array_to_string(list(tok ORDER BY i), ' ') AS cleaned_text
+  FROM kept GROUP BY doc_id
+),
+rem AS (
+  SELECT doc_id, CAST(sum(span_end - span_start + 1) AS BIGINT) AS removed_tokens
+  FROM sp GROUP BY doc_id
+),
+nt AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens FROM t)
+SELECT nt.doc_id, nt.n_tokens,
+       coalesce(rem.removed_tokens, 0) AS removed_tokens,
+       coalesce(agg.cleaned_text, '') AS cleaned_text
+FROM nt LEFT JOIN rem USING (doc_id) LEFT JOIN agg USING (doc_id)
+"""
+
+
+@register("strike_dup_substrings", _SPAN_CTE + _STRIKE_TAIL)
+def q_strike_dup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ExactSubstr dedup ACTION: cut every duplicated span from its doc
+    (the paper removes the substring, not the document). Reassembly is one
+    expression-only positional filter — no positional explode of the
+    corpus, no second wide shuffle of text."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return dd.strike_duplicated_spans(docs, "doc_id", "text", min_tokens=8)

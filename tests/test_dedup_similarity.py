@@ -803,3 +803,65 @@ def test_duplicated_segments_approx_close_to_exact(spark, lined_docs):
     assert set(e) == set(a)
     for k in e:
         assert abs(e[k] - a[k]) <= max(1, 0.05 * e[k])
+
+
+# --------------------------------------- exact substring-span dedup (Lee'22)
+
+
+def _span_fixture(spark):
+    S = " ".join(f"s{i}" for i in range(1, 13))  # 12-token shared run
+    P = " ".join(f"p{i}" for i in range(1, 11))  # 10-token repeated phrase
+    rows = [
+        (1, "a1 a2 a3 " + S + " a4 a5"),          # S at tokens 4..15
+        (2, "b1 " + S + " b2 b3 b4"),             # S at tokens 2..13
+        (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),    # unique
+        (4, P + " x1 x2 x3 " + P),                # P at 1..10 and 14..23
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_duplicated_token_spans_planted(spark):
+    df = _span_fixture(spark)
+    got = {
+        (r.doc_id, r.span_start, r.span_end): (r.span_tokens, r.n_anchors)
+        for r in dd.duplicated_token_spans(df, "doc_id", "text", 8).collect()
+    }
+    assert got == {
+        (1, 4, 15): (12, 5),   # exactly the shared run S
+        (2, 2, 13): (12, 5),
+        (4, 1, 10): (10, 3),   # both copies of the in-doc repeat
+        (4, 14, 23): (10, 3),
+    }
+
+
+def test_duplicated_token_spans_hashed_equals_exact(spark):
+    df = _span_fixture(spark)
+    a = sorted(
+        map(tuple, dd.duplicated_token_spans(df, "doc_id", "text", 8).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            dd.duplicated_token_spans(df, "doc_id", "text", 8, hashed=True).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_strike_duplicated_spans_planted(spark):
+    df = _span_fixture(spark)
+    got = {r.doc_id: r for r in dd.strike_duplicated_spans(df, "doc_id", "text", 8).collect()}
+    assert got[1].cleaned_text == "a1 a2 a3 a4 a5"
+    assert (got[1].n_tokens, got[1].removed_tokens) == (17, 12)
+    assert got[2].cleaned_text == "b1 b2 b3 b4"
+    assert got[3].removed_tokens == 0 and got[3].cleaned_text.startswith("c1 ")
+    assert got[4].cleaned_text == "x1 x2 x3"
+    assert (got[4].n_tokens, got[4].removed_tokens) == (23, 20)
+
+
+def test_duplicated_token_spans_no_dups_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5 w6 w7 w8 w9"), (2, "z1 z2 z3 z4 z5 z6 z7 z8 z9")],
+        "doc_id int, text string",
+    )
+    assert dd.duplicated_token_spans(df, "doc_id", "text", 8).count() == 0
