@@ -59,9 +59,12 @@ def _driver_window_order() -> list[str]:
         has_oracle = name in Q.ORACLES
         if not has_oracle:
             # a no-oracle query that has NEVER had any driver row (even a
-            # rows-only one) takes one bucket-0 slot until it gets one;
-            # afterwards it drops back behind every oracle-backed query
-            return (0 if name not in seen else 2, 0, names.index(name))
+            # rows-only one) takes one bucket-0 slot until it gets one —
+            # but BEHIND every never-attested oracle-backed query (sub-key
+            # 1): when bucket 0 alone overflows the driver window, a
+            # hash-checked green row must win over a rows-only row.
+            # Afterwards it drops behind every oracle-backed query.
+            return (0 if name not in seen else 2, 1, names.index(name))
         if name not in attested:
             return (0, 0, names.index(name))
         return (1, attested[name], names.index(name))
