@@ -352,9 +352,18 @@ def run(job: str, master: str, n_turns: int, path: str) -> dict:
     script = CHILD.format(repo=REPO, n_docs=N_DOCS, n_vecs=N_VECS,
                            n_queries=N_QUERIES, n_chain=N_CHAIN,
                            n_contam=N_CONTAM, n_sketch=N_SKETCH)
+    # Shuffle/blockmgr files live under SPARK_LOCAL_DIRS; the default /tmp
+    # is swept by an age-based cleaner on this host, which killed two
+    # hour-long draws mid-local[32] (FileNotFoundException on shuffle_*.data,
+    # then a terminated TaskResultGetter pool — 2026-08-19). A repo-adjacent
+    # scratch dir is exempt from the sweeper.
+    env = dict(os.environ)
+    local_dirs = os.path.join(REPO, ".spark_scratch")
+    os.makedirs(local_dirs, exist_ok=True)
+    env.setdefault("SPARK_LOCAL_DIRS", local_dirs)
     out = subprocess.run(
         [sys.executable, "-c", script, job, master, str(n_turns), path],
-        capture_output=True, text=True, timeout=3600,
+        capture_output=True, text=True, timeout=3600, env=env,
     )
     lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
     if not lines:
