@@ -291,3 +291,48 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def knn_label_agreement(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 10,
+) -> DataFrame:
+    """Embedding-space label-consistency validation (kNN purity): for each
+    query vector, the fraction of its k cosine-nearest neighbors sharing its
+    label. Low agreement localizes noisy labels or a collapsed embedding
+    region — the classifier-free quality check run before trusting an
+    embedding column for dedup/contamination/ANN at corpus scale.
+
+    Shape: inherits :func:`brute_force_topk`'s plan (queries broadcast,
+    corpus never shuffles, per-query top-k window over the rounded cosine so
+    ranking is engine-deterministic), then ONE keyed join attaches neighbor
+    labels (|queries|·k rows — neighbor-list-sized, never corpus-sized) and
+    one hash agg folds the agreement. At 10^9 vectors swap the exact top-k
+    for `ivf_topk` — the agreement fold is unchanged.
+
+    Returns ``(query_id, label, knn_agreement)``.
+    """
+    top = brute_force_topk(emb, queries, id_col, vec_col, k)
+    labels = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("_nlab")
+    )
+    qlab = queries.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("label")
+    )
+    return (
+        top.join(labels, "neighbor_id")
+        .join(F.broadcast(qlab), "query_id")
+        .groupBy("query_id", "label")
+        .agg(
+            F.round(
+                F.avg(
+                    F.when(F.col("_nlab") == F.col("label"), 1.0).otherwise(0.0)
+                ),
+                6,
+            ).alias("knn_agreement")
+        )
+    )

@@ -4635,3 +4635,32 @@ def q_strike_dup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text"
     )
     return dd.strike_duplicated_spans(docs, "doc_id", "text", min_tokens=8)
+
+
+_KNN_PURITY_ORACLE = """
+WITH q AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 20 = 0),
+scored AS (
+  SELECT q.vec_id AS query_id, q.label AS qlab, c.label AS nlab, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+  FROM embeddings c, q WHERE c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, qlab, nlab,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(qlab AS INT) AS label,
+       round(avg(CASE WHEN nlab = qlab THEN 1.0 ELSE 0.0 END), 6) AS knn_agreement
+FROM ranked WHERE rank <= 10 GROUP BY query_id, qlab
+"""
+
+
+@register("knn_label_agreement", _KNN_PURITY_ORACLE)
+def q_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label purity over the embeddings table: fraction of each sampled
+    query's 10 cosine-nearest neighbors sharing its label — the
+    classifier-free embedding-quality check (noisy labels / collapsed
+    regions) run before trusting an embedding column for dedup or ANN."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    return sim.knn_label_agreement(emb, queries, "vec_id", "embedding", "label", k=10)

@@ -865,3 +865,28 @@ def test_duplicated_token_spans_no_dups_empty(spark):
         "doc_id int, text string",
     )
     assert dd.duplicated_token_spans(df, "doc_id", "text", 8).count() == 0
+
+
+def test_knn_label_agreement_flags_mislabel(spark):
+    from prompture_spark.operators import similarity as sim
+
+    # two clusters with distinct per-member angles (cosine gaps well above
+    # the 1e-6 ranking round); vec 20 carries cluster-A geometry but label 1
+    rows = []
+    for i in range(10):
+        rows.append((i, [1.0, i * 0.01, 0.0], 0))        # cluster A fan
+    for i in range(10, 20):
+        rows.append((i, [0.0, 1.0, (i - 10) * 0.01], 1))  # cluster B fan
+    rows.append((20, [1.0, 0.0505, 0.0], 1))  # mislabeled: mid-cluster-A
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label int"
+    )
+    got = {
+        r.query_id: r.knn_agreement
+        for r in sim.knn_label_agreement(emb, emb, k=5).collect()
+    }
+    assert got[20] == 0.0                      # all its neighbors are label 0
+    assert all(got[i] == 1.0 for i in range(10, 20))  # clean cluster B intact
+    # cluster A members lose at most one of their 5 slots to the intruder
+    assert all(got[i] >= 0.8 for i in range(10))
+    assert any(got[i] == 0.8 for i in range(10))  # ...and some do see it
