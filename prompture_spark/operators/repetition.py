@@ -1,0 +1,246 @@
+"""Gopher/MassiveText-style repetition quality signals — expression-only.
+
+The published repetition filters (Rae et al. 2021, "Scaling Language Models:
+Methods, Analysis & Insights from Training Gopher", Table A1; reused by
+RefinedWeb and FineWeb) drop documents whose content is dominated by
+repeated lines, paragraphs, or word n-grams. The reference repo has no
+corpus-quality surface (its filters are per-response shape/length checks,
+/root/reference/prompture/validator/filters.py); this operator is the
+corpus-scale complement a training-data pipeline needs.
+
+Semantics (deterministic, documented here and restated independently in the
+DuckDB oracle):
+
+  * lines / paragraphs: split on ``\\n`` / ``\\n{2,}``, trim, drop empties.
+    ``dup_line_frac``  = occurrences belonging to a line seen 2+ times / lines.
+    ``dup_line_char_frac`` = characters of those occurrences / characters in
+    all lines. Same pair for paragraphs.
+  * word n-grams (whitespace tokens, space-rejoined):
+    ``top_{n}gram_char_frac`` = max over grams of count*len(gram) /
+    length(text) — the largest character coverage any single n-gram achieves.
+    (Gopher picks the most FREQUENT n-gram; max-coverage is the monotone
+    variant that needs no tie-break and upper-bounds it.)
+    ``dup_{n}gram_char_frac`` = DE-OVERLAPPED coverage, as in the paper:
+    the union of word positions covered by any occurrence of a gram seen
+    2+ times, measured in word characters, over total word characters —
+    bounded [0, 1] by construction.
+
+Scale shape: the whole computation is ONE projection — per-document arrays,
+``array_sort`` + an ``aggregate`` fold over sorted adjacency to get
+duplicate/top character mass. No explode of the corpus, no shuffle, no UDF:
+at 10^12 turns this runs map-side inside whole-stage codegen next to the
+scan, cost O(tokens log tokens) per document and O(doc) memory per row.
+The alternative explode→groupBy(doc, gram) plan shuffles ~n copies of every
+document — avoided entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Gopher Table A1 drop thresholds (fraction above which the doc is dropped).
+GOPHER_THRESHOLDS: dict[str, float] = {
+    "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+    "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13,
+    "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11,
+    "dup_10gram_char_frac": 0.10,
+}
+
+
+def _dup_fold(arr_sql: str) -> str:
+    """SQL for folding a SORTED array<string> into duplicate/top mass.
+
+    Returns struct(dup_n, dup_chars, top_chars):
+      dup_n     — occurrences belonging to items appearing 2+ times;
+      dup_chars — characters of those occurrences;
+      top_chars — max over items of count*length(item).
+    One pass over sorted adjacency: when a run reaches length 2 both
+    occurrences retroactively become duplicates; beyond 2 each adds one.
+    """
+    return f"""aggregate(
+        array_sort({arr_sql}),
+        named_struct('prev', cast(null as string), 'run', 0L,
+                     'dup_n', 0L, 'dup_chars', 0L, 'top_chars', 0L),
+        (s, x) -> CASE WHEN s.prev IS NOT NULL AND x = s.prev THEN
+            named_struct('prev', x, 'run', s.run + 1L,
+                'dup_n', s.dup_n + CASE WHEN s.run = 1L THEN 2L ELSE 1L END,
+                'dup_chars', s.dup_chars
+                    + CASE WHEN s.run = 1L THEN 2L ELSE 1L END * length(x),
+                'top_chars', greatest(s.top_chars, (s.run + 1L) * length(x)))
+          ELSE
+            named_struct('prev', x, 'run', 1L,
+                'dup_n', s.dup_n, 'dup_chars', s.dup_chars,
+                'top_chars', greatest(s.top_chars, cast(length(x) as bigint)))
+          END,
+        s -> named_struct('dup_n', s.dup_n, 'dup_chars', s.dup_chars,
+                          'top_chars', s.top_chars))"""
+
+
+def _ngrams_sql(words_sql: str, n: int) -> str:
+    """SQL for the array of space-joined word n-grams (empty if < n words)."""
+    return f"""CASE WHEN size({words_sql}) >= {n}
+        THEN transform(sequence(1, size({words_sql}) - {n} + 1),
+                       i -> concat_ws(' ', slice({words_sql}, i, {n})))
+        ELSE array() END"""
+
+
+def _gram_fold(grams_col: str) -> str:
+    """SQL folding an n-gram array COLUMN into struct(pos, top_chars).
+
+    ``pos``      — 1-based word-start positions of every occurrence of a
+                   gram that appears 2+ times (for union coverage);
+    ``top_chars``— max over grams of count*length(gram).
+    One sort of (gram, position) structs, then one adjacency pass. The
+    struct sort orders by gram then position, so runs are position-ordered
+    and the output is deterministic. Takes a column name (the gram arrays
+    are materialized as intermediate projection columns) so the codegen
+    expression stays small and is never re-inlined per use.
+    """
+    g = grams_col
+    return f"""CASE WHEN size({g}) = 0 THEN
+        named_struct('pos', cast(array() as array<int>), 'top_chars', 0L)
+      ELSE aggregate(
+        array_sort(transform(sequence(1, size({g})),
+                             i -> named_struct('g', {g}[i - 1], 'p', i))),
+        named_struct('pg', cast(null as string), 'pp', 0, 'run', 0L,
+                     'pos', cast(array() as array<int>), 'top_chars', 0L),
+        (s, x) -> CASE WHEN s.pg IS NOT NULL AND x.g = s.pg THEN
+            named_struct('pg', x.g, 'pp', x.p, 'run', s.run + 1L,
+                'pos', CASE WHEN s.run = 1L THEN concat(s.pos, array(s.pp, x.p))
+                            ELSE concat(s.pos, array(x.p)) END,
+                'top_chars', greatest(s.top_chars, (s.run + 1L) * length(x.g)))
+          ELSE
+            named_struct('pg', x.g, 'pp', x.p, 'run', 1L,
+                'pos', s.pos,
+                'top_chars', greatest(s.top_chars, cast(length(x.g) as bigint)))
+          END,
+        s -> named_struct('pos', s.pos, 'top_chars', s.top_chars))
+      END"""
+
+
+def _coverage_sql(fold_col: str, words_col: str, n: int) -> str:
+    """SQL: word characters covered by the union of duplicated-gram spans."""
+    return f"""aggregate(
+        array_distinct(flatten(transform({fold_col}.pos,
+                                         p -> sequence(p, p + {n} - 1)))),
+        0L, (a, w) -> a + length(element_at({words_col}, w)))"""
+
+
+def _frac(num: Column, den: Column) -> Column:
+    return F.round(
+        F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(F.lit(0.0)), 6
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """Per-document Gopher repetition signals as one shuffle-free projection.
+
+    Output: ``(id_col, dup_line_frac, dup_line_char_frac, dup_para_frac,
+    dup_para_char_frac, top_{n}gram_char_frac..., dup_{n}gram_char_frac...)``
+    — every fraction a double rounded to 6 dp.
+    """
+    t = text_col
+    lines = f"filter(transform(split({t}, '\\n'), l -> trim(l)), l -> length(l) > 0)"
+    paras = f"filter(transform(split({t}, '\\n{{2,}}'), p -> trim(p)), p -> length(p) > 0)"
+    words = f"filter(split(trim({t}), '\\\\s+'), w -> length(w) > 0)"
+
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+
+    base = df.select(
+        F.col(id_col),
+        F.length(F.col(t)).cast("bigint").alias("_tc"),
+        F.expr(lines).alias("_lines"),
+        F.expr(paras).alias("_paras"),
+        F.expr(words).alias("_ws"),
+    )
+
+    grams = base.select(
+        id_col,
+        "_tc",
+        "_ws",
+        F.expr("aggregate(_ws, 0L, (a, x) -> a + length(x))").alias("_wc"),
+        F.size("_lines").cast("bigint").alias("_nl"),
+        F.expr("aggregate(_lines, 0L, (a, x) -> a + length(x))").alias("_lc"),
+        F.expr(_dup_fold("_lines")).alias("_lf"),
+        F.size("_paras").cast("bigint").alias("_np"),
+        F.expr("aggregate(_paras, 0L, (a, x) -> a + length(x))").alias("_pc"),
+        F.expr(_dup_fold("_paras")).alias("_pf"),
+        *[F.expr(_ngrams_sql("_ws", n)).alias(f"_ng{n}") for n in all_ns],
+    )
+
+    folded = grams.select(
+        id_col,
+        "_tc",
+        "_ws",
+        "_wc",
+        "_nl",
+        "_lc",
+        "_lf",
+        "_np",
+        "_pc",
+        "_pf",
+        *[F.expr(_gram_fold(f"_ng{n}")).alias(f"_g{n}") for n in all_ns],
+    )
+
+    out = [
+        F.col(id_col),
+        _frac(F.col("_lf.dup_n"), F.col("_nl")).alias("dup_line_frac"),
+        _frac(F.col("_lf.dup_chars"), F.col("_lc")).alias("dup_line_char_frac"),
+        _frac(F.col("_pf.dup_n"), F.col("_np")).alias("dup_para_frac"),
+        _frac(F.col("_pf.dup_chars"), F.col("_pc")).alias("dup_para_char_frac"),
+    ]
+    for n in top_ns:
+        out.append(_frac(F.col(f"_g{n}.top_chars"), F.col("_tc")).alias(f"top_{n}gram_char_frac"))
+    for n in dup_ns:
+        out.append(
+            _frac(F.expr(_coverage_sql(f"_g{n}", "_ws", n)), F.col("_wc")).alias(
+                f"dup_{n}gram_char_frac"
+            )
+        )
+    return folded.select(*out)
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    thresholds: dict[str, float] | None = None,
+) -> DataFrame:
+    """Apply the Gopher Table A1 repetition thresholds: per-document keep
+    verdict plus the list of tripped signals (empty array when kept).
+    First-drop-wins is NOT needed here — the paper drops on ANY trip, so the
+    full signal list is reported (cheap: same single projection)."""
+    th = dict(GOPHER_THRESHOLDS if thresholds is None else thresholds)
+    stats = repetition_stats(df, id_col, text_col)
+    tripped = F.array_sort(
+        F.filter(
+            F.array(
+                *[
+                    F.when(F.col(name) > F.lit(cut), F.lit(name)).otherwise(F.lit(None))
+                    for name, cut in sorted(th.items())
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    return stats.select(
+        id_col,
+        tripped.alias("tripped"),
+        (F.size(tripped) == 0).alias("keep"),
+    )

@@ -4664,3 +4664,133 @@ def q_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") % 20 == 0)
     return sim.knn_label_agreement(emb, queries, "vec_id", "embedding", "label", k=10)
+
+
+# ---------------------------------------------------------------- repetition
+from prompture_spark.operators import repetition as rp  # noqa: E402
+
+_GOPHER_STATS_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id, length(coalesce(text, '')) AS tc,
+         list_filter(list_transform(string_split(coalesce(text, ''), chr(10)),
+                                    l -> trim(l)), l -> length(l) > 0) AS lines,
+         list_filter(list_transform(regexp_split_to_array(coalesce(text, ''), '\n{2,}'),
+                                    p -> trim(p)), p -> length(p) > 0) AS paras,
+         list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\s+'),
+                     w -> length(w) > 0) AS ws
+  FROM documents
+),
+dw AS (SELECT doc_id, tc, ws, len(ws) AS nw,
+              coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS wc,
+              lines, paras FROM d),
+lx AS (SELECT doc_id, unnest(lines) AS l FROM dw),
+lc AS (SELECT doc_id, l, count(*) AS c FROM lx GROUP BY 1, 2),
+lstat AS (SELECT doc_id, sum(c) AS n_items, sum(c * length(l)) AS item_chars,
+                 coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS dup_n,
+                 coalesce(sum(CASE WHEN c > 1 THEN c * length(l) END), 0) AS dup_chars
+          FROM lc GROUP BY doc_id),
+px AS (SELECT doc_id, unnest(paras) AS p FROM dw),
+pc AS (SELECT doc_id, p, count(*) AS c FROM px GROUP BY 1, 2),
+pstat AS (SELECT doc_id, sum(c) AS n_items, sum(c * length(p)) AS item_chars,
+                 coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS dup_n,
+                 coalesce(sum(CASE WHEN c > 1 THEN c * length(p) END), 0) AS dup_chars
+          FROM pc GROUP BY doc_id),
+ns AS (SELECT unnest([2, 3, 4, 5, 6, 7, 8, 9, 10]) AS n),
+gi AS (SELECT doc_id, n, ws, unnest(range(1, nw - n + 2)) AS i
+       FROM dw, ns WHERE nw >= n),
+gp AS (SELECT doc_id, n, i, array_to_string(ws[i : i + n - 1], ' ') AS g FROM gi),
+gc AS (SELECT doc_id, n, g, count(*) AS c, list(i) AS pos FROM gp GROUP BY 1, 2, 3),
+gtop AS (SELECT doc_id, n, max(c * length(g)) AS top_chars FROM gc GROUP BY 1, 2),
+docc AS (SELECT doc_id, n, unnest(pos) AS i FROM gc WHERE c > 1),
+cov AS (SELECT DISTINCT doc_id, n, i + off AS w
+        FROM (SELECT doc_id, n, i, unnest(range(0, n)) AS off FROM docc)),
+cchars AS (SELECT c.doc_id, c.n, sum(length(dw.ws[c.w])) AS cov_chars
+           FROM cov c JOIN dw USING (doc_id) GROUP BY 1, 2),
+gt AS (SELECT doc_id,
+              max(CASE WHEN n = 2 THEN top_chars END) AS t2,
+              max(CASE WHEN n = 3 THEN top_chars END) AS t3,
+              max(CASE WHEN n = 4 THEN top_chars END) AS t4
+       FROM gtop GROUP BY doc_id),
+cv AS (SELECT doc_id,
+              max(CASE WHEN n = 5 THEN cov_chars END) AS c5,
+              max(CASE WHEN n = 6 THEN cov_chars END) AS c6,
+              max(CASE WHEN n = 7 THEN cov_chars END) AS c7,
+              max(CASE WHEN n = 8 THEN cov_chars END) AS c8,
+              max(CASE WHEN n = 9 THEN cov_chars END) AS c9,
+              max(CASE WHEN n = 10 THEN cov_chars END) AS c10
+       FROM cchars GROUP BY doc_id)
+SELECT dw.doc_id,
+  round(CASE WHEN coalesce(l.n_items, 0) > 0
+             THEN coalesce(l.dup_n, 0)::DOUBLE / l.n_items ELSE 0 END, 6) AS dup_line_frac,
+  round(CASE WHEN coalesce(l.item_chars, 0) > 0
+             THEN coalesce(l.dup_chars, 0)::DOUBLE / l.item_chars ELSE 0 END, 6) AS dup_line_char_frac,
+  round(CASE WHEN coalesce(ps.n_items, 0) > 0
+             THEN coalesce(ps.dup_n, 0)::DOUBLE / ps.n_items ELSE 0 END, 6) AS dup_para_frac,
+  round(CASE WHEN coalesce(ps.item_chars, 0) > 0
+             THEN coalesce(ps.dup_chars, 0)::DOUBLE / ps.item_chars ELSE 0 END, 6) AS dup_para_char_frac,
+  round(CASE WHEN tc > 0 THEN coalesce(gt.t2, 0)::DOUBLE / tc ELSE 0 END, 6) AS top_2gram_char_frac,
+  round(CASE WHEN tc > 0 THEN coalesce(gt.t3, 0)::DOUBLE / tc ELSE 0 END, 6) AS top_3gram_char_frac,
+  round(CASE WHEN tc > 0 THEN coalesce(gt.t4, 0)::DOUBLE / tc ELSE 0 END, 6) AS top_4gram_char_frac,
+  round(CASE WHEN wc > 0 THEN coalesce(cv.c5, 0)::DOUBLE / wc ELSE 0 END, 6) AS dup_5gram_char_frac,
+  round(CASE WHEN wc > 0 THEN coalesce(cv.c6, 0)::DOUBLE / wc ELSE 0 END, 6) AS dup_6gram_char_frac,
+  round(CASE WHEN wc > 0 THEN coalesce(cv.c7, 0)::DOUBLE / wc ELSE 0 END, 6) AS dup_7gram_char_frac,
+  round(CASE WHEN wc > 0 THEN coalesce(cv.c8, 0)::DOUBLE / wc ELSE 0 END, 6) AS dup_8gram_char_frac,
+  round(CASE WHEN wc > 0 THEN coalesce(cv.c9, 0)::DOUBLE / wc ELSE 0 END, 6) AS dup_9gram_char_frac,
+  round(CASE WHEN wc > 0 THEN coalesce(cv.c10, 0)::DOUBLE / wc ELSE 0 END, 6) AS dup_10gram_char_frac
+FROM dw
+LEFT JOIN lstat l USING (doc_id)
+LEFT JOIN pstat ps USING (doc_id)
+LEFT JOIN gt USING (doc_id)
+LEFT JOIN cv USING (doc_id)
+"""
+
+
+@register("gopher_repetition_stats", _GOPHER_STATS_ORACLE)
+def q_gopher_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText repetition signals per document (Rae et al. 2021,
+    Table A1): duplicate line/paragraph fractions, top-n-gram character
+    coverage (n=2..4), de-overlapped duplicated-n-gram character coverage
+    (n=5..10). One shuffle-free projection — per-doc array folds, no explode
+    of the corpus, no UDF (operators/repetition.py)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return rp.repetition_stats(docs)
+
+
+_GOPHER_FLAGS_ORACLE = f"""
+WITH s AS ({_GOPHER_STATS_ORACLE})
+SELECT doc_id,
+  coalesce(array_to_string(list_sort(list_filter([
+    CASE WHEN dup_line_frac        > 0.30 THEN 'dup_line_frac' END,
+    CASE WHEN dup_para_frac        > 0.30 THEN 'dup_para_frac' END,
+    CASE WHEN dup_line_char_frac   > 0.20 THEN 'dup_line_char_frac' END,
+    CASE WHEN dup_para_char_frac   > 0.20 THEN 'dup_para_char_frac' END,
+    CASE WHEN top_2gram_char_frac  > 0.20 THEN 'top_2gram_char_frac' END,
+    CASE WHEN top_3gram_char_frac  > 0.18 THEN 'top_3gram_char_frac' END,
+    CASE WHEN top_4gram_char_frac  > 0.16 THEN 'top_4gram_char_frac' END,
+    CASE WHEN dup_5gram_char_frac  > 0.15 THEN 'dup_5gram_char_frac' END,
+    CASE WHEN dup_6gram_char_frac  > 0.14 THEN 'dup_6gram_char_frac' END,
+    CASE WHEN dup_7gram_char_frac  > 0.13 THEN 'dup_7gram_char_frac' END,
+    CASE WHEN dup_8gram_char_frac  > 0.12 THEN 'dup_8gram_char_frac' END,
+    CASE WHEN dup_9gram_char_frac  > 0.11 THEN 'dup_9gram_char_frac' END,
+    CASE WHEN dup_10gram_char_frac > 0.10 THEN 'dup_10gram_char_frac' END
+  ], x -> x IS NOT NULL)), ','), '') AS tripped,
+  (dup_line_frac <= 0.30 AND dup_para_frac <= 0.30
+   AND dup_line_char_frac <= 0.20 AND dup_para_char_frac <= 0.20
+   AND top_2gram_char_frac <= 0.20 AND top_3gram_char_frac <= 0.18
+   AND top_4gram_char_frac <= 0.16 AND dup_5gram_char_frac <= 0.15
+   AND dup_6gram_char_frac <= 0.14 AND dup_7gram_char_frac <= 0.13
+   AND dup_8gram_char_frac <= 0.12 AND dup_9gram_char_frac <= 0.11
+   AND dup_10gram_char_frac <= 0.10) AS keep
+FROM s
+"""
+
+
+@register("gopher_quality_flags", _GOPHER_FLAGS_ORACLE)
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher Table A1 repetition thresholds applied: per-doc keep verdict +
+    comma-joined list of tripped signals (drop-on-any, full list reported)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    flags = rp.gopher_quality_flags(docs)
+    return flags.select(
+        "doc_id", F.array_join("tripped", ",").alias("tripped"), "keep"
+    )

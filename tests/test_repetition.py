@@ -1,0 +1,89 @@
+"""Gopher repetition signals: hand-computed fixtures + plan shape pins."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from prompture_spark.operators import repetition as rep
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            # 15 words = 'a b c d e' x3: every 5-gram occurrence duplicated
+            (1, "a b c d e a b c d e a b c d e"),
+            (2, "hello world\nhello world\nunique line"),
+            (3, "para one\n\npara one\n\npara two"),
+            (4, ""),
+            (5, "x"),
+            # all-distinct, long enough that a count-1 top gram stays under
+            # the thresholds (Gopher pairs these with a min-length gate)
+            (6, " ".join(f"word{i}" for i in range(40))),
+        ],
+        "doc_id bigint, text string",
+    )
+
+
+def _by_id(df):
+    return {r["doc_id"]: r.asDict() for r in df.collect()}
+
+
+def test_repetition_stats_hand_computed(docs):
+    got = _by_id(rep.repetition_stats(docs))
+
+    # doc 1: "a b c d e"*3 — no lines/paras repeat (single line) but full
+    # 5..10-gram duplication coverage; top 2-gram "a b" count 3, len 3,
+    # text len 29 -> 9/29
+    d1 = got[1]
+    assert d1["dup_line_frac"] == 0.0
+    assert d1["top_2gram_char_frac"] == round(9 / 29, 6)
+    assert d1["dup_5gram_char_frac"] == 1.0  # union covers all 15 words
+    assert d1["dup_10gram_char_frac"] == 1.0
+
+    # doc 2: 3 lines, "hello world" twice -> 2/3 of lines, 22/33 chars
+    d2 = got[2]
+    assert d2["dup_line_frac"] == round(2 / 3, 6)
+    assert d2["dup_line_char_frac"] == round(22 / 33, 6)
+    assert d2["dup_para_frac"] == 0.0  # one paragraph (single blank-less block)
+
+    # doc 3: paragraphs "para one" x2 + "para two" -> 2/3
+    d3 = got[3]
+    assert d3["dup_para_frac"] == round(2 / 3, 6)
+    assert d3["dup_para_char_frac"] == round(16 / 24, 6)
+
+    # empty + single-word docs: all zeros, no errors
+    for i in (4, 5):
+        assert all(v == 0.0 for k, v in got[i].items() if k != "doc_id")
+
+    # doc 6: all-distinct words -> every dup signal 0, top grams small
+    d6 = got[6]
+    assert d6["dup_5gram_char_frac"] == 0.0
+    assert 0 < d6["top_2gram_char_frac"] < 0.25
+
+
+def test_dup_coverage_is_union_not_sum(spark):
+    # "p q p q p q": 2-gram "p q" x3 + "q p" x2 all duplicated; union
+    # coverage = all 6 words = 6 chars / 6 chars = 1.0 (a sum-of-occurrence
+    # definition would exceed 1)
+    df = spark.createDataFrame([(1, "p q p q p q")], "doc_id bigint, text string")
+    row = rep.repetition_stats(df, top_ns=(2,), dup_ns=(2,)).collect()[0]
+    assert row["dup_2gram_char_frac"] == 1.0
+
+
+def test_gopher_flags_thresholds(docs):
+    got = _by_id(rep.gopher_quality_flags(docs))
+    assert got[1]["keep"] is False
+    assert "dup_5gram_char_frac" in got[1]["tripped"]
+    assert got[4]["keep"] is True and got[4]["tripped"] == []
+    assert got[6]["keep"] is True
+
+
+def test_repetition_plan_is_shuffle_free(docs):
+    plan = rep.repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # one map-side projection chain, no shuffle
+
+
+def test_repetition_null_text(spark):
+    df = spark.createDataFrame([(1, None)], "doc_id bigint, text string")
+    row = rep.repetition_stats(df).collect()[0]
+    assert row["dup_line_frac"] == 0.0 and row["top_2gram_char_frac"] == 0.0
