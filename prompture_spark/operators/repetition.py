@@ -216,7 +216,7 @@ def repetition_stats(
     return folded.select(*out)
 
 
-def gopher_quality_flags(
+def gopher_repetition_flags(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",

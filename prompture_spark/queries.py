@@ -4785,12 +4785,12 @@ FROM s
 """
 
 
-@register("gopher_quality_flags", _GOPHER_FLAGS_ORACLE)
-def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("gopher_repetition_flags", _GOPHER_FLAGS_ORACLE)
+def q_gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher Table A1 repetition thresholds applied: per-doc keep verdict +
     comma-joined list of tripped signals (drop-on-any, full list reported)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    flags = rp.gopher_quality_flags(docs)
+    flags = rp.gopher_repetition_flags(docs)
     return flags.select(
         "doc_id", F.array_join("tripped", ",").alias("tripped"), "keep"
     )

@@ -70,8 +70,8 @@ def test_dup_coverage_is_union_not_sum(spark):
     assert row["dup_2gram_char_frac"] == 1.0
 
 
-def test_gopher_flags_thresholds(docs):
-    got = _by_id(rep.gopher_quality_flags(docs))
+def test_gopher_repetition_flags_thresholds(docs):
+    got = _by_id(rep.gopher_repetition_flags(docs))
     assert got[1]["keep"] is False
     assert "dup_5gram_char_frac" in got[1]["tripped"]
     assert got[4]["keep"] is True and got[4]["tripped"] == []
