@@ -336,3 +336,91 @@ def knn_label_agreement(
             ).alias("knn_agreement")
         )
     )
+
+
+def semdedup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    kmeans_iters: int = 2,
+    threshold: float = 0.95,
+    arrow: bool = True,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): k-means-cluster the embedding
+    space, then compare pairs ONLY within a cluster — the O(n^2) pairwise
+    cosine collapses to sum over clusters of O(|c|^2), which is the entire
+    scaling trick of the paper.
+
+    Spark shape: centroid training reuses the IVF machinery
+    (:func:`train_centroids` — deterministic hash-sampled seeds + Lloyd
+    refinement, all built-ins), assignment is one Arrow matmul batch kernel
+    (:func:`ivf_index`), and the within-cluster compare is a self-join on the
+    cluster key. Cluster sizes are ~n/k by construction, so the shuffle is
+    balanced; ``n_clusters`` is the knob that bounds the quadratic term —
+    at 10^9 vectors you run k ~ 10^5 (paper uses 50k on LAION), keeping
+    |c| ~ 10^4. Returns ``(id_a, id_b, cluster, cosine)`` with id_a < id_b,
+    cosine rounded to 6 dp (deterministic ordering downstream).
+
+    Pass a persisted ``centroids`` frame to reuse a trained index across
+    runs (same contract as ivf_topk)."""
+    if centroids is None:
+        centroids = train_centroids(emb, id_col, vec_col, n_clusters, kmeans_iters)
+    idx = ivf_index(emb, centroids, id_col, vec_col, arrow=arrow)
+    a = idx.select(
+        F.col("bucket").alias("cluster"),
+        F.col("neighbor_id").alias("id_a"),
+        F.col("_cv").alias("_va"),
+    )
+    b = idx.select(
+        F.col("bucket").alias("cluster"),
+        F.col("neighbor_id").alias("id_b"),
+        F.col("_cv").alias("_vb"),
+    )
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_sim(F.col("_va"), F.col("_vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cluster", "cosine")
+    )
+
+
+def semdedup_drop_list(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    kmeans_iters: int = 2,
+    threshold: float = 0.95,
+    arrow: bool = True,
+) -> DataFrame:
+    """SemDeDup keeper selection: within each semantic-duplicate family keep
+    the member with the LOWEST cosine to its cluster centroid (the paper's
+    keep-outliers rule — low-centroid-similarity points carry the most
+    marginal information), drop the rest.
+
+    Output ``(doc_id, keep_id)`` for every id to DROP. Reuses the
+    connected-component + argmax machinery of
+    :func:`prompture_spark.operators.dedup.near_dup_keep_best` with
+    score = -round(centroid_cos, 6) (rounded so float summation order can
+    never flip a ranking), ties broken by smallest id."""
+    from prompture_spark.operators.dedup import near_dup_keep_best
+
+    centroids = train_centroids(emb, id_col, vec_col, n_clusters, kmeans_iters)
+    idx = ivf_index(emb, centroids, id_col, vec_col, arrow=arrow)
+    pairs = semdedup_pairs(
+        emb, id_col, vec_col, n_clusters, kmeans_iters, threshold, arrow, centroids
+    )
+    scores = (
+        idx.join(
+            F.broadcast(centroids.withColumnRenamed("centroid_id", "bucket")), "bucket"
+        )
+        .withColumn("score", -F.round(cosine_sim(F.col("_cv"), F.col("_cent")), 6))
+        .select(F.col("neighbor_id").alias("doc_id"), "score")
+    )
+    return near_dup_keep_best(
+        pairs.select("id_a", "id_b"), scores, id_col="doc_id", score_col="score"
+    )

@@ -4794,3 +4794,29 @@ def q_gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flags.select(
         "doc_id", F.array_join("tripped", ",").alias("tripped"), "keep"
     )
+
+
+@register("semdedup_pairs")  # iterative k-means clustering — pytest-verified;
+# every reported pair is exact-cosine-checked as a subset of
+# embedding_dedup_pairs' oracle-backed output (tests/test_semdedup.py)
+def q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means the embedding space (reusing
+    the IVF centroid trainer), compare cosine pairs only within a cluster —
+    O(n^2) collapses to sum-of-O(|c|^2), the paper's web-scale trick. Same
+    planted-twin fixture as embedding_dedup_pairs, whose exact output upper-
+    bounds this one."""
+    return sim.semdedup_pairs(
+        _aug_emb(spark, sf_dir), "vec_id", "embedding",
+        n_clusters=10, threshold=0.92,
+    ).select("id_a", "id_b", "cosine")
+
+
+@register("semdedup_drop_list")  # iterative — pytest-verified keep-outlier rule
+def q_semdedup_drop_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keeper selection: per duplicate family keep the member with
+    LOWEST centroid cosine (the paper's keep-outliers rule), drop the rest —
+    connected components + argmax reuse near_dup_keep_best."""
+    return sim.semdedup_drop_list(
+        _aug_emb(spark, sf_dir), "vec_id", "embedding",
+        n_clusters=10, threshold=0.92,
+    )

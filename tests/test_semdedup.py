@@ -1,0 +1,81 @@
+"""SemDeDup: planted semantic twins, subset-of-exact, keep-outlier rule."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from prompture_spark.operators import similarity as sim
+from prompture_spark.operators.dedup import cosine_sim
+
+
+def _unit(angle_deg, plane=(0, 1), dim=8):
+    v = [0.0] * dim
+    a = math.radians(angle_deg)
+    v[plane[0]] = math.cos(a)
+    v[plane[1]] = math.sin(a)
+    return v
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    # two well-separated fans (orthogonal planes) + planted near-twins
+    rows = []
+    for i in range(10):
+        rows.append((i, _unit(i * 3.0, plane=(0, 1))))  # cluster A: 0..27 deg
+    for i in range(10, 20):
+        rows.append((i, _unit((i - 10) * 3.0, plane=(2, 3))))  # cluster B
+    rows.append((100, _unit(6.05, plane=(0, 1))))  # twin of id 2 (6 deg)
+    rows.append((101, _unit(15.02, plane=(2, 3))))  # twin of id 15 (15 deg)
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+def test_semdedup_finds_planted_twins(emb):
+    pairs = sim.semdedup_pairs(emb, n_clusters=2, threshold=0.999).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (2, 100) in found
+    assert (15, 101) in found
+
+
+def test_semdedup_pairs_subset_of_exact(emb):
+    got = sim.semdedup_pairs(emb, n_clusters=2, threshold=0.999)
+    # every reported pair must also pass the exact cosine threshold computed
+    # directly from the vectors (clustering can only MISS pairs, never
+    # invent them)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_b"))
+    joined = got.join(a, "id_a").join(b, "id_b").withColumn(
+        "exact", F.round(cosine_sim(F.col("_a"), F.col("_b")), 6)
+    )
+    assert joined.filter(F.col("exact") < 0.999).count() == 0
+    assert joined.filter(F.col("cosine") != F.col("exact")).count() == 0
+
+
+def test_semdedup_deterministic_across_parallelism(emb):
+    one = sorted(
+        map(tuple, sim.semdedup_pairs(emb.repartition(1), n_clusters=2,
+                                      threshold=0.999).collect())
+    )
+    many = sorted(
+        map(tuple, sim.semdedup_pairs(emb.repartition(7), n_clusters=2,
+                                      threshold=0.999).collect())
+    )
+    assert one == many
+
+
+def test_semdedup_drop_list_keeps_low_centroid_sim(emb):
+    drops = {r.doc_id: r.keep_id for r in
+             sim.semdedup_drop_list(emb, n_clusters=2, threshold=0.999).collect()}
+    # each planted family drops exactly one member, keeping the one farther
+    # from its cluster centroid; families are disjoint pairs here
+    assert len(drops) == 2
+    for dropped, kept in drops.items():
+        assert {dropped, kept} in ({2, 100}, {15, 101})
+
+
+def test_semdedup_expression_path_matches_arrow(emb):
+    arrow = sorted(map(tuple, sim.semdedup_pairs(
+        emb, n_clusters=2, threshold=0.999, arrow=True).collect()))
+    expr = sorted(map(tuple, sim.semdedup_pairs(
+        emb, n_clusters=2, threshold=0.999, arrow=False).collect()))
+    assert arrow == expr
