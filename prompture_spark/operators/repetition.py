@@ -67,7 +67,11 @@ def _dup_fold(arr_sql: str) -> str:
     One pass over sorted adjacency: when a run reaches length 2 both
     occurrences retroactively become duplicates; beyond 2 each adds one.
     """
-    return f"""aggregate(
+    return f"""CASE WHEN size(array_distinct({arr_sql})) = size({arr_sql}) THEN
+        named_struct('dup_n', 0L, 'dup_chars', 0L,
+                     'top_chars', coalesce(cast(array_max(
+                         transform({arr_sql}, x -> length(x))) as bigint), 0L))
+      ELSE aggregate(
         array_sort({arr_sql}),
         named_struct('prev', cast(null as string), 'run', 0L,
                      'dup_n', 0L, 'dup_chars', 0L, 'top_chars', 0L),
@@ -83,7 +87,8 @@ def _dup_fold(arr_sql: str) -> str:
                 'top_chars', greatest(s.top_chars, cast(length(x) as bigint)))
           END,
         s -> named_struct('dup_n', s.dup_n, 'dup_chars', s.dup_chars,
-                          'top_chars', s.top_chars))"""
+                          'top_chars', s.top_chars))
+      END"""
 
 
 def _ngrams_sql(words_sql: str, n: int) -> str:
@@ -107,8 +112,16 @@ def _gram_fold(grams_col: str) -> str:
     expression stays small and is never re-inlined per use.
     """
     g = grams_col
+    # Clean-document fast path: when every gram is unique (the common case
+    # on a real corpus — repetition is the EXCEPTION being hunted), skip the
+    # positional sort+fold entirely: no duplicated positions, and the top
+    # coverage is just the longest gram. array_distinct is one hash pass;
+    # the heavy branch only ever runs on documents that actually repeat.
     return f"""CASE WHEN size({g}) = 0 THEN
         named_struct('pos', cast(array() as array<int>), 'top_chars', 0L)
+      WHEN size(array_distinct({g})) = size({g}) THEN
+        named_struct('pos', cast(array() as array<int>),
+                     'top_chars', cast(array_max(transform({g}, x -> length(x))) as bigint))
       ELSE aggregate(
         array_sort(transform(sequence(1, size({g})),
                              i -> named_struct('g', {g}[i - 1], 'p', i))),
@@ -142,19 +155,134 @@ def _frac(num: Column, den: Column) -> Column:
     )
 
 
+def _repetition_raw_arrow(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_ns: tuple[int, ...],
+    dup_ns: tuple[int, ...],
+) -> DataFrame:
+    """UNROUNDED repetition fractions via one Arrow ``mapInPandas`` kernel.
+
+    Twin of the expression path with identical semantics (pinned equal in
+    tests/test_repetition.py): tokenization uses ASCII ``\\s`` exactly like
+    Java's regex default, n-gram identity is the word TUPLE (== the joined
+    string, no separator ambiguity), coverage is the same position union.
+    Why it exists: the expression path's per-element lambda interpretation
+    costs ~10 ms per 80-word doc (9 gram arrays × interpreted HOF eval);
+    a per-doc Counter pass is ~50× cheaper, and repetition scoring is a
+    corpus-sized job where that matters. Rounding happens OUTSIDE the
+    kernel in the shared Spark projection, so both paths round identically.
+    """
+    import re
+
+    id_sql = df.schema[id_col].dataType.simpleString()
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    cols = (
+        ["dup_line_frac", "dup_line_char_frac", "dup_para_frac", "dup_para_char_frac"]
+        + [f"top_{n}gram_char_frac" for n in top_ns]
+        + [f"dup_{n}gram_char_frac" for n in dup_ns]
+    )
+    schema = f"{id_col} {id_sql}, " + ", ".join(f"{c} double" for c in cols)
+    ws_re = re.compile(r"(?a)\s+")  # ASCII \s == Java regex \s
+    para_re = re.compile(r"\n{2,}")
+
+    def _item_stats(items):
+        from collections import Counter
+
+        c = Counter(items)
+        n = len(items)
+        chars = sum(len(x) for x in items)
+        dup_n = sum(k for k in c.values() if k > 1)
+        dup_chars = sum(k * len(x) for x, k in c.items() if k > 1)
+        return (
+            dup_n / n if n else 0.0,
+            (dup_chars / chars) if chars else 0.0,
+        )
+
+    def gen(batches):
+        import pandas as pd
+        from collections import Counter
+
+        for pdf in batches:
+            out = {id_col: pdf[id_col]}
+            rows = {c: [] for c in cols}
+            for text in pdf[text_col]:
+                text = text or ""
+                tc = len(text)
+                lines = [l.strip() for l in text.split("\n") if l.strip()]
+                paras = [p.strip() for p in para_re.split(text) if p.strip()]
+                ws = [w for w in ws_re.split(text.strip()) if w]
+                wlens = [len(w) for w in ws]
+                wc = sum(wlens)
+                lf, lcf = _item_stats(lines)
+                pf, pcf = _item_stats(paras)
+                rows["dup_line_frac"].append(lf)
+                rows["dup_line_char_frac"].append(lcf)
+                rows["dup_para_frac"].append(pf)
+                rows["dup_para_char_frac"].append(pcf)
+                m = len(ws)
+                for n in all_ns:
+                    if m < n:
+                        top_frac, cov_frac = 0.0, 0.0
+                    else:
+                        cnt = Counter()
+                        positions: dict[tuple, list[int]] = {}
+                        for i in range(m - n + 1):
+                            g = tuple(ws[i : i + n])
+                            cnt[g] += 1
+                            positions.setdefault(g, []).append(i)
+                        top = max(
+                            k * (sum(len(w) for w in g) + n - 1)
+                            for g, k in cnt.items()
+                        )
+                        top_frac = top / tc if tc else 0.0
+                        covered: set[int] = set()
+                        for g, k in cnt.items():
+                            if k > 1:
+                                for i in positions[g]:
+                                    covered.update(range(i, i + n))
+                        cov = sum(wlens[i] for i in covered)
+                        cov_frac = cov / wc if wc else 0.0
+                    if n in top_ns:
+                        rows[f"top_{n}gram_char_frac"].append(top_frac)
+                    if n in dup_ns:
+                        rows[f"dup_{n}gram_char_frac"].append(cov_frac)
+            out.update(rows)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema)
+
+
 def repetition_stats(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     top_ns: tuple[int, ...] = (2, 3, 4),
     dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+    arrow: bool = False,
 ) -> DataFrame:
     """Per-document Gopher repetition signals as one shuffle-free projection.
 
     Output: ``(id_col, dup_line_frac, dup_line_char_frac, dup_para_frac,
     dup_para_char_frac, top_{n}gram_char_frac..., dup_{n}gram_char_frac...)``
     — every fraction a double rounded to 6 dp.
+
+    ``arrow=True`` swaps the expression fold for the Arrow Counter kernel
+    (same output, pinned in tests; ~50× faster per doc — the right default
+    for corpus-sized scoring runs; the expression path stays the
+    oracle-parity reference).
     """
+    if arrow:
+        raw = _repetition_raw_arrow(df, id_col, text_col, top_ns, dup_ns)
+        return raw.select(
+            id_col,
+            *[
+                F.round(F.col(c), 6).alias(c)
+                for c in raw.columns
+                if c != id_col
+            ],
+        )
     t = text_col
     lines = f"filter(transform(split({t}, '\\n'), l -> trim(l)), l -> length(l) > 0)"
     paras = f"filter(transform(split({t}, '\\n{{2,}}'), p -> trim(p)), p -> length(p) > 0)"

@@ -87,3 +87,29 @@ def test_repetition_null_text(spark):
     df = spark.createDataFrame([(1, None)], "doc_id bigint, text string")
     row = rep.repetition_stats(df).collect()[0]
     assert row["dup_line_frac"] == 0.0 and row["top_2gram_char_frac"] == 0.0
+
+
+def test_arrow_kernel_matches_expression_path(spark, docs):
+    exp = {r["doc_id"]: r.asDict() for r in rep.repetition_stats(docs).collect()}
+    arr = {r["doc_id"]: r.asDict()
+           for r in rep.repetition_stats(docs, arrow=True).collect()}
+    assert exp == arr
+
+
+def test_arrow_kernel_matches_on_generated_corpus(spark):
+    # mixed corpus: spam (repeated phrase), clean, multiline — 300 docs
+    phrase = F.array_join(F.transform(F.sequence(F.lit(0), F.lit(59)),
+        lambda j: F.concat(F.lit("w"), F.pmod(
+            F.xxhash64("id", F.pmod(j, F.lit(8))), F.lit(500)).cast("string"))), " ")
+    clean = F.array_join(F.transform(F.sequence(F.lit(0), F.lit(59)),
+        lambda j: F.concat(F.lit("w"), F.pmod(
+            F.xxhash64("id", j), F.lit(40000)).cast("string"))), " ")
+    multiline = F.concat(clean, F.lit("\nrepeated line\nrepeated line\n\npara\n\npara"))
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, phrase)
+         .when(F.col("id") % 3 == 1, multiline)
+         .otherwise(clean).alias("text"))
+    exp = sorted(map(tuple, rep.repetition_stats(df).collect()))
+    arr = sorted(map(tuple, rep.repetition_stats(df, arrow=True).collect()))
+    assert exp == arr
