@@ -44,6 +44,7 @@ N_VECS = 120_000     # ivf corpus size (64-d)
 N_QUERIES = 256
 N_CHAIN = 2_500_000  # dedupchain base docs (+5% exact dups, +10% near twins)
 N_CONTAM = 500_000   # contamination corpus docs (eval: 1000 twins + 1000 unrelated)
+N_GOPHER = 600_000   # gopher-job docs (80 words; every 3rd a repeated phrase)
 N_SKETCH = 320_000_000  # sketch-job turns: the t-digest build is so cheap
 # (~10 s-core per 20M rows) that at the shared 20M sizing the fixed ~6 s
 # serial floor (plan + Python worker startup + driver merge) dominates and
@@ -79,6 +80,7 @@ N_QUERIES = {n_queries}
 N_CHAIN = {n_chain}
 N_CONTAM = {n_contam}
 N_SKETCH = {n_sketch}
+N_GOPHER = {n_gopher}
 
 def gen_docs():
     # 40 pseudo-words from a 40k vocabulary (distinct docs stay below the
@@ -304,6 +306,37 @@ elif job == "contam":
         # recovered (exact candidate generation -> exact recall), nothing else
         assert n == 1000, n
         spark.catalog.clearCache()
+elif job == "gopher":
+    from prompture_spark.operators import repetition as rep
+    # corpus: 80-word docs; every 3rd is a 10-word phrase repeated 8 times
+    # (real spam shape — full duplicated-5..10-gram coverage), the rest draw
+    # from a 40k vocabulary (clean). The job is PURE MAP (one Arrow Counter
+    # kernel pass + one hash agg of 13 doubles): the shape that should track
+    # the measured CPU ceiling, evidencing that the engine adds no
+    # distribution overhead when the operator itself has none.
+    if not os.path.exists(path):
+        phrase = F.array_join(F.transform(F.sequence(F.lit(0), F.lit(79)),
+            lambda j: F.concat(F.lit("w"), F.pmod(F.xxhash64("id", F.pmod(j, F.lit(10))), F.lit(40000)).cast("string"))), " ")
+        clean = F.array_join(F.transform(F.sequence(F.lit(0), F.lit(79)),
+            lambda j: F.concat(F.lit("w"), F.pmod(F.xxhash64("id", j), F.lit(40000)).cast("string"))), " ")
+        spark.range(N_GOPHER).select(F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 3 == 0, phrase).otherwise(clean).alias("text")
+        ).repartition(128).write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    units = N_GOPHER
+    n_planted = (N_GOPHER + 2) // 3
+    def run_once():
+        stats = rep.repetition_stats(df, arrow=True)
+        r = stats.agg(
+            F.sum(F.when(F.col("doc_id") % 3 == 0, F.col("dup_5gram_char_frac"))).alias("p"),
+            F.sum(F.when(F.col("doc_id") % 3 != 0, F.col("dup_5gram_char_frac"))).alias("c"),
+            *[F.sum(c).alias(c) for c in stats.columns if c != "doc_id"],
+        ).first()
+        # hard gate inside the timed run: every planted spam doc reads full
+        # duplicated-5-gram coverage, every clean doc reads zero
+        assert r["p"] == float(n_planted), r["p"]
+        assert r["c"] == 0.0, r["c"]
+        spark.catalog.clearCache()
 elif job == "sketch":
     from prompture_spark.operators import sketches as sk
     from prompture_spark.sources.transcripts import generate_transcripts
@@ -351,7 +384,8 @@ print(json.dumps({{"job": job, "master": master, "sec": med, "all": times,
 def run(job: str, master: str, n_turns: int, path: str) -> dict:
     script = CHILD.format(repo=REPO, n_docs=N_DOCS, n_vecs=N_VECS,
                            n_queries=N_QUERIES, n_chain=N_CHAIN,
-                           n_contam=N_CONTAM, n_sketch=N_SKETCH)
+                           n_contam=N_CONTAM, n_sketch=N_SKETCH,
+                           n_gopher=N_GOPHER)
     # Shuffle/blockmgr files live under SPARK_LOCAL_DIRS; the default /tmp
     # is swept by an age-based cleaner on this host, which killed two
     # hour-long draws mid-local[32] (FileNotFoundException on shuffle_*.data,
@@ -434,6 +468,12 @@ JOB_DESC = {
               "carries ~3 KB digest blobs, not rows) + driver-side global "
               "merge; exact n/sum of the merged digest asserted against "
               "precomputed truth inside the timed run",
+    "gopher": f"Gopher repetition scoring (13 signals: dup line/para fracs, "
+              f"top-2..4-gram coverage, de-overlapped dup-5..10-gram "
+              f"coverage; Arrow Counter kernel, PURE MAP — no shuffle) over "
+              f"{N_GOPHER:,} 80-word docs, every 3rd a repeated-phrase spam "
+              f"doc; exact planted-coverage separation asserted inside the "
+              f"timed run",
     "dedupchain": f"config-driven dedup chain exact → shingle(k=9 inverted "
                   f"index, posting cap 1024) → semantic(Arrow-GEMM hyperplane "
                   f"LSH, 22 planes × 8 bands, bucket cap 256) over "
@@ -462,6 +502,9 @@ def main() -> None:
         "contam": f"/tmp/prompture_bench/contam_{N_CONTAM}",
         "reconcile": f"/tmp/prompture_bench/turns_{n_turns}",
         "sketch": f"/tmp/prompture_bench/turns_sketch_{N_SKETCH}",
+        # newer inputs live under the repo scratch dir — exempt from the
+        # /tmp age sweeper that killed two hour-long draws (2026-08-19)
+        "gopher": os.path.join(REPO, ".spark_scratch", f"gopher_{N_GOPHER}"),
     }
     ceil = cpu_ceiling()
     # results[job] = list of per-draw dicts; every draw reported, median graded
