@@ -424,3 +424,229 @@ def semdedup_drop_list(
     return near_dup_keep_best(
         pairs.select("id_a", "id_b"), scores, id_col="doc_id", score_col="score"
     )
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-domain ANN serving
+# ---------------------------------------------------------------------------
+
+
+class PQCodebook:
+    """Trained product-quantization codebook: ``m`` subspaces × ``ksub``
+    codewords × ``dsub`` dims (Jégou et al. 2011, "Product Quantization for
+    Nearest Neighbor Search"). The whole structure is ``d × ksub`` floats —
+    kilobytes — so it ships inside UDF closures like the IVF centroid matrix.
+
+    Vectors are L2-NORMALIZED before encoding, so asymmetric-distance
+    inner products approximate COSINE (parity with every other similarity
+    operator in this module)."""
+
+    def __init__(self, centers, m: int, ksub: int, dim: int):
+        self.centers = centers  # numpy (m, ksub, dsub) float64
+        self.m = m
+        self.ksub = ksub
+        self.dim = dim
+        self.dsub = dim // m
+
+
+def _normalize_rows(X):
+    import numpy as np
+
+    return X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+
+
+def train_pq(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    sample_limit: int = 4096,
+    iters: int = 10,
+    seed: int = 1337,
+) -> PQCodebook:
+    """OFFLINE codebook training: per-subspace Lloyd k-means on a
+    deterministic hash-ordered sample of the corpus (same sampling contract
+    as ``_centroids`` — stable across runs, no RNG in the plan). Training
+    needs only ``sample_limit`` rows regardless of corpus size — PQ codebooks
+    converge on thousands of vectors even when the corpus has 10^12 — so the
+    single driver-side collect here is bounded and sanctioned (mirrors the
+    64-row centroid read). Deterministic seeding: numpy RandomState(seed)
+    for k-means++-style init on the fixed sample."""
+    import numpy as np
+
+    rows = (
+        corpus.select(
+            F.col(vec_col).alias("_v"),
+            F.xxhash64(F.col(id_col), F.lit(seed)).alias("_hk"),
+        )
+        .orderBy("_hk")
+        .limit(sample_limit)
+        .select("_v")
+        .collect()
+    )
+    X = _normalize_rows(np.array([r._v for r in rows], dtype="float64"))
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.RandomState(seed)
+    centers = np.zeros((m, ksub, dsub))
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        # k-means++ init on the fixed sample (deterministic given seed)
+        C = S[rng.choice(len(S), 1)]
+        for _ in range(ksub - 1):
+            d2 = np.min(((S[:, None, :] - C[None]) ** 2).sum(-1), axis=1)
+            p = d2 / max(d2.sum(), 1e-12)
+            C = np.vstack([C, S[rng.choice(len(S), p=p)]])
+        for _ in range(iters):
+            assign = np.argmin(((S[:, None, :] - C[None]) ** 2).sum(-1), axis=1)
+            for c in range(ksub):
+                mask = assign == c
+                if mask.any():
+                    C[c] = S[mask].mean(axis=0)
+        centers[j] = C
+    return PQCodebook(centers, m, ksub, dim)
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: PQCodebook,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """OFFLINE index build: every corpus vector → ``m`` uint8 codes (nearest
+    codeword per subspace, L2 on the normalized vector). One Arrow batch =
+    m small matmuls — the same sanctioned batched-numeric-kernel exception
+    as ``_assign_buckets_arrow``. Output ``(neighbor_id, codes)`` is the
+    PQ INDEX: m bytes per vector instead of 4·d — at 10^12 × 64-d float
+    vectors that is 256 TB of raw vectors down to 8 TB of codes, which is
+    what makes exhaustive compressed-domain scans feasible at all. Persist
+    it; serving scans only the codes."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cb = codebook
+    # ||s - c||^2 = ||s||^2 - 2 s·c + ||c||^2 → argmin over c of (||c||^2 - 2 s·c)
+    cnorm = (cb.centers**2).sum(-1)  # (m, ksub)
+
+    def _enc_fn(v):
+        X = _normalize_rows(np.array(v.tolist(), dtype="float64"))
+        out = np.zeros((len(X), cb.m), dtype="int64")
+        for j in range(cb.m):
+            S = X[:, j * cb.dsub : (j + 1) * cb.dsub]
+            out[:, j] = np.argmin(cnorm[j][None, :] - 2.0 * (S @ cb.centers[j].T), axis=1)
+        return pd.Series([r.tolist() for r in out])
+
+    _enc_fn.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    _enc = pandas_udf("array<int>")(_enc_fn)
+    return corpus.select(
+        F.col(id_col).alias("neighbor_id"), _enc(F.col(vec_col)).alias("codes")
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    codebook: PQCodebook | None = None,
+    encoded_corpus: DataFrame | None = None,
+    rerank: int = 32,
+    m: int = 8,
+    ksub: int = 16,
+) -> DataFrame:
+    """Approximate cosine top-k by asymmetric distance computation (ADC)
+    over PQ codes, then EXACT rerank of the ``rerank`` best candidates per
+    query. Output shape matches ``brute_force_topk``/``ivf_topk``:
+    ``(query_id, neighbor_id, cosine, rank)`` with the exact 6dp cosine.
+
+    Plan (the one that survives 100×):
+      1. Queries are collected driver-side (they are the broadcast-small
+         side everywhere in this module) and turned into per-query lookup
+         tables LUT[q, j, c] = q_sub_j · codeword_{j,c} — Q × m × ksub
+         doubles in the kernel closure.
+      2. ONE mapInPandas pass over the ENCODED corpus (m bytes/vector, never
+         the raw vectors): per Arrow batch, ADC scores = sum over j of
+         LUT[:, j, codes[:, j]] — a pure numpy gather+sum — and only each
+         query's LOCAL top-``rerank`` rows of the batch are emitted, so the
+         pass writes O(n_batches · Q · rerank) rows, never O(n · Q).
+      3. Global per-query top-``rerank`` window on the ADC score (tiny).
+      4. Exact rerank: broadcast the candidate list back against the raw
+         corpus (corpus side streams map-side, never shuffles) + broadcast
+         query vectors → true cosine → final top-k window.
+
+    With ``rerank`` ≥ corpus size this is EXACTLY ``brute_force_topk``
+    (candidate pruning is the only approximation) — pinned by test."""
+    import numpy as np
+    import pandas as pd
+
+    if codebook is None:
+        codebook = train_pq(corpus, id_col, vec_col, m=m, ksub=ksub)
+    cb = codebook
+    if encoded_corpus is None:
+        encoded_corpus = pq_encode(corpus, cb, id_col, vec_col)
+
+    qrows = queries.select(
+        F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv")
+    ).collect()
+    qids = [r._qid for r in qrows]
+    Qm = _normalize_rows(np.array([r._qv for r in qrows], dtype="float64"))
+    # LUT[q, j, c] = q_sub · codeword — ADC estimates cosine as the sum over j
+    lut = np.einsum(
+        "qjd,jcd->qjc",
+        Qm.reshape(len(qids), cb.m, cb.dsub),
+        cb.centers,
+    )
+    id_sql = encoded_corpus.schema["neighbor_id"].dataType.simpleString()
+    out_schema = f"query_id {id_sql}, neighbor_id {id_sql}, adc double"
+    n_local = rerank
+    qid_arr = qids
+
+    def _adc_scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.array(pdf["codes"].tolist(), dtype="int64")  # (B, m)
+            nbr = pdf["neighbor_id"].to_numpy()
+            # scores (Q, B): gather each subspace's LUT column by code, sum
+            scores = np.zeros((len(qid_arr), len(codes)))
+            for j in range(cb.m):
+                scores += lut[:, j, codes[:, j]]
+            top = min(n_local, len(codes))
+            idx = np.argpartition(-scores, top - 1, axis=1)[:, :top]
+            out = {
+                "query_id": np.repeat(qid_arr, top),
+                "neighbor_id": nbr[idx.ravel()],
+                "adc": np.take_along_axis(scores, idx, axis=1).ravel(),
+            }
+            yield pd.DataFrame(out)
+
+    cand = encoded_corpus.mapInPandas(_adc_scan, schema=out_schema).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    shortlist = (
+        cand.withColumn("_rn", F.row_number().over(w_adc))
+        .filter(F.col("_rn") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    exact = (
+        c.join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_sim(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -897,6 +897,19 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
+@register("ann_cosine_topk_pq")  # ADC shortlist is approximate — pytest pins
+def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): compressed-domain ADC
+    scan over m=8×16-codeword codes + exact rerank of the top-64 shortlist.
+    No oracle: the shortlist is approximate by design; the exact twin is
+    `ann_cosine_topk`, and tests/test_dedup_similarity.py pins full-rerank
+    == brute-force parity plus recall ≥0.85 at this rerank budget."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    out = sim.pq_topk(emb, queries, "vec_id", "embedding", k=10, rerank=64)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
 # ---------------------------------------------------------------------------
 # Q: text analysis (tokens, quality cascade, refusal, PII)
 # ---------------------------------------------------------------------------

@@ -890,3 +890,65 @@ def test_knn_label_agreement_flags_mislabel(spark):
     # cluster A members lose at most one of their 5 slots to the intruder
     assert all(got[i] >= 0.8 for i in range(10))
     assert any(got[i] == 0.8 for i in range(10))  # ...and some do see it
+
+
+def test_pq_full_rerank_equals_brute_force(spark, sf_med):
+    """With rerank >= corpus size the ADC shortlist covers everything, so
+    candidate pruning (PQ's only approximation) is disabled and the output
+    must be EXACTLY brute_force_topk — ranks included."""
+    emb = spark.read.parquet(f"{sf_med}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    cb = sim.train_pq(emb, m=8, ksub=16, sample_limit=500)
+    enc = sim.pq_encode(emb, cb)
+    exact = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in sim.brute_force_topk(emb, queries, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in sim.pq_topk(
+            emb, queries, k=5, codebook=cb, encoded_corpus=enc, rerank=1000
+        ).collect()
+    }
+    assert got == exact and len(got) > 0
+
+
+def test_pq_recall_at_modest_rerank(spark, sf_med):
+    """Measured 0.92 recall at rerank=64 (m=8, ksub=16, 64-d embeddings —
+    near-worst-case unstructured vectors for PQ); pinned with margin. The
+    whole pipeline is deterministic (seeded k-means++, hash-ordered sample),
+    so drift here means a code change, not noise."""
+    emb = spark.read.parquet(f"{sf_med}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.brute_force_topk(emb, queries, k=5).collect()
+    }
+    cb = sim.train_pq(emb, m=8, ksub=16, sample_limit=500)
+    enc = sim.pq_encode(emb, cb)
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.pq_topk(
+            emb, queries, k=5, codebook=cb, encoded_corpus=enc, rerank=64
+        ).collect()
+    }
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.85, f"PQ recall too low: {recall}"
+
+
+def test_pq_encode_codes_shape_and_reuse(spark, sf_med):
+    """Codes are m small ints in [0, ksub); the prebuilt-index path and the
+    train-inline path agree (same seed -> same codebook -> same shortlist)."""
+    emb = spark.read.parquet(f"{sf_med}/embeddings.parquet")
+    cb = sim.train_pq(emb, m=8, ksub=16, sample_limit=500)
+    rows = sim.pq_encode(emb, cb).take(20)
+    assert all(len(r.codes) == 8 and all(0 <= c < 16 for c in r.codes) for r in rows)
+    queries = emb.filter(F.col("vec_id") % 200 == 0)
+    inline = sim.pq_topk(emb, queries, k=5, rerank=64, m=8, ksub=16)
+    prebuilt = sim.pq_topk(
+        emb, queries, k=5, rerank=64, codebook=cb,
+        encoded_corpus=sim.pq_encode(emb, cb),
+    )
+    si = {(r.query_id, r.neighbor_id, r.rank) for r in inline.collect()}
+    sp = {(r.query_id, r.neighbor_id, r.rank) for r in prebuilt.collect()}
+    assert si == sp and len(si) > 0
