@@ -1,0 +1,338 @@
+"""FastText-style hashed linear text-quality classifier — train + serve.
+
+The published LLM-corpus pipelines all gate documents through a cheap linear
+text classifier trained to separate a high-quality reference corpus from raw
+web text: GPT-3 (Brown et al. 2020, Appendix A — logistic regression over
+hashed features, kept via a Pareto-sampled score rule), PaLM, LLaMA, and
+RefinedWeb all describe the same shape. The reference repo has no trainable
+corpus classifier (its quality gates are per-response shape/length/marker
+checks, /root/reference/prompture/validator/filters.py); this operator is
+the corpus-scale complement, built Spark-first:
+
+* **Features**: L1-normalized hashed bag of words — token ``t`` maps to
+  bucket ``pmod(xxhash64(t), n_buckets)`` JVM-side, feature value
+  ``x_b = count_b / n_tokens`` (fastText's mean-of-word-vectors with a
+  1-dim embedding per bucket). The feature space is FIXED at ``n_buckets``
+  regardless of vocabulary, so the weight vector is a few MB at any corpus
+  scale (2^18 buckets ≈ 2 MB of float64).
+* **Training** (:func:`train_quality_classifier`): full-batch logistic
+  regression by gradient descent. The labeled sample is featurized ONCE and
+  persisted; each iteration is two map-side-combinable hash aggregates
+  (per-doc margin, then per-bucket gradient) with the weight vector shipped
+  as a broadcast ``n_buckets``-row table. Weights live driver-side in numpy
+  between iterations. Labeled training sets are small by construction
+  (10^5-10^6 docs in the published pipelines) — SCORING is the 100 TB path.
+* **Serving** (:func:`classifier_score_arrow`): one projection computes the
+  per-doc bucket array JVM-side (no corpus explode), then a single
+  ``mapInPandas`` scores each Arrow batch with ``np.take`` against the
+  process-broadcast weight vector — no join, no shuffle, no per-row Python.
+  The expression twin (:func:`classifier_score_expr`) is the oracle path:
+  explode + broadcast-join on a weights table, exactly restatable in SQL.
+* **Selection** (:func:`pareto_keep`): GPT-3's documented re-inclusion rule
+  ``keep iff pareto(alpha) > 1 - score`` with the Pareto draw made
+  deterministic and engine-portable (md5-derived uniform per doc), so the
+  sampled corpus is reproducible and the DuckDB oracle replays it exactly.
+
+Scoring semantics (restated independently by the oracle SQL in queries.py):
+tokens = non-empty pieces of ``lower(text)`` split on ``\\W+``; documents
+with zero tokens produce no score row (there is nothing to average — the
+quality cascade's empty-text check owns those rows).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _tokens(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), r"\W+"), lambda x: x != "")
+
+
+def doc_term_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, term, x, n_words): L1-normalized exact-word bag features.
+
+    One explode + one hash aggregate; ``n_words`` (the doc's token count) is
+    carried through the explode so no second per-doc aggregate or window is
+    needed. Exact-word keys are the oracle-checkable twin of the hashed
+    space below (same pattern as dsir_importance_weights' exact/hashed pair).
+    """
+    toks = _tokens(text_col)
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(toks).alias("n_words"),
+            F.explode(toks).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.first("n_words").alias("n_words"),
+        )
+        .select(
+            "doc_id",
+            "term",
+            (F.col("c") / F.col("n_words")).alias("x"),
+            "n_words",
+        )
+    )
+
+
+def doc_bucket_features(
+    df: DataFrame, id_col: str, text_col: str, n_buckets: int
+) -> DataFrame:
+    """(doc_id, term, x, n_words) with term = pmod(xxhash64(token), B).
+
+    Hash-bucketed twin of :func:`doc_term_features`: the term key is a
+    bounded bigint, so the training weight table and every per-term
+    aggregate are capped at ``n_buckets`` rows at any corpus scale.
+    Collisions merge feature mass (the standard hashing-trick bias);
+    tests pin sign/rank agreement with the exact space on planted data.
+    """
+    toks = _tokens(text_col)
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(toks).alias("n_words"),
+            F.explode(toks).alias("_t"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            F.pmod(F.xxhash64("_t"), F.lit(n_buckets)).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.first("n_words").alias("n_words"),
+        )
+        .select(
+            "doc_id",
+            "term",
+            (F.col("c") / F.col("n_words")).alias("x"),
+            "n_words",
+        )
+    )
+
+
+def classifier_score_expr(
+    feats: DataFrame,
+    weights: DataFrame,
+    bias: float = 0.0,
+    broadcast_weights: bool = True,
+) -> DataFrame:
+    """(doc_id, n_words, margin, prob) from features × a (term, w) table.
+
+    margin = bias + Σ_t x_t·w_t over the doc's present terms (absent terms
+    carry weight 0 by construction — an inner join is exact, not an
+    approximation). prob = sigmoid(margin), both rounded to 6 for
+    engine-portable comparison. ``broadcast_weights=True`` is right whenever
+    the weight table is a hashed space (≤ n_buckets rows); pass False for
+    an unbounded exact-word table so Catalyst plans a shuffled join.
+    """
+    w = F.broadcast(weights) if broadcast_weights else weights
+    joined = feats.join(w, "term")
+    margin = F.lit(float(bias)) + F.sum(F.col("x") * F.col("w"))
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.first("n_words").cast("long").alias("n_words"),
+            F.round(margin, 6).alias("margin"),
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), 6).alias("prob"),
+        )
+    )
+
+
+def classifier_score_arrow(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: np.ndarray,
+    bias: float = 0.0,
+) -> DataFrame:
+    """Join-free serving path: (doc_id, n_words, margin, prob).
+
+    The bucket array is computed JVM-side in ONE projection (tokenize, hash,
+    pmod — no corpus explode, no shuffle anywhere in the plan), then a
+    single Arrow ``mapInPandas`` stage scores each batch: flatten the batch
+    of bucket arrays, ``np.take`` the weight vector, segmented sums via
+    ``np.add.reduceat``. The weight vector rides task closures (a few MB at
+    2^18 buckets). Value-identical to the expression path modulo float
+    summation order — both sides round to 6 and the pin test compares the
+    rounded columns.
+    """
+    n_buckets = int(weights.shape[0])
+    toks = _tokens(text_col)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(
+            toks, lambda t: F.pmod(F.xxhash64(t), F.lit(n_buckets))
+        ).alias("_buckets"),
+    ).filter(F.size("_buckets") > 0)
+    id_sql = base.schema["doc_id"].dataType.simpleString()
+    w_vec = weights.astype(np.float64)
+    b = float(bias)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            arrs = pdf["_buckets"]
+            lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
+            flat = np.concatenate([np.asarray(a, dtype=np.int64) for a in arrs])
+            wv = np.take(w_vec, flat)
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            sums = np.add.reduceat(wv, starts)
+            margin = b + sums / lens
+            prob = 1.0 / (1.0 + np.exp(-margin))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "n_words": lens,
+                    "margin": np.round(margin, 6),
+                    "prob": np.round(prob, 6),
+                }
+            )
+
+    return base.mapInPandas(
+        gen, schema=f"doc_id {id_sql}, n_words bigint, margin double, prob double"
+    )
+
+
+def pareto_keep(
+    scores: DataFrame,
+    alpha: float = 9.0,
+    id_col: str = "doc_id",
+    prob_col: str = "prob",
+) -> DataFrame:
+    """GPT-3's documented score-sampled selection (Brown et al. 2020, App. A):
+
+        keep document  iff  Pareto(alpha) > 1 - score
+
+    so high-scoring docs always survive and low-scoring docs survive with
+    probability that decays with their deficit — the paper's trade between
+    filter quality and corpus diversity (alpha = 9 in the paper). The Pareto
+    draw is DETERMINISTIC and engine-portable here: u = md5-derived uniform
+    in (0, 1) per doc, pareto = (1-u)^(-1/alpha) - 1 (inverse-CDF/Lomax
+    form, numpy.random.pareto's convention). Both compared quantities are
+    rounded to 6 so the keep boundary is identical in Spark and the oracle.
+    Pure projection — composes map-side with the scoring stage.
+    """
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 32))
+    pareto = F.round(
+        F.pow(F.lit(1.0) - u, F.lit(-1.0 / float(alpha))) - F.lit(1.0), 6
+    )
+    return scores.select(
+        id_col,
+        prob_col,
+        (pareto > (F.round(F.lit(1.0) - F.col(prob_col), 6))).alias("kept"),
+    )
+
+
+@dataclass
+class TrainResult:
+    weights: np.ndarray  # shape (n_buckets,)
+    bias: float
+    history: list[float]  # mean log-loss per iteration (pre-update)
+
+
+def train_quality_classifier(
+    spark: SparkSession,
+    labeled: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    n_buckets: int = 1 << 18,
+    iters: int = 30,
+    lr: float = 2.0,
+    l2: float = 1e-6,
+) -> TrainResult:
+    """Distributed full-batch logistic regression over hashed features.
+
+    ``labeled``: (id, text, label∈{0,1}) — 1 = high-quality reference side.
+    The features are computed ONCE and persisted; each iteration runs
+
+        margins:  feats ⋈ broadcast(weights_b)  → groupBy(doc) Σ x·w
+        gradient: resid = y − σ(margin);  groupBy(bucket) Σ resid·x
+
+    i.e. two map-side-combinable hash aggregates per pass, with all state
+    between iterations a driver-side numpy vector (n_buckets floats). The
+    per-iteration ``createDataFrame`` of the weight table is ≤ n_buckets
+    rows via Arrow. Gradient step: w += lr·(gradᵀ/n_docs − l2·w). Mean
+    log-loss per iteration is recorded (pre-update) so tests can assert
+    monotone-ish convergence. Determinism: distributed float sums reorder
+    across parallelism levels, so cross-run weights agree to ~1e-9 relative,
+    not bit-exactly — the pin tests use np.allclose.
+    """
+    feats = doc_bucket_features(labeled, id_col, text_col, n_buckets)
+    labels = labeled.select(
+        F.col(id_col).alias("doc_id"), F.col(label_col).cast("double").alias("y")
+    )
+    feats = feats.join(labels, "doc_id").persist()
+    n_docs = feats.select("doc_id").distinct().count()
+    if n_docs == 0:
+        raise ValueError("train_quality_classifier: no non-empty labeled docs")
+
+    w = np.zeros(n_buckets, dtype=np.float64)
+    bias = 0.0
+    history: list[float] = []
+    try:
+        for _ in range(iters):
+            import pandas as pd
+
+            w_df = spark.createDataFrame(
+                pd.DataFrame({"term": np.arange(n_buckets, dtype=np.int64), "w": w})
+            )
+            per_doc = (
+                feats.join(F.broadcast(w_df), "term")
+                .groupBy("doc_id")
+                .agg(
+                    (F.lit(bias) + F.sum(F.col("x") * F.col("w"))).alias("m"),
+                    F.first("y").alias("y"),
+                )
+                .select(
+                    "doc_id",
+                    "y",
+                    (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m")))).alias("p"),
+                )
+            )
+            resid = per_doc.select(
+                "doc_id",
+                (F.col("y") - F.col("p")).alias("r"),
+                # clamped log-loss: planted separable data drives p -> 0/1
+                (
+                    -(
+                        F.col("y") * F.log(F.greatest(F.col("p"), F.lit(1e-12)))
+                        + (1 - F.col("y"))
+                        * F.log(F.greatest(1 - F.col("p"), F.lit(1e-12)))
+                    )
+                ).alias("ll"),
+            ).persist()
+            agg = resid.agg(F.sum("r").alias("sr"), F.avg("ll").alias("ll")).collect()[0]
+            grad_rows = (
+                feats.join(resid.select("doc_id", "r"), "doc_id")
+                .groupBy("term")
+                .agg(F.sum(F.col("r") * F.col("x")).alias("g"))
+                .collect()
+            )
+            resid.unpersist()
+            history.append(float(agg["ll"]))
+            g = np.zeros(n_buckets, dtype=np.float64)
+            for row in grad_rows:
+                g[row["term"]] = row["g"]
+            w += lr * (g / n_docs - l2 * w)
+            bias += lr * float(agg["sr"]) / n_docs
+    finally:
+        feats.unpersist()
+    return TrainResult(weights=w, bias=bias, history=history)

@@ -4833,3 +4833,96 @@ def q_semdedup_drop_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         _aug_emb(spark, sf_dir), "vec_id", "embedding",
         n_clusters=10, threshold=0.92,
     )
+
+
+# ---------------------------------------------------------------------------
+# Q: fastText-style linear quality classifier (operators/classifier.py)
+# ---------------------------------------------------------------------------
+
+from prompture_spark.operators import classifier as clf  # noqa: E402
+
+# Fixture weights for the oracle pair: a deterministic, engine-portable
+# pseudo-random weight per WORD derived from md5 (NOT a trained model — the
+# oracle checks the scoring machinery; training is pinned in
+# tests/test_classifier.py where the weights can be runtime values).
+def _clf_w_spark() -> "F.Column":
+    # /997 (prime): margins never sit on the round-6 decimal grid, so the
+    # rounded column can't tie-flip between engines (weights /100 produced
+    # exact .xxxxxx5 midpoints whenever n_words was a power of two)
+    return (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 4), 16, 10).cast("long")
+        % F.lit(2001) - F.lit(1000)
+    ) / F.lit(997.0)
+
+_CLF_SCORES_CTE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')) AS term
+  FROM documents
+),
+n AS (SELECT doc_id, count(*) AS n_words FROM toks GROUP BY 1),
+c AS (SELECT doc_id, term, count(*) AS c FROM toks GROUP BY 1, 2),
+wt AS (
+  SELECT DISTINCT term,
+         ((('0x' || substr(md5(term), 1, 4))::BIGINT % 2001) - 1000) / 997.0 AS w
+  FROM toks
+),
+scores AS (
+  SELECT c.doc_id, CAST(n.n_words AS BIGINT) AS n_words,
+         round(sum((c.c / n.n_words) * wt.w), 6) AS margin,
+         round(1.0 / (1.0 + exp(-sum((c.c / n.n_words) * wt.w))), 6) AS prob
+  FROM c JOIN n USING (doc_id) JOIN wt USING (term)
+  GROUP BY 1, 2
+)
+"""
+
+
+def _clf_fixture_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    feats = clf.doc_term_features(docs, "doc_id", "text")
+    weights = feats.select("term").distinct().select("term", _clf_w_spark().alias("w"))
+    # exact-word vocabulary is unbounded at corpus scale -> shuffled join
+    return clf.classifier_score_expr(feats, weights, bias=0.0, broadcast_weights=False)
+
+
+@register("quality_classifier_scores", _CLF_SCORES_CTE + "SELECT * FROM scores")
+def q_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear text-classifier scoring (the GPT-3/LLaMA corpus quality gate):
+    per-doc margin + sigmoid prob over L1-normalized word features, md5
+    fixture weights. Exact-word oracle twin of the hashed/Arrow serving
+    path (quality_classifier_scores_hashed)."""
+    return _clf_fixture_scores(spark, sf_dir)
+
+
+@register(
+    "quality_classifier_pareto_keep",
+    _CLF_SCORES_CTE
+    + r"""
+SELECT doc_id, prob,
+       round(power(1.0 - (((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) + 0.5) / 4294967296.0), -1.0/9.0) - 1.0, 6)
+         > round(1.0 - prob, 6) AS kept
+FROM scores
+""",
+)
+def q_quality_classifier_pareto_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3's score-sampled document selection (Brown et al. 2020 App. A):
+    keep iff Pareto(9) > 1 - score, with the Pareto draw deterministic
+    (md5-derived uniform) so the sampled corpus is reproducible and the
+    oracle replays the exact keep set."""
+    return clf.pareto_keep(_clf_fixture_scores(spark, sf_dir), alpha=9.0)
+
+
+@register("quality_classifier_scores_hashed")  # no oracle: hashed feature
+# space uses Spark xxhash64 bucketing (no DuckDB twin); value-pinned against
+# the exact-word oracle path and the expression twin in tests/test_classifier.py
+def q_quality_classifier_scores_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB serving path: bucket array computed JVM-side in one
+    projection, scored join-free by an Arrow mapInPandas kernel with the
+    weight vector in the task closure. Fixture weights w_b = ((b % 201) -
+    100)/100 over 4096 buckets."""
+    import numpy as np
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    b = np.arange(4096, dtype=np.float64)
+    w = ((b % 201) - 100) / 100.0
+    return clf.classifier_score_arrow(docs, "doc_id", "text", w, bias=0.0)

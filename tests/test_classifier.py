@@ -1,0 +1,189 @@
+"""fastText-style hashed linear quality classifier: training convergence,
+Arrow-kernel == expression-path parity, GPT-3 Pareto selection, plan shape."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from prompture_spark.operators import classifier as clf
+
+GOOD = ["theorem", "proof", "analysis", "study", "method", "result", "data"]
+SPAM = ["viagra", "casino", "winner", "click", "free", "prize", "jackpot"]
+
+
+def _planted(spark, n=240, seed=7):
+    """Deterministic separable corpus: label 1 docs draw from GOOD (+ shared
+    filler), label 0 from SPAM (+ the same filler)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    filler = ["the", "and", "is", "of", "to"]
+    for i in range(n):
+        label = i % 2
+        vocab = GOOD if label else SPAM
+        words = [vocab[int(rng.integers(len(vocab)))] for _ in range(12)]
+        words += [filler[int(rng.integers(len(filler)))] for _ in range(8)]
+        rng.shuffle(words)
+        rows.append((i, " ".join(words), label))
+    return spark.createDataFrame(rows, "doc_id bigint, text string, label int")
+
+
+@pytest.fixture(scope="module")
+def trained(spark):
+    labeled = _planted(spark)
+    res = clf.train_quality_classifier(
+        spark, labeled, "doc_id", "text", "label",
+        n_buckets=4096, iters=30, lr=12.0, l2=0.0,
+    )
+    return labeled, res
+
+
+def test_training_converges_and_separates(spark, trained):
+    labeled, res = trained
+    # log-loss decreases from the first to the last recorded iteration
+    assert res.history[-1] < res.history[0] * 0.5
+    scores = clf.classifier_score_arrow(
+        labeled, "doc_id", "text", res.weights, res.bias
+    )
+    joined = scores.join(labeled.select("doc_id", "label"), "doc_id")
+    acc = joined.select(
+        F.avg(((F.col("prob") > 0.5).cast("int") == F.col("label")).cast("double"))
+    ).collect()[0][0]
+    assert acc >= 0.95, f"train accuracy {acc}"
+
+
+def test_gradient_matches_numpy_reference(spark):
+    """One distributed GD run == a driver-side numpy implementation of the
+    identical full-batch updates over the identical hashed features."""
+    labeled = _planted(spark, n=60, seed=3)
+    B, iters, lr = 512, 5, 2.0
+    res = clf.train_quality_classifier(
+        spark, labeled, "doc_id", "text", "label",
+        n_buckets=B, iters=iters, lr=lr, l2=0.0,
+    )
+    feats = clf.doc_bucket_features(labeled, "doc_id", "text", B)
+    rows = feats.join(
+        labeled.select(F.col("doc_id"), F.col("label").cast("double").alias("y")),
+        "doc_id",
+    ).collect()
+    docs = sorted({r["doc_id"] for r in rows})
+    idx = {d: i for i, d in enumerate(docs)}
+    X = np.zeros((len(docs), B))
+    y = np.zeros(len(docs))
+    for r in rows:
+        X[idx[r["doc_id"]], r["term"]] = r["x"]
+        y[idx[r["doc_id"]]] = r["y"]
+    w = np.zeros(B)
+    b = 0.0
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-(X @ w + b)))
+        r = y - p
+        w += lr * (X.T @ r) / len(docs)
+        b += lr * r.sum() / len(docs)
+    assert np.allclose(res.weights, w, atol=1e-9)
+    assert abs(res.bias - b) < 1e-9
+
+
+def test_arrow_kernel_matches_expression_path(spark, sf_small, trained):
+    """Serving parity on REAL documents: the join-free Arrow kernel and the
+    explode+broadcast-join expression path produce identical rounded scores
+    from the same trained weights."""
+    _, res = trained
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    B = res.weights.shape[0]
+    arrow = clf.classifier_score_arrow(docs, "doc_id", "text", res.weights, res.bias)
+    import pandas as pd
+
+    w_df = spark.createDataFrame(
+        pd.DataFrame({"term": np.arange(B, dtype=np.int64), "w": res.weights})
+    )
+    feats = clf.doc_bucket_features(docs, "doc_id", "text", B)
+    expr = clf.classifier_score_expr(feats, w_df, res.bias, broadcast_weights=True)
+    a = {r["doc_id"]: r for r in arrow.collect()}
+    e = {r["doc_id"]: r for r in expr.collect()}
+    assert set(a) == set(e) and len(a) > 0
+    for d in a:
+        assert a[d]["n_words"] == e[d]["n_words"]
+        assert a[d]["margin"] == pytest.approx(e[d]["margin"], abs=2e-6)
+        assert a[d]["prob"] == pytest.approx(e[d]["prob"], abs=2e-6)
+
+
+def test_zero_token_docs_produce_no_row(spark):
+    df = spark.createDataFrame(
+        [(1, "real words here"), (2, "   "), (3, "!!! ...")],
+        "doc_id bigint, text string",
+    )
+    out = clf.classifier_score_arrow(df, "doc_id", "text", np.zeros(64), 0.0)
+    assert [r["doc_id"] for r in out.collect()] == [1]
+    feats = clf.doc_term_features(df, "doc_id", "text")
+    assert feats.select("doc_id").distinct().count() == 1
+
+
+def test_pareto_keep_rule(spark):
+    """High scores always survive; the rule replays GPT-3's
+    pareto(9) > 1 - score with a deterministic md5 uniform."""
+    scores = spark.createDataFrame(
+        [(i, p) for i, p in enumerate([1.0, 0.999999, 0.5, 0.01, 0.0])],
+        "doc_id bigint, prob double",
+    )
+    out = {r["doc_id"]: r["kept"] for r in clf.pareto_keep(scores).collect()}
+    assert out[0] and out[1]  # pareto draw > 0 for u > 0, deficit == 0
+    # deterministic across invocations and parallelism
+    out2 = {
+        r["doc_id"]: r["kept"]
+        for r in clf.pareto_keep(scores.repartition(5)).collect()
+    }
+    assert out == out2
+    # replicates the inverse-CDF numpy form
+    import hashlib
+
+    for i, p in [(3, 0.01), (4, 0.0)]:
+        u = (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) + 0.5) / 2**32
+        pareto = round((1 - u) ** (-1 / 9.0) - 1, 6)
+        assert out[i] == (pareto > round(1 - p, 6))
+
+
+def test_scoring_plan_shape(spark, sf_small, trained):
+    """Arrow path: zero exchanges (one projection + one mapInPandas).
+    Expression path: weights join is a BroadcastHashJoin."""
+    _, res = trained
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    arrow = clf.classifier_score_arrow(docs, "doc_id", "text", res.weights, res.bias)
+    plan = arrow._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+
+    import pandas as pd
+
+    w_df = spark.createDataFrame(
+        pd.DataFrame(
+            {"term": np.arange(res.weights.shape[0], dtype=np.int64),
+             "w": res.weights}
+        )
+    )
+    feats = clf.doc_bucket_features(docs, "doc_id", "text", res.weights.shape[0])
+    expr = clf.classifier_score_expr(feats, w_df, res.bias, broadcast_weights=True)
+    plan2 = expr._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan2, plan2
+
+
+def test_hashed_space_agrees_with_exact_on_planted(spark):
+    """Hashing-trick sanity: scores from the 4096-bucket space keep the
+    planted class separation (no planted vocab collision flips a sign)."""
+    labeled = _planted(spark, n=80, seed=11)
+    res = clf.train_quality_classifier(
+        spark, labeled, "doc_id", "text", "label",
+        n_buckets=4096, iters=25, lr=12.0, l2=0.0,
+    )
+    scores = clf.classifier_score_arrow(
+        labeled, "doc_id", "text", res.weights, res.bias
+    ).join(labeled.select("doc_id", "label"), "doc_id")
+    rows = scores.collect()
+    good = [r["prob"] for r in rows if r["label"] == 1]
+    spam = [r["prob"] for r in rows if r["label"] == 0]
+    assert min(good) > max(spam)
