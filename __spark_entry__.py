@@ -64,7 +64,12 @@ def _driver_window_order() -> list[str]:
             # 1): when bucket 0 alone overflows the driver window, a
             # hash-checked green row must win over a rows-only row.
             # Afterwards it drops behind every oracle-backed query.
-            return (0 if name not in seen else 2, 1, names.index(name))
+            # multimodal_audio_features leads the never-seen sub-bucket:
+            # registered since round 3 yet zero driver rows ever (file
+            # position understates its age — the round-4 VERDICT explicitly
+            # ordered it rotated ahead of the other no-oracle variants once).
+            idx = -1 if name == "multimodal_audio_features" else names.index(name)
+            return (0 if name not in seen else 2, 1, idx)
         if name not in attested:
             return (0, 0, names.index(name))
         return (1, attested[name], names.index(name))
