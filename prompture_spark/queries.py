@@ -4926,3 +4926,55 @@ def q_quality_classifier_scores_hashed(spark: SparkSession, sf_dir: str) -> Data
     b = np.arange(4096, dtype=np.float64)
     w = ((b % 201) - 100) / 100.0
     return clf.classifier_score_arrow(docs, "doc_id", "text", w, bias=0.0)
+
+
+# ---------------------------------------------------------------------------
+# Q: conversation-level verdict rollup — the whole-conversation quality gate
+# ---------------------------------------------------------------------------
+
+_CONV_VERDICTS_ORACLE = (
+    ORACLE_TRANSCRIPTS_CTE
+    + ",\n_v AS (\n"
+    + _ROW_VIOLATIONS_ORACLE
+    + "\nUNION ALL\n" + _UNIQUE_ORACLE
+    + "\nUNION ALL\n" + _REF_ORACLE
+    + "\nUNION ALL\n" + _MONO_ORACLE
+    + "\n),\n"
+    "_va AS (SELECT conv_id, count(*) AS nv,"
+    " count(DISTINCT constraint_id) AS nc FROM _v GROUP BY 1),\n"
+    "_t AS (SELECT conv_id, count(*) AS n_turns FROM transcripts GROUP BY 1)\n"
+    "SELECT t.conv_id, CAST(t.n_turns AS BIGINT) AS n_turns,"
+    " CAST(coalesce(v.nv, 0) AS BIGINT) AS n_violations,"
+    " CAST(coalesce(v.nc, 0) AS BIGINT) AS n_constraints_violated,"
+    " coalesce(v.nv, 0) = 0 AS clean"
+    " FROM _t t LEFT JOIN _va v ON t.conv_id = v.conv_id"
+)
+
+
+@register("conv_verdicts", _CONV_VERDICTS_ORACLE)
+def q_conv_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-granularity verdict rollup: per conv_id the turn count,
+    total violation rows (row ∪ unique ∪ referential ∪ monotonic — the full
+    default suite), distinct violated constraints, and a `clean` gate — the
+    decision a training-data pipeline actually takes (drop the WHOLE
+    conversation, not the turn; a transcript with one corrupt turn is not a
+    valid dialogue sample). Scale shape: the violations side is defect-rate
+    sized, the n_turns side is one map-side-combinable hash agg, and the
+    join key (conv_id) is the engine's standard skew dimension — hot
+    conversations route through AQE skew handling like every conv_id join
+    here (operators/skew.py owns the salted-agg variant if a single conv
+    outgrows a task)."""
+    eng, df, suite = _suite(spark, sf_dir)
+    res = eng.validate(df, suite, persist_violations=False)
+    va = res.violations.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("_nv"),
+        F.count_distinct("constraint_id").alias("_nc"),
+    )
+    t = df.groupBy("conv_id").agg(F.count(F.lit(1)).cast("long").alias("n_turns"))
+    return t.join(va, "conv_id", "left").select(
+        "conv_id",
+        "n_turns",
+        F.coalesce(F.col("_nv"), F.lit(0)).cast("long").alias("n_violations"),
+        F.coalesce(F.col("_nc"), F.lit(0)).cast("long").alias("n_constraints_violated"),
+        (F.coalesce(F.col("_nv"), F.lit(0)) == 0).alias("clean"),
+    )
