@@ -305,3 +305,42 @@ def test_readiness_scorecard(spark, micro):
     assert tight[0].ready is False and tight[0].blocked_by == "stale"
     assert tight[1].blocked_by == "constraints"
     assert tight[0].stale is True
+
+
+def test_conversation_verdict_rollup(spark, micro):
+    """conv_verdicts semantics on the planted micro fixture: the clean
+    conversation gates clean, the dirty one carries exact violation and
+    distinct-constraint counts, the bad-format conv_id rolls up separately."""
+    from prompture_spark import queries as Q
+
+    _, df = micro
+    eng = ValidationEngine(spark)
+    suite = default_transcript_suite()
+    res = eng.validate(df, suite, persist_violations=False)
+    va = res.violations.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("_nv"),
+        F.count_distinct("constraint_id").alias("_nc"),
+    )
+    t = df.groupBy("conv_id").agg(F.count(F.lit(1)).cast("long").alias("n_turns"))
+    out = {
+        r["conv_id"]: r
+        for r in t.join(va, "conv_id", "left")
+        .select(
+            "conv_id",
+            "n_turns",
+            F.coalesce(F.col("_nv"), F.lit(0)).alias("n_violations"),
+            (F.coalesce(F.col("_nv"), F.lit(0)) == 0).alias("clean"),
+        )
+        .collect()
+    }
+    assert out["conv-00000000"]["clean"] and out["conv-00000000"]["n_violations"] == 0
+    assert out["conv-00000000"]["n_turns"] == 3
+    dirty = out["conv-00000001"]
+    # role_enum, text_nonempty, tool_in_catalog, unique (1 row for the dup
+    # key), ts_monotonic (x2: 'late' after _ts(4), and turn -5 sorts first
+    # so turn 0 at _ts(0) regresses from _ts(6)), turn_idx_range,
+    # tool_only_for_tool_role
+    assert not dirty["clean"]
+    assert dirty["n_turns"] == 8
+    assert dirty["n_violations"] == 8
+    assert out["CONV-00000001"]["n_violations"] == 1  # conv_id_format
