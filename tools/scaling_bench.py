@@ -434,6 +434,26 @@ JOB_DESC = {
     "flagship": "full constraint suite over {n:,} skewed transcript turns "
                 "(fused row scan + one conv_id window shuffle + broadcast "
                 "referential), violations persisted once",
+    "submit": "DEPLOYED-ARTIFACT path (tools/submit_scaling.py): the identical "
+              "dist/prompture_spark.zip launched by real spark-submit "
+              "--py-files from a foreign cwd — full suite + stats + drift + "
+              "parquet sinks + summary re-read over the same 240,000,000-turn "
+              "parquet input; conf entirely from the spark-submit command "
+              "line (shuffle=cores, AQE, Arrow, UTC, 8g). Every rep is a "
+              "fresh JVM — walls include cold codegen AND the job's own "
+              "multi-action serial floor (S ≈ 48.5 s measured at the 40M "
+              "sizing), identical at every master: it can only depress, "
+              "never inflate, measured efficiency. In-run gate: verdict_"
+              "cells/violations/failed_cells identical across every master "
+              "and rep",
+    "submit40m": "deployed-artifact path at the initial 40,000,000-turn "
+                 "sizing (1 draw taken 2026-08-19 before the input was grown "
+                 "to 240M — the T(n)=S+W/n fit on its own walls gives "
+                 "S ≈ 48.5 s of master-independent serial time (multi-action "
+                 "Catalyst planning + four sink actions + summary re-read in "
+                 "a fresh JVM) vs W ≈ 321 s of scalable work, capping "
+                 "measurable 2→8 at ~0.59 exactly as the sketch20m sizing "
+                 "did; retained — no draw is ever discarded)",
     "minhash": f"MinHash-LSH near-dup pairs (32 hashes × 8 bands, bucket cap, "
                f"exact-Jaccard verification) over {N_DOCS:,}+twins generated docs",
     "minhash25k": "MinHash-LSH at the earlier 25,000-doc sizing (3 draws taken "

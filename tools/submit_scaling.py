@@ -1,0 +1,163 @@
+"""Deployed-artifact scaling: the north rule's exact surface, measured.
+
+The rule requires the engine "run via spark-submit --py-files on a
+multi-executor cluster at two cluster sizes (N and 4N executors) with
+throughput scaling efficiency >= 0.8 between them". The in-process campaigns
+(tools/scaling_bench.py) measure the OPERATORS at two parallelism levels;
+this tool measures the DEPLOYMENT PATH itself: the identical
+`dist/prompture_spark.zip` artifact, launched by real `spark-submit
+--py-files` from a foreign cwd, against the identical parquet input
+($SUBMIT_SCALING_TURNS turns, default 240M), at local[2] / local[8] /
+local[32] — the sandbox proxy for N and 4N executors (no real cluster
+exists here; see BENCH/BASELINE.md preamble).
+
+Sizing: the first configuration (40M turns, published as job "submit40m")
+measured S ≈ 48.5 s of master-independent serial time per run via the
+T(n) = S + W/n fit (multi-action Catalyst planning + four sink actions +
+the summary re-read, in a fresh JVM) against W ≈ 321 s of scalable work —
+floor-dominated, capping measurable 2→8 at ~0.59 exactly as the sketch20m
+sizing did. The current 240M default puts W/S ≈ 40:1 at local[2]
+(predicted 2→8 ≈ 0.87 from the same fit). Same serial-floor amortization
+methodology as every other campaign: grow the numerator, never shrink the
+protocol.
+
+Differences from the in-process protocol, disclosed:
+  * every rep is a FRESH JVM, so each wall includes in-process whole-stage
+    codegen compilation (~3-6 s) — a fixed serial floor identical at every
+    master (it slightly DEPRESSES measured efficiency; it cannot inflate it);
+  * Spark conf comes entirely from the spark-submit command line (the job
+    script owns none), exactly as a cluster deployment would set it:
+    shuffle partitions = cores, AQE on, Arrow on, UTC, 8g heap.
+
+In-run correctness gate: every rep's summary must report the same
+verdict_cells and violations count at every master (identical input ->
+identical results regardless of parallelism), and violations > 0.
+
+Results append to BENCH/scaling_results.json under job "submit" (same
+record shape as every other campaign) and BASELINE.md is re-rendered, so
+the no-discard / every-draw-published policy applies unchanged.
+
+Usage: python tools/submit_scaling.py [n_draws] (default 1; ~75 min each
+at the 240M sizing)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+N_TURNS = int(os.environ.get("SUBMIT_SCALING_TURNS", 240_000_000))
+# job key is size-suffixed for non-current sizings (the sketch20m/sketch
+# precedent: a resize starts a new measured configuration, the old draws
+# stay published under their own name)
+JOB_KEY = "submit" if N_TURNS == 240_000_000 else f"submit{N_TURNS // 1_000_000}m"
+SPARK_SUBMIT = "/opt/spark/bin/spark-submit"
+SCRATCH = os.path.join(REPO, ".spark_scratch")
+INPUT = os.path.join(SCRATCH, f"turns_submit_{N_TURNS}")
+
+
+def ensure_input() -> None:
+    if os.path.exists(os.path.join(INPUT, "_SUCCESS")):
+        return
+    from prompture_spark import get_spark
+    from prompture_spark.sources.transcripts import generate_transcripts
+
+    spark = get_spark(app_name="submit-scaling-gen", master="local[32]",
+                      shuffle_partitions=32)
+    generate_transcripts(spark, N_TURNS, seed=42, skew=True).repartition(
+        128
+    ).write.mode("overwrite").parquet(INPUT)
+    spark.stop()
+
+
+def one_rep(master: str, cores: int, zip_path: str, out_dir: str) -> dict:
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["SPARK_LOCAL_DIRS"] = SCRATCH  # exempt from the /tmp age sweeper
+    proc = subprocess.run(
+        [
+            SPARK_SUBMIT,
+            "--master", master,
+            "--driver-memory", "8g",
+            "--conf", f"spark.sql.shuffle.partitions={cores}",
+            "--conf", "spark.sql.adaptive.enabled=true",
+            "--conf", "spark.sql.adaptive.coalescePartitions.enabled=true",
+            "--conf", "spark.sql.adaptive.skewJoin.enabled=true",
+            "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
+            "--conf", "spark.sql.files.maxPartitionBytes=128m",
+            "--conf", "spark.sql.session.timeZone=UTC",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_path,
+            os.path.join(REPO, "tools", "run_validation.py"),
+            "--input", INPUT,
+            "--output", out_dir,
+        ],
+        cwd=SCRATCH,  # foreign cwd: the zip must be the only import source
+        env=env, capture_output=True, text=True, timeout=3000,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(f"{master} failed: {proc.stderr[-3000:]}")
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    n_draws = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    os.makedirs(SCRATCH, exist_ok=True)
+    ensure_input()
+    import make_pyfiles
+
+    zip_path = make_pyfiles.build(os.path.join(SCRATCH, "prompture_spark.zip"))
+
+    store_path = os.path.join(REPO, "BENCH", "scaling_results.json")
+    with open(store_path) as f:
+        store = json.load(f)
+
+    for draw in range(n_draws):
+        draw_rec: dict = {}
+        fingerprint: tuple | None = None
+        for master, cores in (("local[2]", 2), ("local[8]", 8), ("local[32]", 32)):
+            walls = []
+            for _ in range(3):
+                t_out = os.path.join(SCRATCH, f"submit_out_{cores}")
+                s = one_rep(master, cores, zip_path, t_out)
+                # identical input -> identical verdicts at every master/rep
+                fp = (s["verdict_cells"], s["violations"], s["failed_cells"])
+                assert s["violations"] > 0
+                assert fingerprint is None or fp == fingerprint, (fp, fingerprint)
+                fingerprint = fp
+                walls.append(float(s["wall_s"]))
+            sec = statistics.median(walls)
+            key = {"local[2]": "r2", "local[8]": "r8", "local[32]": "r32"}[master]
+            draw_rec[key] = {
+                "job": JOB_KEY, "master": master, "sec": sec,
+                "all": sorted(walls), "units": N_TURNS,
+                "tput": N_TURNS / sec,
+            }
+            print(json.dumps({"draw": draw, "master": master, "sec": round(sec, 2),
+                              "all": [round(w, 2) for w in walls]}))
+        draw_rec["eff_2_8"] = round(
+            (draw_rec["r8"]["tput"] / draw_rec["r2"]["tput"]) / 4, 3)
+        draw_rec["eff_8_32"] = round(
+            (draw_rec["r32"]["tput"] / draw_rec["r8"]["tput"]) / 4, 3)
+        store["jobs"].setdefault(JOB_KEY, []).append(draw_rec)
+        print(json.dumps({"draw": draw, "job": JOB_KEY,
+                          "eff_2_8": draw_rec["eff_2_8"],
+                          "eff_8_32": draw_rec["eff_8_32"],
+                          "tput_32": round(draw_rec["r32"]["tput"], 1)}))
+        with open(store_path, "w") as f:
+            json.dump(store, f, indent=1)
+
+    import scaling_bench
+
+    scaling_bench.render(40_000_000, store)
+
+
+if __name__ == "__main__":
+    main()
