@@ -621,7 +621,9 @@ JVM/socket.
         md.append(f"""
 ## {job} — {JOB_DESC[job].format(n=n_turns)}
 
-Per-draw wall seconds (median of 3 timed runs, 2 warm-ups each) and
+Per-draw wall seconds (median of 3 timed runs; in-process jobs take 2
+warm-ups each, the submit jobs run every rep in a fresh JVM with no
+warm-up by design) and
 efficiencies — all draws, none discarded:
 
 | draw | local[2] s | local[8] s | local[32] s | eff 2→8 | eff 8→32 |
