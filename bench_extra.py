@@ -1,0 +1,203 @@
+"""Phase-isolation micro-bench (guide §1.4) — NOT the driver contract.
+
+Times individual phases of the expensive queries with the noop sink so the
+computation, not the sink or count-pruning, is measured. Usage::
+
+    python bench_extra.py [phase ...]
+
+Phases: minhash ann flagship verdicts quality queries. Default: all.
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf1.0 — the driver's
+measured scale), SPARK_GRAFT_CPUS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from prompture_spark import get_spark  # noqa: E402
+
+RESULTS: dict[str, float] = {}
+
+
+def timed(spark, name: str, df, noop=True):
+    spark.sparkContext.setJobDescription(name)
+    t0 = time.perf_counter()
+    if noop:
+        df.write.format("noop").mode("overwrite").save()
+    else:
+        df.count()
+    dt = time.perf_counter() - t0
+    RESULTS[name] = round(dt, 3)
+    print(f"  {name:45s} {dt:8.3f}s", flush=True)
+    spark.sparkContext.setJobDescription(None)
+    return dt
+
+
+def phase_minhash(spark, sf_dir):
+    import prompture_spark.operators.dedup as dd
+    from prompture_spark.queries import _aug_docs
+
+    print("== minhash phases ==", flush=True)
+    docs = _aug_docs(spark, sf_dir)
+    hashes = dd.shingle_hashes("_t", dd.SHINGLE_K)
+    sh_plan = (
+        dd.spread_for_compute(docs.select(F.col("doc_id").alias("_id"), F.col("text").alias("_t")))
+        .select("_id", hashes.alias("_sh"))
+    )
+    timed(spark, "minhash:shingle_hashes_only", sh_plan)
+    sh = sh_plan.persist().filter(F.size("_sh") > 0)
+    sh.count()  # materialize cache so later phases measure their own work
+    band = dd._minhash_band_entries_arrow(sh, 32, 8, 42)
+    timed(spark, "minhash:band_entries_arrow(cached sh)", band)
+    band = band.persist()
+    band.count()
+    sizes_ok = (
+        band.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("_bs"))
+        .filter(F.col("_bs") <= 64).select("band", "bh")
+    )
+    be = band.join(sizes_ok, ["band", "bh"], "left_semi")
+    left = be.select(F.col("_id").alias("id_a"), "band", "bh")
+    right = be.select(F.col("_id").alias("id_b"), "band", "bh")
+    cands = (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b").distinct()
+    )
+    timed(spark, "minhash:cands(cached band)", cands)
+    cands = cands.persist()
+    n_cands = cands.count()
+    print(f"  candidates: {n_cands}", flush=True)
+    sa = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
+    sb = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))
+    verified = (
+        cands.join(sa, "id_a").join(sb, "id_b")
+        .select("id_a", "id_b",
+                (F.size(F.array_intersect("_sha", "_shb"))
+                 / F.size(F.array_union("_sha", "_shb"))).alias("_j"))
+        .filter(F.col("_j") >= 0.8)
+    )
+    timed(spark, "minhash:verify(cached cands+sh)", verified)
+    sh.unpersist(); band.unpersist(); cands.unpersist()
+    full = dd.minhash_lsh_pairs(_aug_docs(spark, sf_dir), "doc_id", "text", arrow=True)
+    timed(spark, "minhash:full", full)
+    spark.catalog.clearCache()
+
+
+def phase_ann(spark, sf_dir):
+    import prompture_spark.operators.similarity as sim
+    from prompture_spark.operators.dedup import cosine_sim, spread_for_compute
+
+    print("== ann phases ==", flush=True)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    nq = queries.count()
+    print(f"  corpus={n} queries={nq}", flush=True)
+    c = spread_for_compute(
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_cv")))
+    q = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id",
+                F.round(cosine_sim(F.col("_qv"), F.col("_cv")), 6).alias("cosine"))
+    )
+    timed(spark, "ann:scored_only(no window)", scored)
+    full = sim.brute_force_topk(emb, queries, "vec_id", "embedding", k=10)
+    timed(spark, "ann:full", full)
+
+
+def phase_flagship(spark, n_turns=20_000_000):
+    from prompture_spark.operators.engine import ValidationEngine
+    from prompture_spark.plans.spec import default_transcript_suite
+    from prompture_spark.sources.transcripts import generate_transcripts
+
+    print("== flagship phases ==", flush=True)
+    path = f"/tmp/prompture_bench/turns_{n_turns}"
+    if not os.path.exists(path):
+        generate_transcripts(spark, n_turns, seed=42, skew=True).repartition(
+            128).write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    eng = ValidationEngine(spark)
+    suite = default_transcript_suite()
+    # warm codegen
+    res = eng.validate(df, suite)
+    res.verdicts.count(); res.violations.count()
+    spark.catalog.clearCache()
+    # isolated: row pass only (violations from row constraints, incl. fused ref)
+    timed(spark, "flagship:row_violations_pass", eng.row_violations(df, suite))
+    from prompture_spark.plans.spec import Monotonic, Unique
+    uq = next(c for c in suite.table_constraints if isinstance(c, Unique))
+    mono = next(c for c in suite.table_constraints if isinstance(c, Monotonic))
+    seq = eng.sequence_violations(df, suite.partition_col, uq=uq, mono=mono)
+    timed(spark, "flagship:sequence_window_pass", seq)
+    spark.catalog.clearCache()
+    timed(spark, "flagship:row_verdicts_aggonly", eng.row_verdicts(df, suite))
+    t0 = time.perf_counter()
+    res = eng.validate(df, suite)
+    res.verdicts.count(); res.violations.count()
+    spark.catalog.clearCache()
+    RESULTS["flagship:validate_end2end"] = round(time.perf_counter() - t0, 3)
+    print(f"  flagship:validate_end2end                     {RESULTS['flagship:validate_end2end']:8.3f}s", flush=True)
+
+
+def phase_verdicts(spark, sf_dir):
+    from prompture_spark import queries as Q
+
+    print("== verdicts/quality phases ==", flush=True)
+    timed(spark, "verdicts:full", Q.QUERIES["verdicts"](spark, sf_dir))
+    spark.catalog.clearCache()
+    timed(spark, "quality_filter_stats:full", Q.QUERIES["quality_filter_stats"](spark, sf_dir))
+    spark.catalog.clearCache()
+
+
+def phase_queries(spark, sf_dir):
+    """Every bench query, noop-sunk, one at a time."""
+    from prompture_spark import queries as Q
+    names = [
+        "row_violations", "unique_violations", "ts_monotonicity_violations",
+        "ref_integrity_violations", "column_stats", "column_stats_approx",
+        "drift_psi_role", "conv_turn_counts_salted", "exact_dedup_docs",
+        "daily_usage_summary", "majority_vote", "refusal_rate_per_partition",
+        "pricing_summary", "top_customers",
+    ]
+    print("== small queries (noop) ==", flush=True)
+    for name in names:
+        timed(spark, f"q:{name}", Q.QUERIES[name](spark, sf_dir))
+        spark.catalog.clearCache()
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf1.0")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        app_name="prompture-spark-bench-extra",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus) if cpus.isdigit() else 32,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).agg(F.sum("id")).collect()
+    phases = sys.argv[1:] or ["minhash", "ann", "flagship", "verdicts", "queries"]
+    for p in phases:
+        if p == "minhash":
+            phase_minhash(spark, sf_dir)
+        elif p == "ann":
+            phase_ann(spark, sf_dir)
+        elif p == "flagship":
+            phase_flagship(spark)
+        elif p == "verdicts":
+            phase_verdicts(spark, sf_dir)
+        elif p == "queries":
+            phase_queries(spark, sf_dir)
+    print(json.dumps({"sf_dir": sf_dir, "phases": RESULTS}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -135,6 +135,18 @@ def group_exact_dedup(
 # ------------------------------------------------------------- shingles/C12
 
 
+def _shingle_stream(col: Column | str, k: int = SHINGLE_K) -> Column:
+    """All (non-distinct) char k-shingles in position order (array<string>)."""
+    raw = F.lower(F.col(col) if isinstance(col, str) else col)
+    c = F.concat(F.lit("  "), raw, F.lit("  "))
+    n = F.length(c) - (k - 1)
+    # sequence(1, 0) DESCENDS in Spark rather than being empty — guard short texts.
+    return F.when(
+        n >= 1,
+        F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(c, i, F.lit(k))),
+    ).otherwise(F.array(c))
+
+
 def shingles(col: Column | str, k: int = SHINGLE_K) -> Column:
     """Distinct char k-shingles of lower-cased text (array<string>).
     Positions via sequence+transform — no Python.
@@ -142,16 +154,7 @@ def shingles(col: Column | str, k: int = SHINGLE_K) -> Column:
     Pads with two leading/trailing spaces so edge characters get full
     coverage, matching the reference exactly (dataset/dedup.py:108-115,
     including its `len(padded) < k → {padded}` short-text case)."""
-    raw = F.lower(F.col(col) if isinstance(col, str) else col)
-    c = F.concat(F.lit("  "), raw, F.lit("  "))
-    n = F.length(c) - (k - 1)
-    # sequence(1, 0) DESCENDS in Spark rather than being empty — guard short texts.
-    return F.when(
-        n >= 1,
-        F.array_distinct(
-            F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(c, i, F.lit(k)))
-        ),
-    ).otherwise(F.array(c))
+    return F.array_distinct(_shingle_stream(col, k))
 
 
 def shingle_hashes(col: Column | str, k: int = SHINGLE_K) -> Column:
@@ -161,9 +164,15 @@ def shingle_hashes(col: Column | str, k: int = SHINGLE_K) -> Column:
     8-byte long beats a ~60-byte Java string for cache residency and shuffle
     volume, and |A∩B|/|A∪B| over the hash sets equals the string-set Jaccard
     up to a 2^-64 collision (xxhash64), far below the 0.8 threshold's
-    sensitivity."""
+    sensitivity.
+
+    Hash first, distinct after: ArrayDistinct over a non-primitive element
+    type (string) is an O(n²) scan in Spark's codegen, while the bigint
+    specialization is a linear OpenHashSet pass — and
+    distinct(hash(stream)) == distinct(hash(distinct(stream))) exactly
+    (same set, same first-occurrence order), so the output is unchanged."""
     return F.array_distinct(
-        F.transform(shingles(col, k), lambda s: F.xxhash64(s))
+        F.transform(_shingle_stream(col, k), lambda s: F.xxhash64(s))
     )
 
 
@@ -181,17 +190,20 @@ def word_shingles(col: Column | str, k: int = 5) -> Column:
     shorter than k words collapse to one whole-text shingle, mirroring the
     char variant's short-text case (and the reference's `len(padded) < k`
     branch, dataset/dedup.py:108-115)."""
+    return F.array_distinct(_word_shingle_stream(col, k))
+
+
+def _word_shingle_stream(col: Column | str, k: int = 5) -> Column:
+    """All (non-distinct) word k-grams in position order (array<string>)."""
     c = F.lower(F.col(col) if isinstance(col, str) else col)
     toks = F.filter(F.split(c, r"\s+"), lambda x: x != "")
     n = F.size(toks) - (k - 1)
     return (
         F.when(
             n >= 1,
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), n),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-                )
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
             ),
         )
         .when(F.size(toks) > 0, F.array(F.concat_ws(" ", toks)))
@@ -201,9 +213,11 @@ def word_shingles(col: Column | str, k: int = 5) -> Column:
 
 def word_shingle_hashes(col: Column | str, k: int = 5) -> Column:
     """Distinct 64-bit hashes of the word k-grams (array<bigint>) — same
-    8-byte-per-shingle rationale as `shingle_hashes`."""
+    8-byte-per-shingle rationale as `shingle_hashes`, and the same
+    hash-then-distinct order (string ArrayDistinct is O(n²) in codegen;
+    the bigint path is a linear OpenHashSet pass, output identical)."""
     return F.array_distinct(
-        F.transform(word_shingles(col, k), lambda s: F.xxhash64(s))
+        F.transform(_word_shingle_stream(col, k), lambda s: F.xxhash64(s))
     )
 
 
@@ -235,11 +249,17 @@ def ngram_jaccard_pairs(
     # persist: the shingle frame feeds three plan branches (posting lists,
     # both verification sides) — without it the O(len·k) shingling re-runs
     # per branch. Hashed shingles: 8-byte longs, not Java strings.
+    # Filter ABOVE the persist: a filter below it is predicate-pushed under
+    # spread_for_compute's repartition, so the cached build would run the
+    # whole shingle pipeline twice — once on the NARROW pre-spread scan
+    # partitions for the pushed filter (serialized on a handful of cores)
+    # and again post-spread for the projection. Filtering the cached rows
+    # is a size() probe per row instead.
     sh = (
         spread_for_compute(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t")))
         .select("_id", shingle_hashes("_t", k).alias("_sh"))
-        .filter(F.size("_sh") > 0)
         .persist()
+        .filter(F.size("_sh") > 0)
     )
     return _jaccard_pairs_from_sh(sh, threshold, max_posting_df)
 
@@ -258,8 +278,8 @@ def word_jaccard_pairs(
     sh = (
         spread_for_compute(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t")))
         .select("_id", word_shingle_hashes("_t", k).alias("_sh"))
+        .persist()  # filter above the persist — see ngram_jaccard_pairs
         .filter(F.size("_sh") > 0)
-        .persist()
     )
     return _jaccard_pairs_from_sh(sh, threshold, max_posting_df)
 
@@ -290,16 +310,16 @@ def _jaccard_pairs_from_sh(
     # (cap-independent values; the cap only bounds candidate generation)
     sa = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
     sb = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))
+    # Arrays are distinct → |A∪B| = |A| + |B| − |A∩B|: one hash-set pass per
+    # pair instead of materializing (and then only size()-ing) a union array.
+    inter = F.size(F.array_intersect("_sha", "_shb"))
     jac = (
-        cands.join(sa, "id_a")
-        .join(sb, "id_b")
+        cands.join(sa.withColumn("_na", F.size("_sha")), "id_a")
+        .join(sb.withColumn("_nb", F.size("_shb")), "id_b")
         .select(
             "id_a",
             "id_b",
-            (
-                F.size(F.array_intersect("_sha", "_shb"))
-                / F.size(F.array_union("_sha", "_shb"))
-            ).alias("_j"),
+            (inter / (F.col("_na") + F.col("_nb") - inter)).alias("_j"),
         )
         .filter(F.col("_j") >= threshold)
     )
@@ -334,17 +354,20 @@ def contamination_pairs(
     runs re-verify survivors-of-candidacy with the exact Jaccard over full
     shingle sets, same contract as `ngram_jaccard_pairs`."""
     hasher = word_shingle_hashes if words else shingle_hashes
+    # No size()>0 filters here: explode() drops empty-array rows by itself,
+    # and a filter would be predicate-pushed below spread_for_compute's
+    # repartition, re-running the whole shingle pipeline on the narrow
+    # pre-spread scan partitions (see ngram_jaccard_pairs). Docs with no
+    # shingles can never appear in posts or (hence) in candidate pairs.
     ev = (
         eval_df.select(F.col(id_col).alias("eval_id"), F.col(text_col).alias("_t"))
         .select("eval_id", hasher("_t", k).alias("_sh"))
-        .filter(F.size("_sh") > 0)
     )
     co = (
         spread_for_compute(
             corpus.select(F.col(id_col).alias("corpus_id"), F.col(text_col).alias("_t"))
         )
         .select("corpus_id", hasher("_t", k).alias("_sh"))
-        .filter(F.size("_sh") > 0)
     )
     ev_posts = ev.select("eval_id", F.size("_sh").alias("_na"), F.explode("_sh").alias("_s"))
     co_posts = co.select("corpus_id", F.size("_sh").alias("_nb"), F.explode("_sh").alias("_s"))
@@ -371,16 +394,20 @@ def contamination_pairs(
         .select("eval_id", "corpus_id")
         .distinct()
     )
+    inter = F.size(F.array_intersect("_sha", "_shb"))
     verified = (
-        cands.join(ev.select("eval_id", F.col("_sh").alias("_sha")), "eval_id")
-        .join(co.select("corpus_id", F.col("_sh").alias("_shb")), "corpus_id")
+        cands.join(
+            ev.select("eval_id", F.col("_sh").alias("_sha"), F.size("_sh").alias("_ea")),
+            "eval_id",
+        )
+        .join(
+            co.select("corpus_id", F.col("_sh").alias("_shb"), F.size("_sh").alias("_eb")),
+            "corpus_id",
+        )
         .select(
             "eval_id",
             "corpus_id",
-            (
-                F.size(F.array_intersect("_sha", "_shb"))
-                / F.size(F.array_union("_sha", "_shb"))
-            ).alias("_j"),
+            (inter / (F.col("_ea") + F.col("_eb") - inter)).alias("_j"),
         )
         .filter(F.col("_j") >= threshold)
     )
@@ -669,11 +696,14 @@ def minhash_lsh_pairs(
     # spread first: the 32 seeded hash passes are the dominant CPU and must
     # not inherit a single-file scan's parallelism.
     hashes = word_shingle_hashes("_t", k) if words else shingle_hashes("_t", k)
+    # Filter above the persist (a below-persist filter predicate-pushes under
+    # spread_for_compute's repartition and re-runs the shingle pipeline on
+    # the narrow pre-spread partitions — see ngram_jaccard_pairs).
     sh = (
         spread_for_compute(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t")))
         .select("_id", hashes.alias("_sh"))
-        .filter(F.size("_sh") > 0)
         .persist()
+        .filter(F.size("_sh") > 0)
     )
     if arrow:
         band_entries = _minhash_band_entries_arrow(sh, n_hashes, bands, seed)
@@ -695,19 +725,26 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    # verify candidates with exact Jaccard on the shingle sets
-    sa = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
-    sb = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))
+    # verify candidates with exact Jaccard on the shingle sets. The arrays
+    # are already distinct, so |A∪B| = |A| + |B| − |A∩B| — one hash-set pass
+    # per pair instead of two (array_union would re-walk and re-allocate
+    # both arrays only to be size()-d; the sizes are known per doc).
+    sa = sh.select(
+        F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"),
+        F.size("_sh").alias("_na"),
+    )
+    sb = sh.select(
+        F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"),
+        F.size("_sh").alias("_nb"),
+    )
+    inter = F.size(F.array_intersect("_sha", "_shb"))
     verified = (
         cands.join(sa, "id_a")
         .join(sb, "id_b")
         .select(
             "id_a",
             "id_b",
-            (
-                F.size(F.array_intersect("_sha", "_shb"))
-                / F.size(F.array_union("_sha", "_shb"))
-            ).alias("_j"),
+            (inter / (F.col("_na") + F.col("_nb") - inter)).alias("_j"),
         )
         .filter(F.col("_j") >= threshold)
     )

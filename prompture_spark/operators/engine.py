@@ -39,7 +39,11 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from prompture_spark.plans.compiler import VIOLATIONS_COL, fail_flags, violation_array
+from prompture_spark.plans.compiler import (
+    VIOLATIONS_COL,
+    fail_flags,
+    violation_entries,
+)
 from prompture_spark.plans.spec import (
     Alternation,
     Monotonic,
@@ -101,16 +105,21 @@ class ValidationEngine:
                 [],
                 "conv_id string, turn_idx int, part_id int, constraint_id string, observed_value string",
             )
-        arr = violation_array(constraints)
-        compact = F.filter(arr, lambda x: x.isNotNull())
+        # violation_entries is already compact (no null slots) and explode()
+        # emits nothing for an empty array, so no pre-filter is needed — a
+        # filter(size(...) > 0) here would re-evaluate the whole constraint
+        # battery a second time per row (Filter and Project each evaluate
+        # their own copy of the expression), and the lambda-based compact
+        # form would additionally force the battery into interpreted
+        # (CodegenFallback) evaluation. One codegen pass per row total.
+        arr = violation_entries(constraints)
         exploded = (
             df.select(
                 "conv_id",
                 "turn_idx",
                 F.col(partition_col).alias("part_id"),
-                compact.alias(VIOLATIONS_COL),
+                arr.alias(VIOLATIONS_COL),
             )
-            .filter(F.size(F.col(VIOLATIONS_COL)) > 0)
             .select(
                 "conv_id",
                 "turn_idx",

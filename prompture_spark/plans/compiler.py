@@ -39,6 +39,34 @@ def violation_array(constraints: tuple[RowConstraint, ...]) -> Column:
     return F.array(*entries)
 
 
+_ENTRY_TYPE = "array<struct<constraint_id:string,observed_value:string>>"
+
+
+def violation_entries(constraints: tuple[RowConstraint, ...]) -> Column:
+    """Compact array of violation structs — only failing constraints appear.
+
+    Built as a ``concat`` of per-constraint one-element-or-empty arrays, NOT
+    as ``filter(array(...), isNotNull)``: higher-order functions are
+    CodegenFallback, so the lambda form drags the ENTIRE constraint battery
+    (every predicate and observed() subtree are its children) into
+    interpreted row-at-a-time evaluation. ``when``/``concat`` stay inside
+    whole-stage codegen. Same elements, same constraint order."""
+    parts = []
+    for c in constraints:
+        entry = F.array(
+            F.struct(
+                F.lit(c.constraint_id).alias("constraint_id"),
+                c.observed().alias("observed_value"),
+            )
+        )
+        parts.append(
+            F.when(~F.coalesce(c.predicate(), F.lit(False)), entry).otherwise(
+                F.array().cast(_ENTRY_TYPE)
+            )
+        )
+    return F.concat(*parts)
+
+
 def fail_flags(constraints: tuple[RowConstraint, ...]) -> list[Column]:
     """One 0/1 LONG per constraint — input to the verdict aggregation."""
     return [

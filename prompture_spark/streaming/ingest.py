@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from prompture_spark.plans.compiler import VIOLATIONS_COL, violation_array
+from prompture_spark.plans.compiler import VIOLATIONS_COL, violation_entries
 from prompture_spark.plans.spec import ValidationSuite
 
 
@@ -54,16 +54,18 @@ def stream_row_violations(
     df = stream_df.withWatermark("ts", watermark)
     if dedup:
         df = df.dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])
-    arr = violation_array(suite.row_constraints)
-    compact = F.filter(arr, lambda x: x.isNotNull())
+    # Compact concat form + no pre-filter: explode() drops empty arrays by
+    # itself, and the lambda/filter(size>0) form both re-evaluates the
+    # battery and forces it into interpreted CodegenFallback (see
+    # engine._row_violations_for).
+    arr = violation_entries(suite.row_constraints)
     out = (
         df.select(
             "conv_id",
             "turn_idx",
             F.col(suite.partition_col).alias("part_id"),
-            compact.alias(VIOLATIONS_COL),
+            arr.alias(VIOLATIONS_COL),
         )
-        .filter(F.size(F.col(VIOLATIONS_COL)) > 0)
         .select(
             "conv_id",
             "turn_idx",
