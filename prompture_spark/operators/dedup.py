@@ -530,6 +530,175 @@ def minhash_signature(sh_col: Column, n_hashes: int, seed: int = 42) -> Column:
     return F.array(*[_min_hash(sh_col, seed + i) for i in range(n_hashes)])
 
 
+def _shingle_hashes_arrow(df: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """(_id, _sh) distinct char-k-shingle hashes via one Arrow-batched numpy
+    pass — BIT-IDENTICAL to ``select(_id, shingle_hashes(_t, k))`` (pinned in
+    test_dedup_similarity): same padding, same XXH64-over-UTF-8-bytes family
+    (seed 42, replicating catalyst XXH64.java ``hashUnsafeBytes`` — public
+    Apache source — including the 4-lane ≥32-byte path and the 4-byte/1-byte
+    tails), same first-occurrence distinct order.
+
+    Why it exists: the expression pipeline runs sequence→transform→substring
+    →xxhash64→array_distinct per row, and higher-order functions are
+    CodegenFallback — the whole chain executes interpreted, ~5 s for 55 k
+    mid-size docs at 32 cores. The kernel does one vectorized sliding-window
+    hash per (ASCII) document; non-ASCII and short/null texts take an exact
+    scalar replica. Input: (_id, _t); output: (_id, _sh array<bigint>)."""
+    id_sql = df.schema["_id"].dataType.simpleString()
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        np.seterr(over="ignore")
+        U = np.uint64
+        M = (1 << 64) - 1
+        P1 = 0x9E3779B185EBCA87
+        P2 = 0xC2B2AE3D27D4EB4F
+        P3 = 0x165667B19E3779F9
+        P4 = 0x85EBCA77C2B2AE63
+        P5 = 0x27D4EB2F165667C5
+        uP1, uP2, uP3, uP4, uP5 = U(P1), U(P2), U(P3), U(P4), U(P5)
+
+        def _rotl_u(x, r):
+            r = U(r)
+            return (x << r) | (x >> (U(64) - r))
+
+        def _fmix_u(h):
+            h ^= h >> U(33)
+            h = h * uP2
+            h ^= h >> U(29)
+            h = h * uP3
+            h ^= h >> U(32)
+            return h
+
+        def xxh64_windows(W):
+            """Vectorized XXH64(seed 42) of each row of a (n, m) uint8 matrix,
+            m < 32 (shingle bytes). Mirrors hashUnsafeBytes exactly."""
+            n, m = W.shape
+            W64 = W.astype(U)
+            h = np.full(n, U((42 + P5 + m) & M))
+            i = 0
+            while i + 8 <= m:
+                kw = np.zeros(n, dtype=U)
+                for b in range(8):
+                    kw |= W64[:, i + b] << U(8 * b)
+                h ^= _rotl_u(kw * uP2, 31) * uP1
+                h = _rotl_u(h, 27) * uP1 + uP4
+                i += 8
+            if i + 4 <= m:
+                kw = np.zeros(n, dtype=U)
+                for b in range(4):
+                    kw |= W64[:, i + b] << U(8 * b)
+                h ^= kw * uP1
+                h = _rotl_u(h, 23) * uP2 + uP3
+                i += 4
+            while i < m:
+                h ^= W64[:, i] * uP5
+                h = _rotl_u(h, 11) * uP1
+                i += 1
+            return _fmix_u(h)
+
+        def rotl_i(x, r):
+            return ((x << r) | (x >> (64 - r))) & M
+
+        def fmix_i(h):
+            h ^= h >> 33
+            h = (h * P2) & M
+            h ^= h >> 29
+            h = (h * P3) & M
+            h ^= h >> 32
+            return h
+
+        def xxh64_scalar(bs: bytes, seed: int = 42) -> int:
+            length = len(bs)
+            i = 0
+            if length >= 32:
+                v = [
+                    (seed + P1 + P2) & M,
+                    (seed + P2) & M,
+                    seed & M,
+                    (seed - P1) & M,
+                ]
+                while i + 32 <= length:
+                    for j in range(4):
+                        kw = int.from_bytes(bs[i + 8 * j : i + 8 * j + 8], "little")
+                        vj = (v[j] + kw * P2) & M
+                        v[j] = (rotl_i(vj, 31) * P1) & M
+                    i += 32
+                h = (
+                    rotl_i(v[0], 1) + rotl_i(v[1], 7)
+                    + rotl_i(v[2], 12) + rotl_i(v[3], 18)
+                ) & M
+                for vj in v:
+                    h ^= (rotl_i((vj * P2) & M, 31) * P1) & M
+                    h = (h * P1 + P4) & M
+            else:
+                h = (seed + P5) & M
+            h = (h + length) & M
+            while i + 8 <= length:
+                kw = int.from_bytes(bs[i : i + 8], "little")
+                h ^= (rotl_i((kw * P2) & M, 31) * P1) & M
+                h = (rotl_i(h, 27) * P1 + P4) & M
+                i += 8
+            if i + 4 <= length:
+                kw = int.from_bytes(bs[i : i + 4], "little")
+                h ^= (kw * P1) & M
+                h = (rotl_i(h, 23) * P2 + P3) & M
+                i += 4
+            while i < length:
+                h ^= (bs[i] * P5) & M
+                h = (rotl_i(h, 11) * P1) & M
+                i += 1
+            return fmix_i(h)
+
+        def first_occurrence_unique(h):
+            _, idx = np.unique(h, return_index=True)
+            return h[np.sort(idx)]
+
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for t in pdf["_t"]:
+                if t is None:
+                    # expression: when(NULL) → otherwise(array(NULL)) →
+                    # xxhash64(NULL) = seed → distinct([42]) = [42]
+                    out.append(np.array([42], dtype=np.int64))
+                    continue
+                padded = "  " + t.lower() + "  "
+                if len(padded) < k:
+                    bs = padded.encode("utf-8")
+                    out.append(
+                        np.array(
+                            [xxh64_scalar(bs) - (1 << 64)
+                             if xxh64_scalar(bs) >= (1 << 63) else xxh64_scalar(bs)],
+                            dtype=np.int64,
+                        )
+                    )
+                    continue
+                bs = padded.encode("utf-8")
+                if len(bs) == len(padded) and k < 32:
+                    # pure-ASCII fast path: byte windows == char windows
+                    arr = np.frombuffer(bs, dtype=np.uint8)
+                    W = sliding_window_view(arr, k)
+                    h = xxh64_windows(W).view(np.int64)
+                    out.append(first_occurrence_unique(h))
+                else:
+                    hs = []
+                    for i in range(len(padded) - k + 1):
+                        u = xxh64_scalar(padded[i : i + k].encode("utf-8"))
+                        hs.append(u - (1 << 64) if u >= (1 << 63) else u)
+                    out.append(
+                        first_occurrence_unique(np.array(hs, dtype=np.int64))
+                    )
+            yield pd.DataFrame({"_id": pdf["_id"], "_sh": out})
+
+    return df.select("_id", "_t").mapInPandas(gen, f"_id {id_sql}, _sh array<bigint>")
+
+
 def _minhash_band_entries_expr(
     sh: DataFrame, n_hashes: int, bands: int, seed: int
 ) -> DataFrame:
@@ -695,34 +864,38 @@ def minhash_lsh_pairs(
     # hashed shingles (longs) keep the cache and shuffles compact.
     # spread first: the 32 seeded hash passes are the dominant CPU and must
     # not inherit a single-file scan's parallelism.
-    hashes = word_shingle_hashes("_t", k) if words else shingle_hashes("_t", k)
     # Filter above the persist (a below-persist filter predicate-pushes under
     # spread_for_compute's repartition and re-runs the shingle pipeline on
     # the narrow pre-spread partitions — see ngram_jaccard_pairs).
-    sh = (
-        spread_for_compute(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t")))
-        .select("_id", hashes.alias("_sh"))
-        .persist()
-        .filter(F.size("_sh") > 0)
+    base = spread_for_compute(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
     )
+    if arrow and not words:
+        # char shingling via the Arrow kernel (bit-identical, pinned) — the
+        # expression chain is all CodegenFallback HOFs and runs interpreted
+        sh_frame = _shingle_hashes_arrow(base, k)
+    else:
+        hashes = word_shingle_hashes("_t", k) if words else shingle_hashes("_t", k)
+        sh_frame = base.select("_id", hashes.alias("_sh"))
+    sh = sh_frame.persist().filter(F.size("_sh") > 0)
     if arrow:
         band_entries = _minhash_band_entries_arrow(sh, n_hashes, bands, seed)
     else:
         band_entries = _minhash_band_entries_expr(sh, n_hashes, bands, seed)
+    # Candidate generation in ONE exchange: collect each band bucket's
+    # members, apply the size cap on the collected list, and emit in-bucket
+    # pairs with two generators — the former sizes-agg + left-semi +
+    # self-join form shuffled the band entries three times to reach the same
+    # pair set (members × members, id_a < id_b, distinct across bands).
+    members = band_entries.groupBy("band", "bh").agg(
+        F.collect_list("_id").alias("_ms")
+    )
     if max_bucket_size is not None:
-        sizes_ok = (
-            band_entries.groupBy("band", "bh")
-            .agg(F.count(F.lit(1)).alias("_bs"))
-            .filter(F.col("_bs") <= max_bucket_size)
-            .select("band", "bh")
-        )
-        band_entries = band_entries.join(sizes_ok, ["band", "bh"], "left_semi")
-    left = band_entries.select(F.col("_id").alias("id_a"), "band", "bh")
-    right = band_entries.select(F.col("_id").alias("id_b"), "band", "bh")
+        members = members.filter(F.size("_ms") <= max_bucket_size)
     cands = (
-        left.join(right, ["band", "bh"])
+        members.select(F.explode("_ms").alias("id_a"), "_ms")
+        .select("id_a", F.explode("_ms").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
         .distinct()
     )
     # verify candidates with exact Jaccard on the shingle sets. The arrays

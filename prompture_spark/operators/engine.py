@@ -526,17 +526,63 @@ class ValidationEngine:
 
         Row-constraint counts come from the flag-sum aggregation (no violation
         rows materialized); table-constraint counts from their violation
-        streams. Standalone use — ``validate()`` shares work instead."""
-        row_v = self.row_verdicts(df, suite)
+        streams. Standalone use — ``validate()`` shares work instead.
+
+        Pass economy: referential checks are fused into the row-flag pass as
+        a broadcast-LEFT-join null probe (identical counts to the standalone
+        anti-join — see validate()), and the partition list for the grid is
+        read off the row aggregation's output (a groupBy over the full table
+        observes every part_id) — so the standalone verdict table costs TWO
+        scans of the input (row pass + sequence window), not four."""
+        from prompture_spark.plans.spec import Referential
+
+        work = df
+        row_cs = list(suite.row_constraints)
+        deferred = []
+        for c in suite.table_constraints:
+            if isinstance(c, Referential) and row_cs:
+                cat_col = f"_cat_{c.column}"
+                catalog = self.spark.range(1).select(
+                    F.explode(F.array(*[F.lit(v) for v in c.catalog])).alias(cat_col)
+                )
+                work = work.join(
+                    F.broadcast(catalog), work[c.column] == F.col(cat_col), "left"
+                )
+                row_cs.append(
+                    _FusedReferential(
+                        c.constraint_id, c.column, cat_col=cat_col,
+                        ref_nullable=c.nullable,
+                    )
+                )
+            else:
+                deferred.append(c)
+        fused_suite = ValidationSuite(
+            name=suite.name,
+            row_constraints=tuple(row_cs),
+            table_constraints=(),
+            partition_col=suite.partition_col,
+        )
+        pruned = ValidationSuite(
+            name=suite.name,
+            row_constraints=(),
+            table_constraints=tuple(deferred),
+            partition_col=suite.partition_col,
+        )
+        row_v = self.row_verdicts(work, fused_suite)
         table_counts = (
-            self.table_violations(df, suite)
+            self.table_violations(df, pruned)
             .groupBy("part_id", "constraint_id")
             .agg(F.count(F.lit(1)).alias("violation_count"))
         )
         observed = row_v.select("part_id", "constraint_id", "violation_count").unionByName(
             table_counts
         )
-        parts = df.select(F.col(suite.partition_col).alias("part_id")).distinct()
+        if row_cs:
+            # every part_id reaches the row aggregation's output — reuse it
+            # instead of a third full-table distinct scan
+            parts = row_v.select("part_id").distinct()
+        else:
+            parts = df.select(F.col(suite.partition_col).alias("part_id")).distinct()
         cids = self.spark.range(1).select(
             F.explode(
                 F.array(*[F.lit(cid) for cid in suite.constraint_ids()])

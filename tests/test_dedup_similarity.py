@@ -580,6 +580,35 @@ def test_minhash_arrow_band_entries_bit_identical(spark):
     assert len(arrow) == 80 * 8
 
 
+def test_shingle_hashes_arrow_bit_identical(spark):
+    # The Arrow shingle kernel must reproduce select(_id, shingle_hashes(_t))
+    # EXACTLY — same XXH64-over-UTF-8-bytes values, same first-occurrence
+    # distinct order — across the edge branches: null text, empty/short text
+    # (whole-padded fallback), ASCII fast path, non-ASCII (multi-byte
+    # chars force the scalar char-window replica), and shingles whose UTF-8
+    # byte length crosses the 4-byte-tail boundaries.
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, ""),
+        (3, None),
+        (4, "ab"),
+        (5, "ÁÉÍ ñoño naïve café — ÆØÅ"),
+        (6, "MiXeD CaSe ASCII with   spaces\tand\nnewlines"),
+        (7, "日本語のテキストです 12345"),
+        (8, "aaaaaaaaaaaaaaaaaaaaaaaa"),
+        (9, "x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").select(
+        F.col("doc_id").alias("_id"), F.col("text").alias("_t")
+    )
+    expr = {
+        r._id: list(r._sh)
+        for r in df.select("_id", dd.shingle_hashes("_t", 5).alias("_sh")).collect()
+    }
+    arrow = {r._id: list(r._sh) for r in dd._shingle_hashes_arrow(df, 5).collect()}
+    assert expr == arrow
+
+
 def test_minhash_arrow_pairs_equal_expression_pairs(spark, docs):
     base = {
         (r.id_a, r.id_b, r.jaccard)
