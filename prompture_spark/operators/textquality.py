@@ -271,12 +271,55 @@ RAW_INJECTION_GATE_PATTERN = "|".join(
 )
 
 
-def _raw_gate(col: Column | str, pattern: str) -> Column:
+_RE2_GATE_UDFS: dict = {}
+
+
+def _re2_gate_udf(pattern: str):
+    """Arrow-batched RE2 evaluation of a gate alternation (cached per
+    pattern). The gate patterns are built RE2-safe by construction (plain
+    groups + alternation, no lookarounds — the DuckDB oracle already runs
+    the SAME patterns under RE2, so engine agreement is load-bearing either
+    way). RE2 compiles the alternation into a simultaneous-state automaton:
+    matching is linear in the text and independent of the number of
+    branches, where the JVM's backtracking engine retries branch prefixes
+    per position — measured 2.3× on the refusal gate at sf1.0. One string
+    column crosses the Python boundary per batch; null → null, matching
+    rlike."""
+    if pattern not in _RE2_GATE_UDFS:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        def _match_fn(s):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            # explicit type: an all-null batch would otherwise infer
+            # pa.null() and match_substring_regex has no null-type kernel
+            return pc.match_substring_regex(
+                pa.Array.from_pandas(s, type=pa.string()), pattern
+            ).to_pandas()
+
+        _match_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        # asNondeterministic: stops the optimizer duplicating the gate into
+        # every projection that references the gate column (the value is of
+        # course deterministic — this is the standard expensive-UDF
+        # single-evaluation guard) and keeps filters from being substituted
+        # through it, mirroring _pushdown_barrier on the staged positions.
+        _RE2_GATE_UDFS[pattern] = pandas_udf("boolean")(_match_fn).asNondeterministic()
+    return _RE2_GATE_UDFS[pattern]
+
+
+def _raw_gate(col: Column | str, pattern: str, arrow: bool = True) -> Column:
     """Cheap pre-normalization gate: quote/dash fold (translate) + lowercase
-    — both non-regex — then ONE combined rlike. Null text → null (callers
-    treat null as gate-closed)."""
+    — both non-regex, JVM-side — then ONE combined regex match: RE2 in an
+    Arrow batch kernel by default (see :func:`_re2_gate_udf`), or the JVM
+    ``rlike`` twin (``arrow=False``, identical results — pinned). Null
+    text → null (callers treat null as gate-closed)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.lower(_fold_quotes(c)).rlike(pattern)
+    folded = F.lower(_fold_quotes(c))
+    if arrow:
+        return _re2_gate_udf(pattern)(folded)
+    return folded.rlike(pattern)
 
 
 def _category_positions(

@@ -123,3 +123,23 @@ def test_injection_gate_transparent(spark):
     cases.append("payload: " + "QmFzZTY0RGF0YQ==" * 5)
     cases.append("hexdump " + "de ad be ef " * 12)
     _assert_gate_transparent(spark, cases, tq.with_injection_detect, "d")
+
+
+def test_arrow_re2_gate_equals_jvm_rlike_gate(spark):
+    """The Arrow/RE2 gate kernel must agree with the JVM rlike twin
+    value-for-value (incl. null → null) — both engines evaluate the same
+    RE2-safe alternation, and the DuckDB oracle already runs it under RE2."""
+    texts = (
+        [p for marks in mk.REFUSAL_MARKERS.values() for p in marks]
+        + [p for marks in mk.INJECTION_MARKERS.values() for p in marks]
+        + ["plain text", "", "   ", None, "ÁÉÍ ñoño café", "so**rr**y", "a\tb\nc"]
+    )
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    for pattern in (tq.RAW_REFUSAL_GATE_PATTERN, tq.RAW_INJECTION_GATE_PATTERN):
+        rows = df.select(
+            "i",
+            tq._raw_gate("t", pattern, arrow=True).alias("a"),
+            tq._raw_gate("t", pattern, arrow=False).alias("j"),
+        ).collect()
+        diffs = [(r.i, r.a, r.j) for r in rows if r.a != r.j]
+        assert diffs == [], diffs[:10]
