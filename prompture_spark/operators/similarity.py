@@ -41,12 +41,67 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def _bruteforce_scored_arrow(c: DataFrame, qrows, id_sql: str) -> DataFrame:
+    """(query_id, neighbor_id, _raw) exact-cosine scores via one Arrow
+    batch kernel — BIT-IDENTICAL raw doubles to the expression path
+    (pinned in test_dedup_similarity): the fold order of cosine_sim /
+    _l2_norm / _dot is an ascending-dimension left-to-right accumulation,
+    replicated here as a dimension loop of elementwise IEEE multiply+add
+    (numpy never reassociates inside `a + b*c` written this way, and
+    float32→float64 widening is exact on both engines), then one divide by
+    (qn·cn). Why: zip_with/aggregate are CodegenFallback higher-order
+    functions, so the expression cosine runs interpreted per pair.
+
+    Fixed-dimension vectors only (the expression twin zip_with-pads ragged
+    inputs to null; callers with ragged data use arrow=False)."""
+    import numpy as np
+
+    qids_list = [r[0] for r in qrows]
+    Qm = np.array([r[1] for r in qrows], dtype="float64")
+    d = Qm.shape[1] if len(Qm) else 0
+    qn = np.zeros(len(qids_list))
+    for j in range(d):
+        qn = qn + Qm[:, j] * Qm[:, j]
+    qn = np.sqrt(qn)
+    qids = np.array(qids_list)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["_cv"].tolist(), dtype="float64")
+            nbr = pdf["neighbor_id"].to_numpy()
+            B = len(X)
+            cn = np.zeros(B)
+            for j in range(d):
+                cn = cn + X[:, j] * X[:, j]
+            cn = np.sqrt(cn)
+            acc = np.zeros((B, len(qids)))
+            for j in range(d):
+                acc = acc + X[:, j][:, None] * Qm[:, j][None, :]
+            cos = acc / (qn[None, :] * cn[:, None])
+            qq = np.broadcast_to(qids[None, :], (B, len(qids))).ravel()
+            nn = np.repeat(nbr, len(qids))
+            cc = cos.ravel()
+            mask = nn != qq
+            yield pd.DataFrame(
+                {"query_id": qq[mask], "neighbor_id": nn[mask], "_raw": cc[mask]}
+            )
+
+    return c.select("neighbor_id", "_cv").mapInPandas(
+        gen, f"query_id {id_sql}, neighbor_id {id_sql}, _raw double"
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    arrow: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k of each query vs the corpus (excluding self).
 
@@ -63,20 +118,32 @@ def brute_force_topk(
 
     c = spread_for_compute(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
-    ).withColumn("_cn", _l2_norm(F.col("_cv")))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
-    ).withColumn("_qn", _l2_norm(F.col("_qv")))
-    scored = (
-        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6
-            ).alias("cosine"),
-        )
     )
+    if arrow:
+        # queries are the broadcast-small side by contract; collecting them
+        # into the kernel closure mirrors pq_topk's LUT pattern
+        qrows = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        ).collect()
+        id_sql = c.schema["neighbor_id"].dataType.simpleString()
+        scored = _bruteforce_scored_arrow(c, qrows, id_sql).select(
+            "query_id", "neighbor_id", F.round(F.col("_raw"), 6).alias("cosine")
+        )
+    else:
+        cn = c.withColumn("_cn", _l2_norm(F.col("_cv")))
+        q = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        ).withColumn("_qn", _l2_norm(F.col("_qv")))
+        scored = (
+            cn.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(
+                    _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6
+                ).alias("cosine"),
+            )
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

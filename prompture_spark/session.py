@@ -34,6 +34,19 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE coalescing is parallelism-first, but its 1 MB minPartitionSize
+        # floor overrides that for byte-light shuffles: a CPU-dense stage
+        # over compact keys (e.g. 1.3M candidate pairs joining 8-byte hash
+        # arrays ≈ 10 MB post-shuffle) coalesces to ~10 tasks and starves
+        # the other cores (measured: the minhash verify stage ran 10 tasks
+        # × 5.7 s on 32 cores). A 64 KB floor lets such stages keep
+        # cluster parallelism; it binds only when shuffle bytes per core
+        # < 1 MB, which at production scale never happens — so the setting
+        # is scale-neutral, not a local-mode tune. Env-overridable.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"),
+        )
         # Arrow batches for the jsonschema pandas UDF — the only Python that
         # ever touches row data.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -49,9 +49,10 @@ from pyspark.sql import functions as F
 #   % 127 == 11 -> turn_idx negated        (range violation)
 #   % 139 == 13 -> conv_id upper-cased     (format violation)
 #   % 101 == 5  -> row duplicated at same (conv_id, turn_idx) (+1 min ts)
-TRANSCRIPTS_FROM_EVENTS_SQL = """
-WITH _turns AS (
-    SELECT
+# The per-event derivation body (shared verbatim by the dialect-neutral
+# UNION-ALL form below and the single-pass Spark plan in
+# ``transcripts_from_events``).
+_TURNS_BODY_SQL = """    SELECT
         event_id,
         CASE WHEN event_id % 139 = 13
              THEN upper('conv-' || lpad(CAST(user_id AS STRING), 8, '0'))
@@ -82,13 +83,19 @@ WITH _turns AS (
         END AS tool,
         CASE WHEN event_id % 131 = 7 THEN ts - INTERVAL 2 HOUR ELSE ts END AS ts,
         CAST(user_id % 8 AS INT) AS part_id
-    FROM events
+    FROM events"""
+
+TRANSCRIPTS_FROM_EVENTS_SQL = (
+    "\nWITH _turns AS (\n"
+    + _TURNS_BODY_SQL
+    + """
 )
 SELECT conv_id, turn_idx, role, text, tool, ts, part_id FROM _turns
 UNION ALL
 SELECT conv_id, turn_idx, role, text, tool, ts + INTERVAL 1 MINUTE AS ts, part_id
 FROM _turns WHERE event_id % 101 = 5
 """
+)
 
 # DuckDB-side CTE wrapper: oracle queries embed this prefix and select from
 # `transcripts`.
@@ -98,12 +105,33 @@ ORACLE_TRANSCRIPTS_CTE = f"WITH transcripts AS (\n{TRANSCRIPTS_FROM_EVENTS_SQL}\
 def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derive the transcripts table from ``<sf_dir>/events.parquet``.
 
-    Runs the shared SQL through Catalyst — the derivation is a projection +
-    one window over ``user_id`` + a cheap union, all whole-stage-codegen.
-    """
+    Same row multiset as ``TRANSCRIPTS_FROM_EVENTS_SQL`` (which DuckDB runs
+    verbatim as the oracle CTE), but in ONE pass: the UNION ALL form inlines
+    ``_turns`` into both branches, so Spark scans the events table and runs
+    the ``row_number`` window shuffle TWICE (Catalyst does not materialize
+    non-deterministic-free CTEs and the branch-specific projections defeat
+    exchange reuse). Here the duplicated-turn injection (`event_id % 101 =
+    5`, +1 minute) is an ``explode`` of a 1-or-2-element timestamp array on
+    the single derived frame instead — one scan, one window. DataFrames are
+    unordered multisets, so branch order is not semantics."""
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     events.createOrReplaceTempView("events")
-    return spark.sql(TRANSCRIPTS_FROM_EVENTS_SQL)
+    turns = spark.sql(
+        "SELECT * FROM (\n" + _TURNS_BODY_SQL + "\n)"
+    )
+    ts_variants = F.when(
+        F.col("event_id") % 101 == 5,
+        F.array(F.col("ts"), F.col("ts") + F.expr("INTERVAL 1 MINUTE")),
+    ).otherwise(F.array(F.col("ts")))
+    return turns.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        F.explode(ts_variants).alias("ts"),
+        "part_id",
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -981,3 +981,15 @@ def test_pq_encode_codes_shape_and_reuse(spark, sf_med):
     si = {(r.query_id, r.neighbor_id, r.rank) for r in inline.collect()}
     sp = {(r.query_id, r.neighbor_id, r.rank) for r in prebuilt.collect()}
     assert si == sp and len(si) > 0
+
+
+def test_brute_force_topk_arrow_bit_identical(spark, sf_small):
+    """The Arrow cosine kernel must reproduce the expression path EXACTLY —
+    same raw doubles, so identical 6dp rounding, ranks and tie-breaks."""
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    a = sim.brute_force_topk(emb, queries, "vec_id", "embedding", k=10, arrow=True)
+    e = sim.brute_force_topk(emb, queries, "vec_id", "embedding", k=10, arrow=False)
+    ra = sorted(map(tuple, a.collect()))
+    re_ = sorted(map(tuple, e.collect()))
+    assert ra == re_
