@@ -26,20 +26,41 @@ from pyspark.sql import functions as F
 EPS = 1e-6  # zero-bucket smoothing, standard PSI practice
 
 
+def _categorical_counts(
+    df: DataFrame, dim: str, partition_col: str = "part_id"
+) -> DataFrame:
+    """(part_id, bucket, cnt) for non-null ``dim`` — the one table scan both
+    the per-partition histogram AND the whole-table baseline fold from (the
+    global count per bucket is exactly the sum of its partition counts), so
+    a drift check costs one aggregation pass, not two."""
+    return (
+        df.filter(F.col(dim).isNotNull())
+        .groupBy(F.col(partition_col).alias("part_id"), F.col(dim).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _histogram_from_counts(counts: DataFrame) -> DataFrame:
+    totals = counts.groupBy("part_id").agg(F.sum("cnt").alias("total"))
+    return counts.join(totals, "part_id").select(
+        "part_id", "bucket", (F.col("cnt") / F.col("total")).alias("freq")
+    )
+
+
+def _global_from_counts(counts: DataFrame) -> DataFrame:
+    g = counts.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+    total = g.agg(F.sum("cnt").alias("total"))
+    return g.crossJoin(F.broadcast(total)).select(
+        "bucket", (F.col("cnt") / F.col("total")).alias("base_freq")
+    )
+
+
 def categorical_histogram(
     df: DataFrame, dim: str, partition_col: str = "part_id"
 ) -> DataFrame:
     """Relative frequency of each non-null ``dim`` value per partition:
     (part_id, bucket, freq)."""
-    counts = (
-        df.filter(F.col(dim).isNotNull())
-        .groupBy(F.col(partition_col).alias("part_id"), F.col(dim).alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    totals = counts.groupBy("part_id").agg(F.sum("cnt").alias("total"))
-    return counts.join(totals, "part_id").select(
-        "part_id", "bucket", (F.col("cnt") / F.col("total")).alias("freq")
-    )
+    return _histogram_from_counts(_categorical_counts(df, dim, partition_col))
 
 
 def global_histogram(df: DataFrame, dim: str) -> DataFrame:

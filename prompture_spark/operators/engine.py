@@ -679,11 +679,14 @@ class ValidationEngine:
 
         res = self.validate(df, suite)
         stats_df = stats_ops.column_stats(df, suite.partition_col, exact=exact_stats)
-        part_hist = drift_ops.categorical_histogram(df, drift_dim, suite.partition_col)
+        counts = drift_ops._categorical_counts(df, drift_dim, suite.partition_col)
+        part_hist = drift_ops._histogram_from_counts(counts)
         if baseline is not None:
             base = baseline.filter(F.col("dim") == drift_dim).select("bucket", "base_freq")
         else:
-            base = drift_ops.global_histogram(df, drift_dim)
+            # live-baseline mode folds the whole-table histogram from the
+            # SAME (part, bucket) counts — one scan serves both sides
+            base = drift_ops._global_from_counts(counts)
         drift_df = drift_ops.psi(part_hist, base)
         return ValidationResult(
             violations=res.violations,

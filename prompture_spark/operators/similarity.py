@@ -205,14 +205,39 @@ def _centroids(corpus: DataFrame, id_col: str, vec_col: str, n_centroids: int) -
 def _nearest_centroids(
     df: DataFrame, vec: str, cents: DataFrame, n: int, out: str
 ) -> DataFrame:
-    scored = df.crossJoin(F.broadcast(cents)).withColumn(
-        "_cs", cosine_sim(F.col(vec), F.col("_cent"))
+    """Per-row n nearest centroids, entirely map-side.
+
+    The centroid set is k rows (an offline-trained index); it is collected
+    into a literal array of (centroid_id, vector) structs and each input row
+    scores + sorts that array in-expression — top-n = slice(array_sort). The
+    former shape (crossJoin(broadcast) + row_number window partitioned by
+    *df.columns*) shuffled the FULL corpus with the embedding array inside
+    the partition key — a fat-key exchange that is pure overhead at any
+    scale. Ordering semantics are identical: ascending (−cos, centroid_id)
+    == window (cos DESC, centroid_id ASC), with NaN cosines (zero-norm
+    vectors) mapped to a −2 sort key so they rank first exactly like the
+    window's NaN-greatest double ordering; cosine values come from the same
+    cosine_sim fold. The k-row collect mirrors _assign_buckets_arrow."""
+    id_dt = cents.schema["centroid_id"].dataType.simpleString()
+    rows = cents.select("centroid_id", "_cent").collect()
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(r.centroid_id).cast(id_dt).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in r._cent]).alias("cv"),
+            )
+            for r in rows
+        ]
     )
-    w = Window.partitionBy(*df.columns).orderBy(F.desc("_cs"), F.asc("centroid_id"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= n)
-        .select(*df.columns, F.col("centroid_id").alias(out))
+
+    def _entry(c):
+        cs = cosine_sim(F.col(vec), c["cv"])
+        key = F.when(F.isnan(cs), F.lit(-2.0)).otherwise(-cs)
+        return F.struct(key.alias("k"), c["cid"].alias("cid"))
+
+    top = F.slice(F.array_sort(F.transform(cent_arr, _entry)), 1, n)
+    return df.select(*df.columns, F.explode(top).alias("_tc")).select(
+        *df.columns, F.col("_tc.cid").alias(out)
     )
 
 

@@ -314,8 +314,12 @@ FROM _j GROUP BY part_id
 @register("drift_psi_role", _PSI_ORACLE)
 def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = transcripts_from_events(spark, sf_dir)
-    part_hist = drift.categorical_histogram(df, "role")
-    base = drift.global_histogram(df, "role")
+    # one aggregation scan: the whole-table baseline folds from the same
+    # (part, bucket) counts the per-partition histogram uses (identical
+    # integer counts → identical frequencies)
+    counts = drift._categorical_counts(df, "role")
+    part_hist = drift._histogram_from_counts(counts)
+    base = drift._global_from_counts(counts)
     return drift.psi(part_hist, base)
 
 

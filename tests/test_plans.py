@@ -247,3 +247,19 @@ def test_group_exact_dedup_two_exchanges(spark, parquet_transcripts):
     assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
         "conv_id", "turn_idx", "role", "text", "tool"
     }, p[:2000]
+
+
+def test_nearest_centroids_assignment_is_map_side(spark, sf_small):
+    """IVF assignment must not shuffle the corpus: the former shape windowed
+    over partitionBy(*df.columns) — the embedding array inside the partition
+    key, a fat-key full exchange. The in-expression top-n has no Exchange
+    and no Window at all."""
+    from pyspark.sql import functions as F
+
+    from prompture_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_cv"))
+    cents = sim._centroids(emb, "vec_id", "embedding", 8)
+    p = plan_of(sim._nearest_centroids(c, "_cv", cents, 4, "bucket"))
+    assert "Exchange" not in p and "Window" not in p, p[:1500]
