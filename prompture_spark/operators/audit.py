@@ -115,7 +115,13 @@ def audit_row_constraints(
     return per.select(
         "constraint_id",
         "n_sampled",
-        F.coalesce(F.col("n_failed"), F.lit(0)).alias("n_failed"),
+        # double, not long: the oracle's sum(CASE ...) comes back from DuckDB
+        # as a float column (HUGEINT sums surface as float64 through the
+        # driver's fetch), so a long here hash-diverges at the driver on
+        # EVERY row even though the values are equal — the r5 mismatch.
+        # Same integers either way (counts ≪ 2^53); the local simulator's
+        # int-normalization is unaffected.
+        F.coalesce(F.col("n_failed"), F.lit(0)).cast("double").alias("n_failed"),
         F.when(F.col("n_sampled") > 0, p).alias("fail_rate"),
         F.when(F.col("n_sampled") > 0, F.greatest(center - half, F.lit(0.0))).alias(
             "wilson_lo"

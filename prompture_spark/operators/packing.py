@@ -74,7 +74,11 @@ def pack_concat_chunks(
         .orderBy("_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    off = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    # double, not long: DuckDB's windowed sum(BIGINT) is a HUGEINT that
+    # surfaces as float64 through the driver's fetch, so a long tok_offset
+    # hash-diverges at the driver on every row despite equal values (the r5
+    # mismatch). Token offsets ≪ 2^53, so the doubles are exact.
+    off = F.coalesce(F.sum("n_tok").over(w), F.lit(0)).cast("double")
     out = base.withColumn("tok_offset", off).select(
         F.col("_id").alias(id_col),
         "shard",
