@@ -530,21 +530,36 @@ def minhash_signature(sh_col: Column, n_hashes: int, seed: int = 42) -> Column:
     return F.array(*[_min_hash(sh_col, seed + i) for i in range(n_hashes)])
 
 
-def _shingle_hashes_arrow(df: DataFrame, k: int = SHINGLE_K) -> DataFrame:
-    """(_id, _sh) distinct char-k-shingle hashes via one Arrow-batched numpy
-    pass — BIT-IDENTICAL to ``select(_id, shingle_hashes(_t, k))`` (pinned in
-    test_dedup_similarity): same padding, same XXH64-over-UTF-8-bytes family
-    (seed 42, replicating catalyst XXH64.java ``hashUnsafeBytes`` — public
-    Apache source — including the 4-lane ≥32-byte path and the 4-byte/1-byte
-    tails), same first-occurrence distinct order.
+def _shingle_hashes_arrow(
+    df: DataFrame,
+    k: int = SHINGLE_K,
+    n_hashes: int | None = None,
+    bands: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """(_id, _sh[, bhs]) distinct char-k-shingle hashes via one Arrow-batched
+    numpy pass — BIT-IDENTICAL to ``select(_id, shingle_hashes(_t, k))``
+    (pinned in test_dedup_similarity): same padding, same
+    XXH64-over-UTF-8-bytes family (seed 42, replicating catalyst XXH64.java
+    ``hashUnsafeBytes`` — public Apache source — including the 4-lane
+    ≥32-byte path and the 4-byte/1-byte tails), same first-occurrence
+    distinct order.
 
     Why it exists: the expression pipeline runs sequence→transform→substring
     →xxhash64→array_distinct per row, and higher-order functions are
     CodegenFallback — the whole chain executes interpreted, ~5 s for 55 k
     mid-size docs at 32 cores. The kernel does one vectorized sliding-window
     hash per (ASCII) document; non-ASCII and short/null texts take an exact
-    scalar replica. Input: (_id, _t); output: (_id, _sh array<bigint>)."""
+    scalar replica. Input: (_id, _t); output: (_id, _sh array<bigint>).
+
+    With ``n_hashes``/``bands`` set, the SAME pass also emits each doc's
+    banded minhash signature hashes (``bhs array<bigint>``, one per band) —
+    value-identical to ``_minhash_band_entries_arrow`` over the same ``_sh``
+    (same hashLong/hashInt chains) — saving the second Python round trip of
+    the full shingle arrays."""
     id_sql = df.schema["_id"].dataType.simpleString()
+    with_bands = n_hashes is not None and bands is not None
+    rows_per_band = (n_hashes // bands) if with_bands else 0
 
     def gen(batches):
         import numpy as np
@@ -656,6 +671,41 @@ def _shingle_hashes_arrow(df: DataFrame, k: int = SHINGLE_K) -> DataFrame:
             _, idx = np.unique(h, return_index=True)
             return h[np.sort(idx)]
 
+        def hash_long_vec(v, s):
+            # catalyst XXH64.hashLong — same chain as the band kernel
+            h = s + uP5 + U(8)
+            h = h ^ (_rotl_u(v * uP2, 31) * uP1)
+            h = _rotl_u(h, 27) * uP1 + uP4
+            return _fmix_u(h)
+
+        def hash_int_vec(v, s):
+            h = s + uP5 + U(4)
+            h = h ^ ((v & U(0xFFFFFFFF)) * uP1)
+            h = _rotl_u(h, 23) * uP2 + uP3
+            return _fmix_u(h)
+
+        def band_hashes(arrays):
+            """Per-doc banded signature hashes from the distinct shingle-hash
+            arrays — value-identical to _minhash_band_entries_arrow."""
+            lens = np.fromiter((len(a) for a in arrays), dtype=np.int64, count=len(arrays))
+            flat = np.concatenate(arrays).view(U)
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            base = hash_long_vec(flat, U(42))
+            sigs_u = np.empty((len(lens), n_hashes), dtype=U)
+            for i in range(n_hashes):
+                h = hash_int_vec(U(seed + i), base).view(np.int64)
+                sigs_u[:, i] = np.minimum.reduceat(h, starts).view(U)
+            bhs = np.empty((len(lens), bands), dtype=U)
+            for bi in range(bands):
+                h = np.full(len(lens), U(42))
+                for ri in range(rows_per_band):
+                    h = hash_long_vec(
+                        np.ascontiguousarray(sigs_u[:, bi * rows_per_band + ri]), h
+                    )
+                bhs[:, bi] = h
+            return list(bhs.view(np.int64))
+
         from numpy.lib.stride_tricks import sliding_window_view
 
         for pdf in batches:
@@ -694,9 +744,17 @@ def _shingle_hashes_arrow(df: DataFrame, k: int = SHINGLE_K) -> DataFrame:
                     out.append(
                         first_occurrence_unique(np.array(hs, dtype=np.int64))
                     )
-            yield pd.DataFrame({"_id": pdf["_id"], "_sh": out})
+            if with_bands:
+                yield pd.DataFrame(
+                    {"_id": pdf["_id"], "_sh": out, "bhs": band_hashes(out)}
+                )
+            else:
+                yield pd.DataFrame({"_id": pdf["_id"], "_sh": out})
 
-    return df.select("_id", "_t").mapInPandas(gen, f"_id {id_sql}, _sh array<bigint>")
+    schema = f"_id {id_sql}, _sh array<bigint>"
+    if with_bands:
+        schema += ", bhs array<bigint>"
+    return df.select("_id", "_t").mapInPandas(gen, schema)
 
 
 def _minhash_band_entries_expr(
@@ -872,16 +930,21 @@ def minhash_lsh_pairs(
     )
     if arrow and not words:
         # char shingling via the Arrow kernel (bit-identical, pinned) — the
-        # expression chain is all CodegenFallback HOFs and runs interpreted
-        sh_frame = _shingle_hashes_arrow(base, k)
+        # expression chain is all CodegenFallback HOFs and runs interpreted.
+        # The SAME kernel pass emits the banded signature hashes, so the
+        # full shingle arrays cross the Python boundary once, not twice.
+        sh_frame = _shingle_hashes_arrow(base, k, n_hashes=n_hashes, bands=bands, seed=seed)
+        sh = sh_frame.persist().filter(F.size("_sh") > 0)
+        band_entries = sh.select(
+            "_id", F.posexplode("bhs").alias("band", "bh")
+        ).select("_id", F.col("band").cast("int").alias("band"), "bh")
     else:
         hashes = word_shingle_hashes("_t", k) if words else shingle_hashes("_t", k)
-        sh_frame = base.select("_id", hashes.alias("_sh"))
-    sh = sh_frame.persist().filter(F.size("_sh") > 0)
-    if arrow:
-        band_entries = _minhash_band_entries_arrow(sh, n_hashes, bands, seed)
-    else:
-        band_entries = _minhash_band_entries_expr(sh, n_hashes, bands, seed)
+        sh = base.select("_id", hashes.alias("_sh")).persist().filter(F.size("_sh") > 0)
+        if arrow:
+            band_entries = _minhash_band_entries_arrow(sh, n_hashes, bands, seed)
+        else:
+            band_entries = _minhash_band_entries_expr(sh, n_hashes, bands, seed)
     # Candidate generation in ONE exchange: collect each band bucket's
     # members, apply the size cap on the collected list, and emit in-bucket
     # pairs with two generators — the former sizes-agg + left-semi +

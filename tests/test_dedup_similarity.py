@@ -607,6 +607,21 @@ def test_shingle_hashes_arrow_bit_identical(spark):
     }
     arrow = {r._id: list(r._sh) for r in dd._shingle_hashes_arrow(df, 5).collect()}
     assert expr == arrow
+    # fused band emission: posexplode(bhs) must reproduce the standalone
+    # band kernel's (id, band, bh) rows exactly over the same _sh
+    fused = dd._shingle_hashes_arrow(df, 5, n_hashes=32, bands=8)
+    got = {
+        (r._id, r.band, r.bh)
+        for r in fused.select(
+            "_id", F.posexplode("bhs").alias("band", "bh")
+        ).collect()
+    }
+    sh = df.select("_id", dd.shingle_hashes("_t", 5).alias("_sh"))
+    want = {
+        (r._id, r.band, r.bh)
+        for r in dd._minhash_band_entries_arrow(sh, 32, 8, 42).collect()
+    }
+    assert got == want
 
 
 def test_minhash_arrow_pairs_equal_expression_pairs(spark, docs):
