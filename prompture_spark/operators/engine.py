@@ -679,7 +679,9 @@ class ValidationEngine:
 
         res = self.validate(df, suite)
         stats_df = stats_ops.column_stats(df, suite.partition_col, exact=exact_stats)
-        counts = drift_ops._categorical_counts(df, drift_dim, suite.partition_col)
+        # persist: psi()'s dense grid references the histogram from many plan
+        # branches; the cache is |parts|×|buckets| rows and saves ~9 rescans
+        counts = drift_ops._categorical_counts(df, drift_dim, suite.partition_col).persist()
         part_hist = drift_ops._histogram_from_counts(counts)
         if baseline is not None:
             base = baseline.filter(F.col("dim") == drift_dim).select("bucket", "base_freq")

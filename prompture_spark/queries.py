@@ -316,8 +316,10 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = transcripts_from_events(spark, sf_dir)
     # one aggregation scan: the whole-table baseline folds from the same
     # (part, bucket) counts the per-partition histogram uses (identical
-    # integer counts → identical frequencies)
-    counts = drift._categorical_counts(df, "role")
+    # integer counts → identical frequencies). Persist: psi()'s dense-grid
+    # construction references the histogram ~10 plan branches deep — without
+    # the (|parts|×|buckets|-row) cache each branch re-scans the table.
+    counts = drift._categorical_counts(df, "role").persist()
     part_hist = drift._histogram_from_counts(counts)
     base = drift._global_from_counts(counts)
     return drift.psi(part_hist, base)
