@@ -68,27 +68,36 @@ def _bruteforce_scored_arrow(c: DataFrame, qrows, id_sql: str) -> DataFrame:
     def gen(batches):
         import pandas as pd
 
+        # sub-batch so the (rows × queries) accumulator stays cache-resident
+        # across the d sequential passes (the exact-order accumulation walks
+        # the full matrix once per dimension; a 10k-row Arrow batch would
+        # make that 64 passes over ~32 MB — pure memory bandwidth). Chunking
+        # rows changes nothing about each element's operation order.
+        CHUNK = max(1, (1 << 18) // max(len(qids), 1))
         for pdf in batches:
             if not len(pdf):
                 continue
-            X = np.array(pdf["_cv"].tolist(), dtype="float64")
-            nbr = pdf["neighbor_id"].to_numpy()
-            B = len(X)
-            cn = np.zeros(B)
-            for j in range(d):
-                cn = cn + X[:, j] * X[:, j]
-            cn = np.sqrt(cn)
-            acc = np.zeros((B, len(qids)))
-            for j in range(d):
-                acc = acc + X[:, j][:, None] * Qm[:, j][None, :]
-            cos = acc / (qn[None, :] * cn[:, None])
-            qq = np.broadcast_to(qids[None, :], (B, len(qids))).ravel()
-            nn = np.repeat(nbr, len(qids))
-            cc = cos.ravel()
-            mask = nn != qq
-            yield pd.DataFrame(
-                {"query_id": qq[mask], "neighbor_id": nn[mask], "_raw": cc[mask]}
-            )
+            Xf = np.array(pdf["_cv"].tolist(), dtype="float64")
+            nbrf = pdf["neighbor_id"].to_numpy()
+            for lo in range(0, len(Xf), CHUNK):
+                X = Xf[lo : lo + CHUNK]
+                nbr = nbrf[lo : lo + CHUNK]
+                B = len(X)
+                cn = np.zeros(B)
+                for j in range(d):
+                    cn = cn + X[:, j] * X[:, j]
+                cn = np.sqrt(cn)
+                acc = np.zeros((B, len(qids)))
+                for j in range(d):
+                    acc = acc + X[:, j][:, None] * Qm[:, j][None, :]
+                cos = acc / (qn[None, :] * cn[:, None])
+                qq = np.broadcast_to(qids[None, :], (B, len(qids))).ravel()
+                nn = np.repeat(nbr, len(qids))
+                cc = cos.ravel()
+                mask = nn != qq
+                yield pd.DataFrame(
+                    {"query_id": qq[mask], "neighbor_id": nn[mask], "_raw": cc[mask]}
+                )
 
     return c.select("neighbor_id", "_cv").mapInPandas(
         gen, f"query_id {id_sql}, neighbor_id {id_sql}, _raw double"
