@@ -68,7 +68,14 @@ def _driver_window_order() -> list[str]:
             # registered since round 3 yet zero driver rows ever (file
             # position understates its age — the round-4 VERDICT explicitly
             # ordered it rotated ahead of the other no-oracle variants once).
-            idx = -1 if name == "multimodal_audio_features" else names.index(name)
+            # the pin applies only while the query has never had a driver
+            # row; once seen it rotates with the other no-oracle variants
+            # instead of permanently crowding them out of the window
+            idx = (
+                -1
+                if (name == "multimodal_audio_features" and name not in seen)
+                else names.index(name)
+            )
             return (0 if name not in seen else 2, 1, idx)
         if name not in attested:
             return (0, 0, names.index(name))
