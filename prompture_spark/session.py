@@ -39,13 +39,15 @@ def get_spark(
         # over compact keys (e.g. 1.3M candidate pairs joining 8-byte hash
         # arrays ≈ 10 MB post-shuffle) coalesces to ~10 tasks and starves
         # the other cores (measured: the minhash verify stage ran 10 tasks
-        # × 5.7 s on 32 cores). A 64 KB floor lets such stages keep
-        # cluster parallelism; it binds only when shuffle bytes per core
-        # < 1 MB, which at production scale never happens — so the setting
-        # is scale-neutral, not a local-mode tune. Env-overridable.
+        # × 5.7 s on 32 cores). 256 KB keeps such stages at cluster
+        # parallelism (A/B: minhash 11.9 s → 6.2 s) while leaving the
+        # kilobyte-scale shuffles of cheap queries coalesced (a 64 KB floor
+        # measurably taxed those with per-task overhead). The floor binds
+        # only when shuffle bytes per core < 1 MB, which at production
+        # scale never happens — scale-neutral, not a local-mode tune.
         .config(
             "spark.sql.adaptive.coalescePartitions.minPartitionSize",
-            os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"),
+            os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "256k"),
         )
         # Arrow batches for the jsonschema pandas UDF — the only Python that
         # ever touches row data.
